@@ -1,0 +1,76 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is materialized with a noop sink (full column evaluation on
+executors, no driver collect) — the honest distributed cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sheetsetl_spark.queries import QUERIES  # noqa: E402
+from sheetsetl_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "b21_groupby_agg",  # flagship: scan -> filter -> hash agg (TPC-H Q1)
+    "b20_star_join",  # fact-fact shuffle join + broadcast dims (Q5 shape)
+    "b13_left_join",  # outer join + agg
+    "b16_self_join",  # fact self-join
+    "b22_count_distinct",  # distinct aggregation
+    "b30_ranking_functions",  # window ranking stack
+    "b32_window_frames",  # running/moving frames
+    "b41_correlated_subquery",  # decorrelation
+    "b50_tumbling_window",  # event-time windows
+    "b52_session_window",  # session windows
+    "c1_dedup_latest",  # keyed dedup
+    "c2b_minhash_lsh",  # MinHash+LSH near-dup pipeline
+    "c3_topk_cosine",  # brute-force vector top-k
+    "c4e_tfidf_top_terms",  # tf-idf
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = build_session(app_name="sheetsetl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/codegen paths outside the timed region.
+    QUERIES["b28_global_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Fixture-table catalog.
+
+The reference treats a Drive folder id as its namespace of inputs/outputs
+(/root/reference/src/loader.py:36-37, 105-122). Here the namespace is a
+directory of parquet tables; ``register_views`` mirrors "folder as catalog"
+by registering each table as a temp view so raw analyst SQL can run against
+it via ``spark.sql`` (the Spark-native analog of loader.py:231's delegation
+to MySQL).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor
+#: (FIXTURES.md: region/nation are fixed-size; supplier/part stay tiny
+#: relative to the facts). At 100 TB these remain the broadcast side.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects (PARQUET_TYPE_ILLEGAL). We read it as raw int64 nanoseconds
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+    TIMESTAMP_NTZ at microsecond precision — the same truncation DuckDB
+    applies — using epoch arithmetic that is independent of the session
+    timezone.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+
+    try:
+        # Runtime-settable; required before the footer is read, otherwise
+        # the scan task fails with PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. Spark Connect policy) — try anyway
+    df = spark.read.parquet(path)
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # ns -> NTZ microseconds via tz-independent arithmetic on an NTZ
+        # epoch base (integer div floors, matching DuckDB's ns->us cast).
+        ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, (ts % 1000000000) DIV 1000, "
+                f"timestampadd(SECOND, ts DIV 1000000000, {ntz_epoch}))"
+            ),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view (folder-as-catalog)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,171 @@
+"""Deduplication operators (SURVEY §2-C C1/C2): exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design: every variant reduces the pairwise-comparison space BEFORE
+any join — exact dedup shuffles on a 16-byte hash; Jaccard/LSH only join
+documents that share a shingle/band bucket (equi-joins Catalyst can
+shuffle-partition), never a cross join. At 100 TB the band join is the
+only O(candidate) stage and AQE's skew-join splits hot buckets.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """C1: keyed dedup with deterministic winner (row_number over an
+    explicit order — never dropDuplicates' arbitrary pick)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Built with higher-order functions (transform/slice over the token
+    array) — one pass, no UDF, explode only the shingle stream."""
+    shingle_list = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
+        f"  i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingle_list)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C2: near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Candidate generation is the shingle equi-self-join (only docs sharing
+    a shingle ever meet); |union| = |A| + |B| - |A∩B| avoids materializing
+    unions. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: num_hashes independent xxhash64
+    seeds (seed mixed in as a leading literal column), min-aggregated over
+    the shingle stream — one groupBy, map-side partial mins."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C2: MinHash + LSH banding near-dup candidates, verified by true
+    Jaccard >= threshold.
+
+    rows_per_band = num_hashes / bands; docs agreeing on any full band
+    collide into a bucket; candidates come from the bucket equi-join.
+    This is the 100 TB path: signature table is O(docs), band join touches
+    only colliding docs. Verification reuses the exact Jaccard operator on
+    the candidate subset."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+    right = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, threshold=threshold, n=n, id_col=id_col, text_col=text_col)
+    return candidates.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """C2: 64-bit SimHash per document over unigram tokens.
+
+    bit_j(doc) = sign of sum over tokens of ±1 (bit j of xxhash64(token)).
+    Implemented as 64 conditional-sum aggregates over the exploded token
+    stream — one shuffle, no UDF."""
+    tok = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    tok = tok.withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    # 2**63 overflows signed 64-bit; emit the fingerprint as two 32-bit
+    # halves packed into a hex string.
+    lo = reduce(
+        lambda acc, j: acc + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(0),
+        range(32),
+        F.lit(0).cast("bigint"),
+    )
+    hi = reduce(
+        lambda acc, j: acc + F.when(F.col(f"s_{j + 32}") > 0, F.lit(1 << j)).otherwise(0),
+        range(32),
+        F.lit(0).cast("bigint"),
+    )
+    return sums.select(F.col(id_col), F.concat_ws(":", F.hex(hi), F.hex(lo)).alias("simhash"))

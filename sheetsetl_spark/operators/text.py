@@ -1,0 +1,111 @@
+"""Text-analysis operators (SURVEY §2-C C4): tokenization, quality
+scoring, language-ID heuristic, fingerprinting, tf-idf.
+
+All expressions are built-in SQL functions / higher-order array functions
+(JVM-side, codegen'd) — the shape that survives a 100 TB corpus: one scan,
+narrow projections, aggregations with map-side partials. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny function-word list used by the quality/stopword heuristics.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: Marker tokens for the n-gram language-ID heuristic. The fixture corpus
+#: is synthetic word soup, so the rule is a deterministic stand-in for a
+#: real character-n-gram classifier; the operator shape (per-doc scoring,
+#: argmax over language models) is what scales.
+LANG_MARKERS = (("en", "the"), ("es", "data"), ("fr", "table"), ("de", "row"), ("zh", "batch"))
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenizer (split stays JVM-side)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(col, " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, average
+    token length, stopword ratio (C4 quality-scoring inputs)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))")
+    return docs.select(
+        id_col,
+        n_tok.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_tok, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop / n_tok, 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic quality score: length band + stopword presence +
+    lexical diversity (distinct/total tokens). The standard pre-training
+    filter shape — pure per-row arithmetic, embarrassingly parallel."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    has_stop = F.expr(
+        f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list}))) > 0"
+    ).cast("int")
+    length_ok = (F.length(text_col).between(100, 5000)).cast("int")
+    score = F.round(0.4 * length_ok + 0.3 * has_stop + 0.3 * diversity, 6)
+    return docs.select(id_col, F.col("lang"), score.alias("quality"))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: first matching marker token wins (C4).
+    Deterministic CASE cascade -> fully oracle-checkable."""
+    toks = tokens(text_col)
+    pred = F.lit("unknown")
+    for lang, marker in reversed(LANG_MARKERS):
+        pred = F.when(F.array_contains(toks, marker), lang).otherwise(pred)
+    return docs.select(id_col, F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (C4). Exact-dup
+    detection at scale = groupBy(fingerprint) — shuffle on a 16-byte key
+    instead of the full document payload."""
+    return docs.select(
+        id_col,
+        F.col("source"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fp"),
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (C4).
+
+    tf = term_count / doc_len; idf = ln(N / df). Everything is exact
+    integer counting until the final float formula, so ranking is
+    deterministic (ties broken by term). Two shuffles total: term counts,
+    then document frequencies (broadcast back — df table is vocabulary-
+    sized, tiny next to the corpus)."""
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("term"), F.size(tokens(text_col)).alias("doc_len")
+    )
+    tf = term_rows.groupBy(id_col, "term", "doc_len").agg(F.count("*").alias("term_cnt"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_counts), "term").select(
+        id_col,
+        "term",
+        F.round(
+            (F.col("term_cnt") / F.col("doc_len")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

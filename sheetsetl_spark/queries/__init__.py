@@ -1,0 +1,66 @@
+"""Named query catalog — the driver-checkable operator inventory.
+
+Every operator row in SURVEY.md §2 (B-series: the MySQL SELECT surface the
+reference delegates at /root/reference/src/loader.py:231; C-series: the
+LLM-data-pipeline extensions) registers here as
+
+    name -> callable(spark, sf_dir) -> DataFrame      (QUERIES)
+    name -> ANSI SQL string for the DuckDB oracle     (ORACLES)
+
+Queries without an oracle entry (non-SQL-expressible internals, e.g. LSH
+signatures) get the driver's weaker rows-only check.
+
+Determinism contract (hash-matching against DuckDB):
+- every computed column is aliased identically on both sides;
+- float SUM/AVG go through exact DECIMAL(18,6) accumulation, then CAST to
+  DOUBLE — decimal addition is order-independent, so Spark's partial
+  aggregation over arbitrary partitionings matches DuckDB bit-for-bit;
+- rankings always carry a unique tie-break key;
+- timestamps are emitted as strings/dates at microsecond-or-coarser
+  granularity (events.ts is ns in parquet; both engines floor to us).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco
+
+
+def dsum(col: str, alias: str) -> str:
+    """SQL fragment: order-independent double sum via exact decimal."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def davg(col: str, alias: str) -> str:
+    """SQL fragment: deterministic double avg = exact-decimal sum / count."""
+    return (
+        f"ROUND(CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({col}), 6) AS {alias}"
+    )
+
+
+# Import side registers all queries.
+from sheetsetl_spark.queries import relational  # noqa: E402,F401
+from sheetsetl_spark.queries import windows  # noqa: E402,F401
+from sheetsetl_spark.queries import setops_subqueries  # noqa: E402,F401
+from sheetsetl_spark.queries import scalar_functions  # noqa: E402,F401
+from sheetsetl_spark.queries import event_windows  # noqa: E402,F401
+from sheetsetl_spark.queries import extensions  # noqa: E402,F401
+
+__all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

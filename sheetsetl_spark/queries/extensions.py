@@ -1,0 +1,298 @@
+"""C-series: LLM-data-pipeline extension queries (SURVEY §2-C).
+
+Each entry wires an operator from ``sheetsetl_spark.operators`` to the
+fixture tables. Oracles are full ANSI/DuckDB rewrites of the same
+algorithm; the xxhash64-based internals (MinHash/LSH/SimHash) are not
+portable to DuckDB, so those entries rely on the driver's rows-only check
+— their verification twin (exact n-gram Jaccard) IS oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators import dedup, similarity, text
+from sheetsetl_spark.queries import query
+
+_JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "c1_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def c1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: keyed exact dedup, latest-wins (the upsert/compaction shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    deduped = dedup.exact_dedup(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return deduped.select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "c2_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def c2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: near-dup pairs by word-3-gram Jaccard (candidate generation via
+    shingle equi-join — no cross join at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD, n=3)
+
+
+@query(
+    "c2b_minhash_lsh",
+    # The LSH pipeline verifies candidates by true Jaccard, so its output
+    # equals the exact n-gram Jaccard result whenever banding recall is 1
+    # (verified on the fixtures at sf0.001/sf0.01) — same oracle as c2.
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_THRESHOLD}
+    """,
+)
+def c2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: MinHash(32)+LSH(8 bands) near-dup candidates verified by true
+    Jaccard — the 100 TB path (band equi-join instead of shingle join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD, num_hashes=32, bands=8, n=3)
+
+
+@query("c2c_simhash")
+def c2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: 64-bit SimHash fingerprints (rows-only check: xxhash64 bits are
+    engine-specific; determinism is still exact across runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(docs)
+
+
+@query(
+    "c3_topk_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS sim
+      FROM c, q WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE nn_rank <= 10
+    """,
+)
+def c3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: exact brute-force cosine top-10 for 8 query vectors (broadcast
+    queries x streamed corpus; per-query top-k via window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(emb, queries_df, k=10)
+
+
+@query("c3b_topk_cosine_lsh")
+def c3b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path: random-hyperplane LSH bucketing + in-bucket exact
+    cosine. Approximate by construction -> rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_lsh(emb, queries_df, k=10)
+
+
+@query(
+    "c4_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+           ROUND(LENGTH(REPLACE(text, ' ', '')) / LEN(STRING_SPLIT(text, ' ')), 6)
+             AS avg_token_len,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                 t -> t IN ('the','a','of','and','to','in')))
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def c4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: per-document token statistics (token counting tier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs)
+
+
+@query(
+    "c4b_quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(CAST(0.4 AS DOUBLE) * CASE WHEN LENGTH(text) BETWEEN 100 AND 5000
+                                            THEN 1 ELSE 0 END
+               + CAST(0.3 AS DOUBLE) * CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in'))) > 0 THEN 1 ELSE 0 END
+               + CAST(0.3 AS DOUBLE) * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                                        / LEN(STRING_SPLIT(text, ' '))), 6) AS quality
+    FROM documents
+    """,
+)
+def c4b_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: deterministic document quality score (length band + stopword
+    presence + lexical diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs)
+
+
+@query(
+    "c4c_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') THEN 'en'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') THEN 'es'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'table') THEN 'fr'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'row') THEN 'de'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'batch') THEN 'zh'
+                ELSE 'unknown' END AS predicted_lang
+    FROM documents
+    """,
+)
+def c4c_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: marker-token language-ID heuristic (deterministic CASE cascade
+    standing in for a char-n-gram classifier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs)
+
+
+@query(
+    "c4d_fingerprint",
+    oracle="SELECT doc_id, source, MD5(LOWER(TRIM(text))) AS fp FROM documents",
+)
+def c4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: md5 document fingerprinting (exact-dup detection key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+@query(
+    "c4e_tfidf_top_terms",
+    oracle="""
+    WITH term_rows AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term,
+             LEN(STRING_SPLIT(text, ' ')) AS doc_len
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, doc_len, COUNT(*) AS term_cnt
+           FROM term_rows GROUP BY 1, 2, 3),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND((term_cnt / doc_len)
+                   * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfc ON tf.term = dfc.term
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def c4e_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: tf-idf top-3 terms per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tf_idf_top_terms(docs, k=3)
+
+
+@query(
+    "c5_array_ops",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[]))
+                              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_l2_norm,
+           ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_first_dim
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def c5_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: multimodal/array columns — higher-order functions over
+    ArrayType(Float) (norms, element access), aggregated per label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.zip_with(vec, vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    first_dim = F.element_at("embedding", 1).cast("double")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(norm.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_l2_norm"),
+        F.round(
+            F.sum(first_dim.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_first_dim"),
+    )
+
+
+@query(
+    "c6_json_props",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def c6_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: typed JSON property extraction from events.props."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", "event_type", k.alias("k_val")).filter(F.col("k_val") > 50)

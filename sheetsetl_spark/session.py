@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for this engine.
+
+The reference runs a single serial process against a remote MySQL server
+(/root/reference/src/loader.py:54-58, 227); our execution engine is Spark
+SQL + Catalyst + Tungsten + AQE. This module centralizes the session
+configuration so every entry point (tests, bench, pipeline shell) gets the
+same dialect and scale posture.
+
+Scale notes (100 TB design): every config here is also valid on a real
+cluster — AQE handles skew/partition coalescing at runtime, shuffle
+partition counts are sized from available parallelism, and nothing below
+assumes local mode except the default master.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def build_session(
+    app_name: str = "sheetsetl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's dialect + perf defaults.
+
+    - ANSI off: MySQL-like leniency. The reference ships raw analyst SQL to
+      MySQL (loader.py:231); MySQL's implicit coercions are far looser than
+      Spark ANSI mode, so the compatible posture is non-ANSI.
+    - UTC session timezone: deterministic timestamp rendering.
+    - ``nanosAsLong``: the events fixture stores TIMESTAMP(NANOS), which
+      Spark 4 cannot read natively; the catalog converts ns->us explicitly.
+    - AQE on: runtime join re-planning, skew-join splitting, partition
+      coalescing — the levers that keep plans healthy at 100 TB.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        # Arrow for any pandas_udf / toPandas path (vectorized transfer).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

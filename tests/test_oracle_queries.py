@@ -1,0 +1,36 @@
+"""Every oracle-declared query must match DuckDB exactly — the local
+mirror of the driver's CORRECTNESS gate (sf0.001 for speed; the driver
+runs sf0.01, covered by the slow marker / pre-commit full run)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sheetsetl_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_MEDIUM, SF_SMALL
+from tests.oracle import compare
+
+SF_DIR = os.environ.get("SHEETSETL_TEST_SF", SF_SMALL)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(spark, name):
+    compare(QUERIES[name](spark, SF_DIR), ORACLES[name], SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    """Non-SQL-expressible ops: deterministic row count across two runs."""
+    n1 = QUERIES[name](spark, SF_DIR).count()
+    n2 = QUERIES[name](spark, SF_DIR).count()
+    assert n1 == n2
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
