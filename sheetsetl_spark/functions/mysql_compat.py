@@ -1,0 +1,138 @@
+"""MySQL dialect compatibility layer (SURVEY §2-B B43-B49, §7 hard parts).
+
+The reference's users write MySQL SELECTs (shipped verbatim to the server
+at /root/reference/src/loader.py:231). Spark SQL covers almost all of that
+dialect natively — including backtick identifiers, `<=>`, DIV, IFNULL,
+SUBSTRING_INDEX. This module fills the actual gaps:
+
+- expression helpers for MySQL idioms with no 1:1 Spark function
+  (GROUP_CONCAT, IF, numeric TRUNCATE, %-style DATE_FORMAT);
+- ``mysql_to_spark_sql``: a conservative text-level translator for the
+  few syntax deltas that appear in real analyst SQL (LIMIT offset,count;
+  DATE_FORMAT/STR_TO_DATE %-patterns; GROUP_CONCAT). It rewrites only
+  what it positively recognizes and leaves everything else untouched, so
+  valid Spark SQL passes through unchanged.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def group_concat(col: Column | str, sep: str = ",", distinct: bool = False) -> Column:
+    """MySQL GROUP_CONCAT(x [SEPARATOR sep]) — determinized: values are
+    sorted before concatenation (MySQL's unordered default is
+    nondeterministic; SURVEY §7 risk #2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    collected = F.collect_set(c) if distinct else F.collect_list(c)
+    return F.concat_ws(sep, F.sort_array(collected))
+
+
+def if_(cond: Column, true_val, false_val) -> Column:
+    """MySQL IF(cond, a, b)."""
+    return F.when(cond, true_val).otherwise(false_val)
+
+
+def ifnull(col: Column | str, default) -> Column:
+    """MySQL IFNULL(x, d)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c, F.lit(default))
+
+
+def truncate_number(col: Column | str, d: int = 0) -> Column:
+    """MySQL TRUNCATE(x, d): truncate toward zero (Spark's round() rounds;
+    floor() truncates toward -inf — both wrong for negatives)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**d
+    return (c * scale).cast("bigint") / scale
+
+
+#: MySQL DATE_FORMAT specifier -> Java SimpleDateFormat pattern.
+_MYSQL_TO_JAVA_PATTERNS = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%c": "M",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%k": "H",
+    "%h": "hh",
+    "%i": "mm",
+    "%s": "ss",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%M": "MMMM",
+    "%b": "MMM",
+    "%W": "EEEE",
+    "%a": "EEE",
+    "%j": "DDD",
+    "%p": "a",
+    "%T": "HH:mm:ss",
+    "%%": "%",
+}
+
+
+def _translate_pattern(mysql_pattern: str) -> str:
+    out = []
+    i = 0
+    while i < len(mysql_pattern):
+        ch = mysql_pattern[i]
+        if ch == "%" and i + 1 < len(mysql_pattern):
+            spec = mysql_pattern[i : i + 2]
+            out.append(_MYSQL_TO_JAVA_PATTERNS.get(spec, spec))
+            i += 2
+        elif ch.isalpha():
+            # literal letters must be quoted in Java patterns
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def date_format_mysql(col: Column | str, mysql_pattern: str) -> Column:
+    """MySQL DATE_FORMAT(ts, '%Y-%m-%d ...') with %-specifier translation
+    (SURVEY §7 hard part #1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, _translate_pattern(mysql_pattern))
+
+
+_LIMIT_OFFSET_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
+_DATE_FORMAT_RE = re.compile(r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(([^,]+),\s*'([^']*)'\s*\)", re.IGNORECASE)
+_GROUP_CONCAT_RE = re.compile(
+    r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?([^()]+?)(?:\s+SEPARATOR\s+'([^']*)')?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def mysql_to_spark_sql(sql: str) -> str:
+    """Best-effort MySQL -> Spark SQL text translation for the syntax
+    deltas Spark doesn't accept natively. Conservative: rewrites only
+    recognized constructs.
+
+    - ``LIMIT off, cnt``          -> ``LIMIT cnt OFFSET off``
+    - ``DATE_FORMAT(x, '%Y..')``  -> Java pattern equivalent
+    - ``STR_TO_DATE(x, '%Y..')``  -> ``TO_TIMESTAMP(x, 'yyyy..')``
+    - ``GROUP_CONCAT(x [SEPARATOR s])`` -> sorted concat_ws/collect_list
+    """
+    sql = _LIMIT_OFFSET_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+
+    def _fmt(m: re.Match) -> str:
+        fn, arg, pat = m.group(1).upper(), m.group(2).strip(), _translate_pattern(m.group(3))
+        if fn == "STR_TO_DATE":
+            return f"TO_TIMESTAMP({arg}, '{pat}')"
+        return f"DATE_FORMAT({arg}, '{pat}')"
+
+    sql = _DATE_FORMAT_RE.sub(_fmt, sql)
+
+    def _gc(m: re.Match) -> str:
+        distinct, expr, sep = m.group(1), m.group(2).strip(), m.group(3) or ","
+        collect = "collect_set" if distinct else "collect_list"
+        return f"concat_ws('{sep}', sort_array({collect}({expr})))"
+
+    return _GROUP_CONCAT_RE.sub(_gc, sql)

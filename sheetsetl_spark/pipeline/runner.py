@@ -1,0 +1,126 @@
+"""The pipeline shell — the SheetsETL program itself, Spark-first.
+
+Control flow mirrors /root/reference/src/loader.py:223-255 one-to-one:
+
+  discover .sql files (loader.py:192-205, filter :200)
+    -> execute each (cursor.execute at :231  ==>  spark.sql here)
+    -> output-size guard ((rows+1)*cols >= 2M skips, :241-253)
+    -> upsert into the sink by name (filename minus '.sql', :152)
+  with per-file error isolation: a syntax error (:232-234) or a sink
+  error (:184-186) logs and skips that file, never aborts the run.
+
+What changes Spark-side: the execute->spool->guard steps become ONE
+Catalyst-planned job per query (no client-side row loop, no CSV spool),
+and the sink writes distributed unless the backend is inherently
+driver-side (Sheets).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from sheetsetl_spark.sinks.base import DEFAULT_CELL_LIMIT, CellLimitExceeded, Sink, cell_count_guard
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class QueryFile:
+    """A discovered query (the reference's file dict {id,name,mimeType,q},
+    loader.py:192-205, with 'q' = SQL text attached at :203)."""
+
+    name: str  # output name: filename minus '.sql' (loader.py:152)
+    path: str
+    sql: str
+
+
+@dataclass
+class QueryResult:
+    name: str
+    status: str  # ok | sql_error | cell_limit | sink_error
+    rows: int | None = None
+    error: str | None = None
+
+
+@dataclass
+class PipelineReport:
+    results: list[QueryResult] = field(default_factory=list)
+
+    @property
+    def ok(self) -> list[QueryResult]:
+        return [r for r in self.results if r.status == "ok"]
+
+    @property
+    def skipped(self) -> list[QueryResult]:
+        return [r for r in self.results if r.status != "ok"]
+
+
+def discover_sql_files(source_dir: str) -> list[QueryFile]:
+    """Directory analog of the Drive folder listing + mime/.sql filter
+    (loader.py:105-122, :200)."""
+    out: list[QueryFile] = []
+    for fname in sorted(os.listdir(source_dir)):
+        if not fname.endswith(".sql"):
+            continue
+        path = os.path.join(source_dir, fname)
+        if not os.path.isfile(path):
+            continue
+        with open(path, encoding="utf-8") as fh:
+            sql = fh.read()
+        out.append(QueryFile(name=fname[: -len(".sql")], path=path, sql=sql))
+    return out
+
+
+class SqlFolderPipeline:
+    """Run every .sql file in a folder and upsert each result into a sink.
+
+    ``setup`` (optional) runs once before the loop — typically
+    ``register_views`` so analyst SQL sees the catalog, the analog of the
+    reference pointing its MySQL connection at a database (loader.py:54-58).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        sink: Sink,
+        cell_limit: int = DEFAULT_CELL_LIMIT,
+        setup=None,
+    ):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.sink = sink
+        self.cell_limit = cell_limit
+        self.setup = setup
+
+    def run(self) -> PipelineReport:
+        if self.setup is not None:
+            self.setup(self.spark)
+        report = PipelineReport()
+        for qf in discover_sql_files(self.source_dir):
+            report.results.append(self._run_one(qf))
+        return report
+
+    def _run_one(self, qf: QueryFile) -> QueryResult:
+        logger.info("Executing query for file %s", qf.name)
+        try:
+            df = self.spark.sql(qf.sql)
+        except Exception as exc:  # parse/analysis error -> skip file (loader.py:232-234)
+            logger.exception("SQL error in %s", qf.name)
+            return QueryResult(qf.name, "sql_error", error=str(exc))
+        try:
+            rows = cell_count_guard(df, qf.name, self.cell_limit)
+        except CellLimitExceeded as exc:  # loader.py:250-253
+            logger.error("%s over the %d-cell limit, skipping", qf.name, self.cell_limit)
+            return QueryResult(qf.name, "cell_limit", error=str(exc))
+        try:
+            self.sink.write(df, qf.name)
+        except Exception as exc:  # sink error -> skip file (loader.py:184-186)
+            logger.exception("Sink error for %s", qf.name)
+            return QueryResult(qf.name, "sink_error", rows=rows, error=str(exc))
+        logger.info("Finished loading file %s", qf.name)
+        return QueryResult(qf.name, "ok", rows=rows)

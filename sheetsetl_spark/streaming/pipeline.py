@@ -1,0 +1,110 @@
+"""Structured Streaming tier (SURVEY §2-B B50-B55).
+
+The reference's closest notion of streaming is a cron re-run that
+overwrites each sheet in place (/root/reference/README.md:38-43;
+loader.py:168-174). Here that becomes real incremental processing:
+readStream -> event-time windows with watermarks -> foreachBatch upsert
+through the same Sink interface the batch pipeline uses. Every
+transformation has a batch twin in queries/event_windows.py so the DuckDB
+oracle can check the semantics.
+
+Scale notes: file-source streaming with maxFilesPerTrigger handles
+backfill; watermarks bound state; the foreachBatch upsert keeps sink
+idempotency on retries (batch_id is available for exactly-once sinks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sheetsetl_spark.sinks.base import Sink
+
+#: events schema after the catalog's ns->us conversion (FIXTURES.md).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (parquet drops into input_dir)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ —
+    # cast under the engine's pinned UTC session tz so wall-clock values
+    # (and the batch twins' formatted strings) are preserved.
+    return reader.parquet(input_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """B50/B51/B53: tumbling or sliding event-time aggregation with a
+    watermark bounding state. Batch twin: b50_tumbling_window /
+    b51_sliding_window."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """B52: session windows (gap-merged). Batch twin: b52_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "cnt",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """B54: streaming dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+class UpsertForeachBatch:
+    """B55: foreachBatch upsert — each micro-batch create-or-replaces the
+    named output through the same Sink the batch pipeline uses (the
+    streaming analog of the reference's in-place sheet overwrite,
+    loader.py:168-183)."""
+
+    def __init__(self, sink: Sink, name: str):
+        self.sink = sink
+        self.name = name
+        self.batches_seen: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen.append(batch_id)
+        self.sink.write(batch_df, self.name)

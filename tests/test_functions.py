@@ -1,0 +1,79 @@
+"""MySQL-compat layer: expression helpers + SQL text translator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import register_views
+from sheetsetl_spark.functions import (
+    date_format_mysql,
+    group_concat,
+    if_,
+    ifnull,
+    mysql_to_spark_sql,
+    truncate_number,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_group_concat(spark):
+    register_views(spark, SF_SMALL, ("nation",))
+    row = (
+        spark.table("nation")
+        .filter("n_nationkey < 3")
+        .agg(group_concat("n_name", sep="|").alias("g"))
+        .first()
+    )
+    assert row["g"] == "NATION_0|NATION_1|NATION_2"
+
+
+def test_if_ifnull_truncate(spark):
+    df = spark.range(1).select(
+        if_(F.lit(1) > 0, F.lit("y"), F.lit("n")).alias("i"),
+        ifnull(F.lit(None).cast("string"), "d").alias("n"),
+        truncate_number(F.lit(-1.987), 2).alias("t_neg"),
+        truncate_number(F.lit(1.987), 1).alias("t_pos"),
+    )
+    row = df.first()
+    assert row["i"] == "y" and row["n"] == "d"
+    assert row["t_neg"] == -1.98 and row["t_pos"] == 1.9  # toward zero
+
+
+def test_date_format_mysql(spark):
+    register_views(spark, SF_SMALL, ("orders",))
+    row = (
+        spark.table("orders")
+        .select(date_format_mysql(F.to_timestamp(F.lit("1995-03-07 08:09:10")), "%Y-%m-%d %H:%i:%s").alias("f"))
+        .first()
+    )
+    assert row["f"] == "1995-03-07 08:09:10"
+
+
+def test_translator_limit_offset(spark):
+    register_views(spark, SF_SMALL, ("orders",))
+    sql = mysql_to_spark_sql("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10, 5")
+    assert "LIMIT 5 OFFSET 10" in sql
+    keys = [r[0] for r in spark.sql(sql).collect()]
+    want = [r[0] for r in spark.sql(
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey"
+    ).collect()][10:15]
+    assert keys == want
+
+
+def test_translator_date_format_and_group_concat(spark):
+    register_views(spark, SF_SMALL, ("orders", "nation"))
+    sql = mysql_to_spark_sql(
+        "SELECT DATE_FORMAT(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS c "
+        "FROM orders GROUP BY DATE_FORMAT(o_orderdate, '%Y-%m') LIMIT 1"
+    )
+    assert "%Y" not in sql
+    assert spark.sql(sql).count() == 1
+
+    sql2 = mysql_to_spark_sql(
+        "SELECT GROUP_CONCAT(n_name SEPARATOR '|') AS g FROM nation WHERE n_nationkey < 2"
+    )
+    assert spark.sql(sql2).first()["g"] == "NATION_0|NATION_1"
+
+    # passthrough: valid Spark SQL is untouched
+    s = "SELECT 1 AS x"
+    assert mysql_to_spark_sql(s) == s

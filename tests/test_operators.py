@@ -1,0 +1,70 @@
+"""Extension-operator library tests beyond the oracle harness: multimodal
+plumbing, simhash shape, LSH determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image" if i % 2 == 0 else "audio", bytes([i % 251] * (100 + i)), (64, 64, None, None))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_extract_features(media):
+    feats = multimodal.extract_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 20
+    assert rows[0]["n_bytes"] == 100
+    assert len(rows[0]["feature"]) == 8
+    # deterministic: same payload -> same features across runs
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[i] == rows[i]["feature"] for i in rows)
+
+
+def test_multimodal_strict_decoder_raises(media):
+    feats = multimodal.extract_features(media, decode_fn=multimodal.strict_decoder)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        feats.collect()
+
+
+def test_media_summary(media):
+    summary = multimodal.media_summary(multimodal.extract_features(media))
+    rows = {r["kind"]: r for r in summary.collect()}
+    assert rows["image"]["n_items"] == 10 and rows["audio"]["n_items"] == 10
+
+
+def test_simhash_near_dup_property(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    fps = dedup.simhash64(docs)
+    assert fps.count() == docs.count()
+    # identical text -> identical simhash
+    dup = docs.limit(1).union(docs.limit(1))
+    vals = [r["simhash"] for r in dedup.simhash64(dup.withColumn("doc_id", F.monotonically_increasing_id())).collect()]
+    assert len(set(vals)) == 1
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = similarity.cosine_topk(emb, q, k=10)
+    approx = similarity.cosine_topk_lsh(emb, q, k=10)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    # LSH returns fewer-or-equal neighbors; any (q,n) it returns with a
+    # top-k-worthy sim must exist in the exact top-k superset by sim
+    assert 0 < len(approx_rows) <= len(exact_pairs) * 4
+    sims_exact = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    for r in approx_rows:
+        if (r["query_id"], r["neighbor_id"]) in sims_exact:
+            assert abs(sims_exact[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9

@@ -1,0 +1,135 @@
+"""Pipeline shell tests: control-flow parity with the reference
+(/root/reference/src/loader.py:223-255) — discovery filter, per-file
+error isolation, cell guard, upsert-by-name semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from sheetsetl_spark.catalog import register_views
+from sheetsetl_spark.pipeline import SqlFolderPipeline, discover_sql_files
+from sheetsetl_spark.sinks import (
+    CellLimitExceeded,
+    CsvDirSink,
+    GoogleSheetsSink,
+    ParquetDirSink,
+    TempViewSink,
+    cell_count_guard,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture
+def sql_dir(tmp_path):
+    d = tmp_path / "sql"
+    d.mkdir()
+    (d / "top_nations.sql").write_text(
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 5"
+    )
+    (d / "broken.sql").write_text("SELEKT nope FROM nowhere")
+    (d / "big.sql").write_text("SELECT * FROM lineitem")  # 6k rows * 11 cols at sf0.001
+    (d / "notes.txt").write_text("not a query")
+    return d
+
+
+def test_discovery_filters_extensions(sql_dir):
+    names = [q.name for q in discover_sql_files(str(sql_dir))]
+    assert names == ["big", "broken", "top_nations"]  # .txt excluded (loader.py:200)
+
+
+def test_pipeline_isolation_guard_and_upsert(spark, sql_dir, tmp_path):
+    sink = ParquetDirSink(str(tmp_path / "out"))
+    pipe = SqlFolderPipeline(
+        spark,
+        str(sql_dir),
+        sink,
+        cell_limit=10_000,  # force 'big' (6k rows * 11 cols) over the limit
+        setup=lambda s: register_views(s, SF_SMALL),
+    )
+    report = pipe.run()
+    by_name = {r.name: r for r in report.results}
+    assert by_name["top_nations"].status == "ok" and by_name["top_nations"].rows == 5
+    assert by_name["broken"].status == "sql_error"  # loader.py:232-234 isolation
+    assert by_name["big"].status == "cell_limit"  # loader.py:250-253 guard
+
+    # upsert = create-or-replace by name: re-run must not duplicate/fail
+    report2 = pipe.run()
+    assert {r.name: r.status for r in report2.results} == {
+        "top_nations": "ok",
+        "broken": "sql_error",
+        "big": "cell_limit",
+    }
+    out = spark.read.parquet(str(tmp_path / "out" / "top_nations"))
+    assert out.count() == 5
+
+
+def test_csv_sink_header_roundtrip(spark, tmp_path):
+    register_views(spark, SF_SMALL, ("region",))
+    df = spark.sql("SELECT r_regionkey, r_name FROM region")
+    CsvDirSink(str(tmp_path), coalesce=1).write(df, "regions")
+    back = spark.read.option("header", True).csv(str(tmp_path / "regions"))
+    assert back.columns == ["r_regionkey", "r_name"]  # header row (loader.py:240)
+    assert back.count() == 5
+
+
+def test_temp_view_sink(spark):
+    register_views(spark, SF_SMALL, ("region",))
+    TempViewSink().write(spark.table("region"), "region_out")
+    assert spark.table("region_out").count() == 5
+
+
+def test_cell_guard_counts_header(spark):
+    register_views(spark, SF_SMALL, ("region",))
+    df = spark.table("region")  # 5 rows x 2 cols -> (5+1)*2 = 12 cells
+    assert cell_count_guard(df, "region", limit=13) == 5
+    with pytest.raises(CellLimitExceeded):
+        cell_count_guard(df, "region", limit=12)  # >= limit rejects (loader.py:250)
+
+
+class FakeDrive:
+    """In-memory DriveClient reproducing list/create/update."""
+
+    def __init__(self):
+        self.files: dict[str, dict] = {}
+        self.payloads: dict[str, bytes] = {}
+        self.counter = 0
+
+    def list_files(self, folder_id):
+        return [f for f in self.files.values() if folder_id in f.get("parents", [])]
+
+    def create_file(self, metadata, csv_bytes):
+        self.counter += 1
+        fid = f"id{self.counter}"
+        self.files[fid] = {**metadata, "id": fid}
+        self.payloads[fid] = csv_bytes
+        return fid
+
+    def update_file(self, file_id, metadata, csv_bytes):
+        assert "parents" not in metadata  # loader.py:170: update strips parents
+        self.files[file_id].update(metadata)
+        self.payloads[file_id] = csv_bytes
+        return file_id
+
+
+def test_sheets_sink_upsert_semantics(spark):
+    register_views(spark, SF_SMALL, ("region",))
+    df = spark.table("region")
+    drive = FakeDrive()
+    sink = GoogleSheetsSink("folder1", client=drive)
+    sink.write(df, "regions")
+    assert len(drive.files) == 1
+    fid = next(iter(drive.files))
+    assert drive.payloads[fid].decode().splitlines()[0] == "r_regionkey,r_name"
+
+    sink.write(df.limit(3), "regions")  # same name -> update, not create
+    assert len(drive.files) == 1
+    assert len(drive.payloads[fid].decode().splitlines()) == 4  # header + 3
+
+    sink.write(df, "other")  # new name -> create
+    assert len(drive.files) == 2
+
+
+def test_sheets_sink_requires_client(spark):
+    register_views(spark, SF_SMALL, ("region",))
+    with pytest.raises(NotImplementedError):
+        GoogleSheetsSink("folder1").write(spark.table("region"), "x")

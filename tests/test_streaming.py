@@ -1,0 +1,102 @@
+"""Structured Streaming tier: the streaming forms must agree with their
+batch twins (the oracle-checked queries), and the foreachBatch upsert must
+behave like the reference's in-place refresh."""
+
+from __future__ import annotations
+
+import pytest
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.queries import QUERIES
+from sheetsetl_spark.sinks import ParquetDirSink
+from sheetsetl_spark.streaming import (
+    UpsertForeachBatch,
+    dedup_stream,
+    read_event_stream,
+    sessionized_counts,
+    windowed_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def event_input(spark, tmp_path_factory):
+    """Stage the events fixture as streaming input files (two chunks)."""
+    d = tmp_path_factory.mktemp("stream_in")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(d / "chunk_a"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(d / "chunk_b"))
+    # flatten: move part files into the input root so the file source sees them
+    import glob
+    import shutil
+
+    root = tmp_path_factory.mktemp("stream_root")
+    for i, part in enumerate(sorted(glob.glob(str(d / "chunk_*" / "*.parquet")))):
+        shutil.copy(part, root / f"batch_{i}.parquet")
+    return str(root)
+
+
+def _run_stream(spark, out_df, tmp_path, mode: str, sink_fn=None):
+    q = out_df.writeStream.outputMode(mode).option(
+        "checkpointLocation", str(tmp_path / "chk")
+    )
+    if sink_fn is not None:
+        q = q.foreachBatch(sink_fn)
+        handle = q.trigger(availableNow=True).start()
+    else:
+        handle = (
+            q.format("memory").queryName("stream_out").trigger(availableNow=True).start()
+        )
+    handle.awaitTermination(120)
+    return handle
+
+
+def test_windowed_counts_match_batch_twin(spark, event_input, tmp_path):
+    stream = read_event_stream(spark, event_input)
+    _run_stream(spark, windowed_counts(stream), tmp_path, "complete")
+    got = {tuple(r) for r in spark.table("stream_out").collect()}
+    want = {tuple(r) for r in QUERIES["b50_tumbling_window"](spark, SF_SMALL).collect()}
+    assert got == want
+
+
+def test_session_windows_match_batch_twin(spark, event_input, tmp_path):
+    stream = read_event_stream(spark, event_input)
+    _run_stream(spark, sessionized_counts(stream), tmp_path, "complete")
+    got = {tuple(r) for r in spark.table("stream_out").collect()}
+    batch = QUERIES["b52_session_window"](spark, SF_SMALL).select(
+        "user_id", "session_start", "cnt"
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup(spark, event_input, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events")
+    stream = dedup_stream(read_event_stream(spark, event_input))
+    _run_stream(spark, stream.select("event_id"), tmp_path, "append")
+    assert spark.table("stream_out").count() == ev.select("event_id").distinct().count()
+
+
+def test_foreach_batch_upsert(spark, event_input, tmp_path):
+    sink = ParquetDirSink(str(tmp_path / "out"))
+    upsert = UpsertForeachBatch(sink, "event_totals")
+    stream = read_event_stream(spark, event_input, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg({"value": "count"})
+        .withColumnRenamed("count(value)", "cnt")
+    )
+    handle = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination(120)
+    assert len(upsert.batches_seen) >= 2  # one micro-batch per file
+    out = spark.read.parquet(str(tmp_path / "out" / "event_totals"))
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {(r[0], r[1]) for r in ev.groupBy("event_type").count().collect()}
+    assert {(r["event_type"], r["cnt"]) for r in out.collect()} == want
