@@ -1,0 +1,173 @@
+"""B-series tier 5: derived tables/views (B2/B3) and the UDF surface
+(B56-B58) — plus the approximate-aggregate extension.
+
+UDF doctrine at 100 TB (SURVEY §2 B56): built-ins first; when Python is
+unavoidable, Arrow-batched pandas_udf / applyInPandas, never row-at-a-time
+F.udf. The UDF queries here intentionally compute SQL-expressible results
+so the DuckDB oracle can verify the UDF machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sheetsetl_spark.catalog import load_table, register_views
+from sheetsetl_spark.queries import query
+
+_SIX = Decimal("0.000001")
+
+
+@query(
+    "b02_derived_table",
+    oracle="""
+    SELECT x.bucket, COUNT(*) AS cnt,
+           CAST(SUM(CAST(x.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (SELECT o_totalprice,
+                 CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END AS bucket
+          FROM orders WHERE o_orderstatus <> 'P') x
+    GROUP BY x.bucket
+    """,
+)
+def b02_derived_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: inline view / derived table in FROM."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT x.bucket, COUNT(*) AS cnt,
+               CAST(SUM(CAST(x.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM (SELECT o_totalprice,
+                     CASE WHEN o_totalprice > 200000 THEN 'hi' ELSE 'lo' END AS bucket
+              FROM orders WHERE o_orderstatus <> 'P') x
+        GROUP BY x.bucket
+        """
+    )
+
+
+@query(
+    "b03_view",
+    oracle="""
+    WITH cust_orders AS (
+      SELECT c.c_nationkey, o.o_totalprice
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_nationkey, COUNT(*) AS cnt
+    FROM cust_orders WHERE o_totalprice > 100000
+    GROUP BY c_nationkey
+    """,
+)
+def b03_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: named view over a query (CREATE TEMP VIEW -> queried like a
+    table; the replica-VIEW analog the reference's analysts rely on)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW cust_orders AS
+        SELECT c.c_nationkey, o.o_totalprice
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey, COUNT(*) AS cnt
+        FROM cust_orders WHERE o_totalprice > 100000
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@query(
+    "b56_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    WHERE l_orderkey % 40 = 0
+    """,
+)
+def b56_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: vectorized scalar pandas_udf (Arrow batches, columnar math in
+    numpy — the sanctioned Python escape hatch)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return (price * (1 - disc) * (1 + tax)).round(6)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 40 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@query(
+    "b57_grouped_agg_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty_total,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def b57_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: custom grouped aggregation via applyInPandas. The UDAF mirrors
+    the engine's exact-decimal accumulation so its result is
+    order-independent and oracle-checkable."""
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = sum(
+            Decimal(str(v)).quantize(_SIX, rounding=ROUND_HALF_UP)
+            for v in pdf["l_quantity"]
+        )
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "qty_total": [float(total)],
+                "cnt": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        agg_group, schema="l_returnflag string, qty_total double, cnt bigint"
+    )
+
+
+@query(
+    "b58_explode_lateral",
+    oracle="""
+    SELECT t.term, COUNT(*) AS occurrences
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents WHERE lang = 'en') t
+    GROUP BY t.term
+    HAVING COUNT(*) > 100
+    """,
+)
+def b58_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58: table-generating function (explode / LATERAL VIEW)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("occurrences"))
+        .filter(F.col("occurrences") > 100)
+    )
+
+
+@query("x1_approx_count_distinct")
+def x1_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: HyperLogLog approximate distinct — the 100 TB answer to
+    B22 when exactness isn't required (one pass, fixed memory, no expand).
+    Deterministic for fixed input but not SQL-exact -> rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
