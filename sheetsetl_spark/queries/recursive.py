@@ -1,0 +1,79 @@
+"""B42 (recursive CTE) + percentile extension queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.functions.iterative import iterate_fixed_point
+from sheetsetl_spark.queries import query
+
+
+@query(
+    "b42b_recursive_closure",
+    oracle="""
+    WITH RECURSIVE reach AS (
+      SELECT 0 AS node, 0 AS depth
+      UNION
+      SELECT (2 * r.node + 1) % 25 AS node, r.depth + 1 AS depth
+      FROM reach r WHERE r.depth < 30
+    )
+    SELECT node, CAST(MIN(depth) AS INTEGER) AS depth
+    FROM reach GROUP BY node
+    """,
+)
+def b42b_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: WITH RECURSIVE equivalent — BFS reachability (min depth) over
+    a functional graph derived from nation keys, via the engine's
+    driver-side fixpoint loop (Spark has no recursive CTE; SURVEY §7 #5).
+    The DuckDB oracle runs the genuine WITH RECURSIVE."""
+    n = load_table(spark, sf_dir, "nation")
+    edges = n.select(
+        F.col("n_nationkey").cast("int").alias("src"),
+        ((F.col("n_nationkey") * 2 + 1) % 25).cast("int").alias("dst"),
+    )
+    seed = spark.range(1).select(F.lit(0).alias("node"), F.lit(0).alias("depth"))
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
+        )
+
+    reach = iterate_fixed_point(seed, step, dedup_cols=["node"], max_iterations=30)
+    # BFS visits each node first at its minimum depth; group for parity
+    # with the oracle's MIN(depth) formulation.
+    return reach.groupBy("node").agg(F.min("depth").cast("int").alias("depth"))
+
+
+@query(
+    "x3_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.95), 6) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def x3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact interpolated percentiles (both engines use the
+    same linear-interpolation definition over the sorted values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@query("x4_approx_percentiles")
+def x4_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: sketch-based percentiles for the 100 TB path (one pass,
+    bounded memory vs a full sort). Deterministic but not SQL-exact ->
+    rows-only check alongside the exact twin above."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )

@@ -10,6 +10,7 @@ mirrors the reference's A11 auth bootstrap being environment-specific).
 """
 
 from sheetsetl_spark.sinks.base import CellLimitExceeded, Sink, cell_count_guard
+from sheetsetl_spark.sinks.bucketed import BucketedTableSink
 from sheetsetl_spark.sinks.local import CsvDirSink, ParquetDirSink, TempViewSink
 from sheetsetl_spark.sinks.sheets import GoogleSheetsSink
 
@@ -20,5 +21,6 @@ __all__ = [
     "CsvDirSink",
     "ParquetDirSink",
     "TempViewSink",
+    "BucketedTableSink",
     "GoogleSheetsSink",
 ]

@@ -32,13 +32,21 @@ class CsvDirSink:
 
 
 class ParquetDirSink:
-    """Parquet-per-name sink — the engine-native interchange format."""
+    """Parquet-per-name sink — the engine-native interchange format.
 
-    def __init__(self, root: str):
+    ``partition_by`` enables hive-style directory partitioning so
+    downstream readers get partition pruning (the 100 TB layout: partition
+    on the dominant filter column, e.g. date)."""
+
+    def __init__(self, root: str, partition_by: list[str] | None = None):
         self.root = root
+        self.partition_by = partition_by
 
     def write(self, df: DataFrame, name: str) -> None:
-        df.write.mode("overwrite").parquet(os.path.join(self.root, name))
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(os.path.join(self.root, name))
 
 
 class TempViewSink:
