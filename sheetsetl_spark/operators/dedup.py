@@ -166,6 +166,85 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.98,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C2: embedding-cosine near-duplicate pairs via hyperplane-LSH
+    blocking + exact cosine verification.
+
+    Candidate generation: each vector gets a ``num_planes``-bit signature
+    (sign of dot with deterministic ±1 hyperplanes), split into ``bands``
+    bands; vectors agreeing on any full band collide. Banding is the
+    OR-construction that keeps recall ≈ 1 for sims near the threshold
+    while the candidate join stays an equi-join on (band_idx, band_val) —
+    the only pattern that survives a billion-vector corpus (never a cross
+    join). Verification computes exact cosine only for candidates.
+
+    Output: (vec_a, vec_b, sim) with vec_a < vec_b and sim >= threshold.
+    """
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    rows_per_band = num_planes // bands
+    planes = hyperplanes(num_planes, dim)
+    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+
+    vec = F.col(vec_col).cast("array<double>")
+    bits = F.concat_ws(
+        "",
+        F.transform(
+            plane_lits,
+            lambda row: F.when(
+                F.aggregate(
+                    F.zip_with(row, vec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    sig = vectors.select(F.col(id_col).alias("vec_id"), vec.alias("v"), bits.alias("bits"))
+    band_arr = F.array(
+        *[F.substring("bits", b * rows_per_band + 1, rows_per_band) for b in range(bands)]
+    )
+    stacked = sig.select(
+        "vec_id", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    left = stacked.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+    right = stacked.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
+    pairs = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+
+    def dot(a: str, b: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sim = dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """C2: 64-bit SimHash per document over unigram tokens.
 

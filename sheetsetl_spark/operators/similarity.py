@@ -59,18 +59,86 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random ±1 hyperplanes (seeded, platform-free)."""
+def hyperplanes(num_planes: int, dim: int, tag: str = "sheetsetl") -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes (seeded, platform-free).
+
+    Driver-side literals shared by the Spark plan AND the DuckDB oracle SQL
+    (inlined), so LSH bucketing is bit-identical across both engines."""
     import hashlib
 
     planes = []
     for p in range(num_planes):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"sheetsetl:{p}:{d}".encode()).digest()
+            h = hashlib.md5(f"{tag}:{p}:{d}".encode()).digest()
             row.append(1.0 if h[0] % 2 == 0 else -1.0)
         planes.append(row)
     return planes
+
+
+_hyperplanes = hyperplanes
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C3 scale path #2: IVF (inverted-file) ANN — coarse-quantize the
+    corpus into ``num_centroids`` lists, probe the ``nprobe`` nearest lists
+    per query, exact cosine only within probed lists.
+
+    Centroids are a deterministic subset (``vec_id < num_centroids``) so
+    the whole operator is reproducible and DuckDB-oracle-checkable — unlike
+    k-means seeding, which would force a weaker rows-only check. At 100 TB
+    the assignment pass is one broadcast(M)×corpus map (no shuffle); the
+    probe join touches only nprobe/M of the corpus, and the inverted lists
+    can be persisted bucketed-by-centroid so repeated query batches skip
+    the assignment scan entirely.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    csim = _dot("v", "cv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("cv", "cv")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cent_id", csim.alias("csim"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qsim = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "cent_id", qsim.alias("qsim"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    sim = _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v")))
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("sim", 6).alias("sim"))
+    )
 
 
 def cosine_topk_lsh(

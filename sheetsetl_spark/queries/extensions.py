@@ -100,6 +100,137 @@ def c2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD, num_hashes=32, bands=8, n=3)
 
 
+def _neardup_pert(dim: int = 64, scale: float = 0.01) -> list[float]:
+    """Deterministic ±scale perturbation literal — shared by the Spark
+    plan and the DuckDB oracle so the planted near-dups are identical."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    return [scale * s for s in hyperplanes(1, dim, tag="sheetsetl-pert")[0]]
+
+
+def _embedding_neardup_oracle(
+    threshold: float, num_planes: int = 16, bands: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of ``dedup.embedding_neardup_pairs`` over the planted
+    corpus: same inlined hyperplanes, same banding, same exact-cosine
+    verification — the approximate stage is deterministic, so the whole
+    ANN-blocked pipeline is hash-checkable, not just rows-only."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    rows_per_band = num_planes // bands
+    pert = ", ".join(repr(v) for v in _neardup_pert(dim))
+    bit_exprs = ",\n      ".join(
+        "CASE WHEN LIST_DOT_PRODUCT(["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[], v) > 0 THEN '1' ELSE '0' END"
+        for row in hyperplanes(num_planes, dim)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, {dim}),
+                            i -> (embedding::DOUBLE[])[i] + ([{pert}]::DOUBLE[])[i])
+      FROM embeddings WHERE vec_id < 20
+    ),
+    sig AS (
+      SELECT vec_id, v, CONCAT({bit_exprs}) AS bits FROM corpus
+    ),
+    stacked AS (
+      SELECT vec_id, band_idx,
+             SUBSTRING(bits, band_idx * {rows_per_band} + 1, {rows_per_band}) AS band_val
+      FROM sig, (SELECT UNNEST(generate_series(0, {bands - 1})) AS band_idx)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM stacked a
+      JOIN stacked b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             LIST_DOT_PRODUCT(ea.v, eb.v)
+               / (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v)) * SQRT(LIST_DOT_PRODUCT(eb.v, eb.v))) AS sim
+      FROM pairs
+      JOIN corpus ea ON vec_a = ea.vec_id
+      JOIN corpus eb ON vec_b = eb.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {threshold}
+    """
+
+
+@query("c2e_embedding_neardup", oracle=_embedding_neardup_oracle(threshold=0.98))
+def c2e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: embedding-cosine near-dup — hyperplane-LSH blocking + exact
+    cosine verify. The fixture embeddings are near-orthogonal (max natural
+    pairwise sim ≈ 0.5), so the query plants deterministic perturbed
+    copies of vec_id < 20 (ids +1e6, sim ≈ 0.997 to their source) and the
+    operator must recover exactly those pairs via the band join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert_lit = F.array(*[F.lit(v) for v in _neardup_pert()])
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    return dedup.embedding_neardup_pairs(corpus, threshold=0.98)
+
+
+@query(
+    "c3c_topk_cosine_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM e, cent) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM e, cent WHERE e.vec_id < 8) t
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(qv, a.v)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v))) AS sim
+      FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+      WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE nn_rank <= 10
+    """,
+)
+def c3c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 scale path #2: IVF ANN — deterministic coarse quantizer
+    (centroids = vec_id < 16), nprobe=4 probed lists per query, exact
+    cosine within probed lists only. Deterministic end-to-end, so the
+    FULL approximate pipeline is hash-checked against DuckDB (the LSH
+    variant c3b remains the rows-only twin)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_ivf(emb, queries_df, k=10, num_centroids=16, nprobe=4)
+
+
 @query("c2c_simhash")
 def c2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: 64-bit SimHash fingerprints (rows-only check: xxhash64 bits are

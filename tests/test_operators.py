@@ -68,3 +68,36 @@ def test_lsh_topk_subset_of_exact(spark):
     for r in approx_rows:
         if (r["query_id"], r["neighbor_id"]) in sims_exact:
             assert abs(sims_exact[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
+
+
+def test_embedding_neardup_recovers_planted_pairs(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # plant exact copies of the first 10 vectors (cosine == 1.0)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    pairs = dedup.embedding_neardup_pairs(emb.union(planted), threshold=0.99)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    # identical vectors share every LSH band -> recall is exactly 1 here
+    assert got == {(i, i + 1000000) for i in range(10)}
+
+
+def test_embedding_neardup_no_false_positives(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # natural max pairwise sim in the fixture is ~0.5 -> empty at 0.9
+    assert dedup.embedding_neardup_pairs(emb, threshold=0.9).count() == 0
+
+
+def test_ivf_sims_agree_with_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = similarity.cosine_topk(emb, q, k=10)
+    ivf = similarity.cosine_topk_ivf(emb, q, k=10)
+    sims_exact = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    ivf_rows = ivf.collect()
+    assert len(ivf_rows) == 4 * 10  # nprobe lists always hold >= k candidates here
+    for r in ivf_rows:
+        if (r["query_id"], r["neighbor_id"]) in sims_exact:
+            assert abs(sims_exact[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
