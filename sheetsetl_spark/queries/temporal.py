@@ -1,0 +1,72 @@
+"""X-series temporal joins: as-of join over the events stream.
+
+The reference's MySQL analysts write these as correlated "latest row
+before" subqueries (delegated via /root/reference/src/loader.py:231); we
+provide a first-class operator (operators/asof.py) whose plan is a single
+keyed sort — and check it against DuckDB's native ASOF JOIN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators.asof import asof_join
+from sheetsetl_spark.queries import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@query(
+    "x5_asof_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+    clicks AS (
+      SELECT user_id, ts, click_id FROM (
+        SELECT user_id, ts, event_id AS click_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM ev WHERE event_type = 'click') t
+      WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.click_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           ROUND(EPOCH(p.ts - c.ts), 6) AS gap_s
+    FROM purchases p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def x5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: as-of join — each purchase matched to the user's latest click
+    at-or-before it (ties on timestamp broken by max event_id, mirroring
+    the oracle's pre-dedup). One shuffle on user_id, no range join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        direction="backward",
+        how="inner",
+        right_order=F.col("click_id"),
+        right_prefix="click_",
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, click_ts, ts)") / F.lit(1_000_000.0)
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.round(gap, 6).alias("gap_s"),
+    )

@@ -101,3 +101,63 @@ def test_ivf_sims_agree_with_exact(spark):
     for r in ivf_rows:
         if (r["query_id"], r["neighbor_id"]) in sims_exact:
             assert abs(sims_exact[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 0, 0), "L1"),
+         (1, dt(2024, 1, 1, 12, 0, 0), "L2"),
+         (2, dt(2024, 1, 1, 9, 0, 0), "L3")],
+        "k int, ts timestamp_ntz, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 9, 30, 0), 100),
+         (1, dt(2024, 1, 1, 10, 0, 0), 200),   # ties left L1 exactly
+         (1, dt(2024, 1, 1, 11, 59, 0), 300),
+         (2, dt(2024, 1, 1, 9, 30, 0), 400)],  # after L3
+        "k int, ts timestamp_ntz, rv int",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark, asof_frames):
+    from sheetsetl_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    got = {r["lv"]: r["rv"] for r in asof_join(left, right, on=["k"]).collect()}
+    # L1 matches the equal-timestamp right row (inclusive); L3 has no prior row
+    assert got == {"L1": 200, "L2": 300}
+
+
+def test_asof_forward_and_left(spark, asof_frames):
+    from sheetsetl_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    rows = asof_join(left, right, on=["k"], direction="forward", how="left").collect()
+    got = {r["lv"]: r["rv"] for r in rows}
+    # forward: earliest right at-or-after; L2 (12:00) has none -> null kept by how='left'
+    assert got == {"L1": 200, "L2": None, "L3": 400}
+
+
+def test_asof_tolerance(spark, asof_frames):
+    from sheetsetl_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    got = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, on=["k"], tolerance_s=60.0).collect()
+    }
+    # only L2 (11:59 click, 60s gap) and L1 (exact tie, 0s) are within 60s
+    assert got == {"L1": 200, "L2": 300}
+
+
+def test_asof_single_shuffle_plan(spark, asof_frames):
+    from sheetsetl_spark.operators.asof import asof_join
+
+    left, right = asof_frames
+    plan = asof_join(left, right, on=["k"])._jdf.queryExecution().executedPlan().toString()
+    # sort-based as-of: exactly one Exchange (the window's key partitioning)
+    assert plan.count("Exchange") == 1
