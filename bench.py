@@ -35,8 +35,11 @@ HEADLINE = [
     "b52_session_window",  # session windows
     "c1_dedup_latest",  # keyed dedup
     "c2b_minhash_lsh",  # MinHash+LSH near-dup pipeline
+    "c2e_embedding_neardup",  # embedding-cosine near-dup (LSH-blocked)
     "c3_topk_cosine",  # brute-force vector top-k
+    "c3c_topk_cosine_ivf",  # IVF ANN (probed inverted lists)
     "c4e_tfidf_top_terms",  # tf-idf
+    "x5_asof_join",  # sort-based as-of join
 ]
 
 

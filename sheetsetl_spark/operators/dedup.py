@@ -169,7 +169,7 @@ def minhash_lsh_pairs(
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.98,
-    num_planes: int = 16,
+    num_planes: int = 32,
     bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -182,7 +182,9 @@ def embedding_neardup_pairs(
     (sign of dot with deterministic ±1 hyperplanes), split into ``bands``
     bands; vectors agreeing on any full band collide. Banding is the
     OR-construction that keeps recall ≈ 1 for sims near the threshold
-    while the candidate join stays an equi-join on (band_idx, band_val) —
+    (defaults: 4 bands × 8 planes — 256 values/band keeps buckets, and
+    therefore candidate pairs, small) while the candidate join stays an
+    equi-join on (band_idx, band_val) —
     the only pattern that survives a billion-vector corpus (never a cross
     join). Verification computes exact cosine only for candidates.
 
@@ -237,8 +239,8 @@ def embedding_neardup_pairs(
 
     sim = dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
     return (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        pairs.join(F.broadcast(ea), "vec_a")
+        .join(F.broadcast(eb), "vec_b")
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))

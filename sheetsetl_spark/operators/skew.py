@@ -1,0 +1,42 @@
+"""Skew-mitigation join (100 TB posture).
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime, but only for sort-merge joins after stats are known. This
+operator is the explicit fallback for planned skew — a known-hot key
+(e.g. a null-heavy foreign key, a celebrity user_id) whose rows would
+otherwise land in one reducer partition.
+
+Pattern: scatter the probe (large/skewed) side across ``salt`` sub-keys,
+replicate the build side ``salt`` times, join on (key, salt). The hot
+key's rows now occupy ``salt`` partitions instead of one; the cost is a
+``salt``× blow-up of the (small) build side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the left (probe/skewed) side salted and the right
+    (build) side replicated ``salt`` times. Semantically identical to
+    ``left.join(right, on, how)`` for how in inner/left; the salt column
+    never escapes. Seeded rand keeps runs reproducible."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    if salt < 2:
+        raise ValueError("salt must be >= 2")
+    l_salted = left.withColumn(_SALT, F.floor(F.rand(seed=42) * salt).cast("int"))
+    r_replicated = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_replicated, [*on, _SALT], how).drop(_SALT)

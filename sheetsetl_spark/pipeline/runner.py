@@ -81,6 +81,14 @@ class SqlFolderPipeline:
     ``setup`` (optional) runs once before the loop — typically
     ``register_views`` so analyst SQL sees the catalog, the analog of the
     reference pointing its MySQL connection at a database (loader.py:54-58).
+
+    ``max_concurrency`` > 1 runs query files concurrently from a thread
+    pool — Spark schedules concurrent jobs from one session across free
+    cores, so small queries no longer serialize behind big ones (the
+    reference is strictly serial, loader.py:227; its httplib2 workaround
+    at :208-220 even documents why it couldn't thread). Results keep
+    discovery order. Requires a thread-safe sink (the bundled local sinks
+    write disjoint per-name paths, so they are).
     """
 
     def __init__(
@@ -90,19 +98,28 @@ class SqlFolderPipeline:
         sink: Sink,
         cell_limit: int = DEFAULT_CELL_LIMIT,
         setup=None,
+        max_concurrency: int = 1,
     ):
         self.spark = spark
         self.source_dir = source_dir
         self.sink = sink
         self.cell_limit = cell_limit
         self.setup = setup
+        self.max_concurrency = max_concurrency
 
     def run(self) -> PipelineReport:
         if self.setup is not None:
             self.setup(self.spark)
+        files = discover_sql_files(self.source_dir)
         report = PipelineReport()
-        for qf in discover_sql_files(self.source_dir):
-            report.results.append(self._run_one(qf))
+        if self.max_concurrency <= 1:
+            for qf in files:
+                report.results.append(self._run_one(qf))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                report.results = list(pool.map(self._run_one, files))
         return report
 
     def _run_one(self, qf: QueryFile) -> QueryResult:

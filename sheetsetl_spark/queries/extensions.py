@@ -109,7 +109,7 @@ def _neardup_pert(dim: int = 64, scale: float = 0.01) -> list[float]:
 
 
 def _embedding_neardup_oracle(
-    threshold: float, num_planes: int = 16, bands: int = 4, dim: int = 64
+    threshold: float, num_planes: int = 32, bands: int = 4, dim: int = 64
 ) -> str:
     """DuckDB twin of ``dedup.embedding_neardup_pairs`` over the planted
     corpus: same inlined hyperplanes, same banding, same exact-cosine

@@ -161,3 +161,34 @@ def test_asof_single_shuffle_plan(spark, asof_frames):
     plan = asof_join(left, right, on=["k"])._jdf.queryExecution().executedPlan().toString()
     # sort-based as-of: exactly one Exchange (the window's key partitioning)
     assert plan.count("Exchange") == 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sheetsetl_spark.operators.skew import salted_join
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"), on=["o_custkey"]
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_partitions_on_salt(spark):
+    from sheetsetl_spark.operators.skew import salted_join
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    customer = load_table(spark, SF_SMALL, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plan = (
+        salted_join(orders, customer, on=["o_custkey"], salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the shuffle key must include the salt so a hot key spreads over 8 partitions
+    assert "__salt" in plan

@@ -133,3 +133,23 @@ def test_sheets_sink_requires_client(spark):
     register_views(spark, SF_SMALL, ("region",))
     with pytest.raises(NotImplementedError):
         GoogleSheetsSink("folder1").write(spark.table("region"), "x")
+
+
+def test_pipeline_concurrent_matches_serial(spark, sql_dir, tmp_path):
+    sink = ParquetDirSink(str(tmp_path / "out_conc"))
+    pipe = SqlFolderPipeline(
+        spark,
+        str(sql_dir),
+        sink,
+        cell_limit=10_000,
+        setup=lambda s: register_views(s, SF_SMALL),
+        max_concurrency=4,
+    )
+    report = pipe.run()
+    # same outcomes as the serial run, discovery order preserved
+    assert [(r.name, r.status) for r in report.results] == [
+        ("big", "cell_limit"),
+        ("broken", "sql_error"),
+        ("top_nations", "ok"),
+    ]
+    assert spark.read.parquet(str(tmp_path / "out_conc" / "top_nations")).count() == 5
