@@ -104,6 +104,121 @@ def extract_features(
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def deterministic_fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in for image resize: deterministic byte resampling to
+    width*height bytes (repeat/truncate) so batch shape and payload flow
+    are testable without codec libs."""
+    if payload is None:
+        return b""
+    target = max(1, width * height)
+    reps = (target // max(1, len(payload))) + 1
+    return (payload * reps)[:target]
+
+
+def strict_resizer(payload: bytes, width: int, height: int) -> bytes:
+    raise NotImplementedError(
+        "image resize requires imaging libraries not present in this "
+        "environment; inject a resize_fn (see deterministic_fake_resizer)"
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] = deterministic_fake_resizer,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """Resize the image payloads via mapInPandas (Arrow batches).
+
+    Non-image rows pass through untouched. Batches are kept small
+    (``target_rows_per_batch``) because both input and output carry
+    payload bytes — the one multimodal stage where width stays wide."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        resize_fn(p, width, height) if k == "image" else p
+                        for p, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def deterministic_fake_frame_extractor(payload: bytes, n_frames: int) -> list[bytes]:
+    """Stand-in for video frame decoding: split the byte stream into
+    n_frames equal slices."""
+    if payload is None or not n_frames:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 10,
+    extract_fn: Callable[[bytes, int], list[bytes]] = deterministic_fake_frame_extractor,
+    target_rows_per_batch: int = 256,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame from video payloads (C5
+    frame-sample tier). One input row fans out to ceil(n_frames/every_n)
+    narrow frame rows — the flatMap shape ``mapInPandas`` models
+    naturally. Non-video rows produce no output."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                n_frames = (meta or {}).get("n_frames") or 0
+                for i, frame in enumerate(extract_fn(payload, n_frames)):
+                    if i % every_n == 0:
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(frame)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
 def media_summary(features: DataFrame) -> DataFrame:
     """Typed-metadata rollup over extracted features (pure built-ins)."""
     return features.groupBy("kind").agg(

@@ -192,3 +192,28 @@ def test_salted_join_partitions_on_salt(spark):
     )
     # the shuffle key must include the salt so a hot key spreads over 8 partitions
     assert "__salt" in plan
+
+
+def test_multimodal_resize(media):
+    resized = multimodal.resize_images(media, width=8, height=8)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 20
+    for i, r in rows.items():
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 64 and r["width"] == 8
+        else:  # non-image passes through untouched
+            assert len(r["payload"]) == 100 + i
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [
+        (1, "video", bytes(range(200)), (None, None, None, 20)),
+        (2, "image", bytes(10), (8, 8, None, None)),  # no frames emitted
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_n=5).collect()
+    # 20 frames, every 5th -> indices 0,5,10,15; image row contributes none
+    assert sorted((r["media_id"], r["frame_idx"]) for r in frames) == [
+        (1, 0), (1, 5), (1, 10), (1, 15)
+    ]
+    assert all(len(r["frame"]) == 10 for r in frames)  # 200 bytes / 20 frames
