@@ -1,6 +1,7 @@
 from sheetsetl_spark.streaming.pipeline import (
     UpsertForeachBatch,
     dedup_stream,
+    stateful_user_totals,
     read_event_stream,
     sessionized_counts,
     windowed_counts,
@@ -11,5 +12,6 @@ __all__ = [
     "windowed_counts",
     "sessionized_counts",
     "dedup_stream",
+    "stateful_user_totals",
     "UpsertForeachBatch",
 ]

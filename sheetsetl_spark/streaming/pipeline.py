@@ -94,6 +94,53 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+#: Output of the custom stateful operator below.
+USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+#: Persisted state per user: running count + value sum (kept as a string-
+#: rendered Decimal so cross-batch accumulation stays exact, matching the
+#: engine's decimal-sum determinism contract).
+_USER_STATE_SCHEMA = "n bigint, total string"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): exact
+    running per-user event count + value total, updated every micro-batch.
+
+    This is the shape Spark's built-in windowed aggs can't express —
+    arbitrary per-key state carried across micro-batches with exact
+    decimal accumulation. State is one tiny row per user (bounded by the
+    key cardinality, not the stream length); at 100 TB/day the state
+    store shards with the shuffle partitioning like any keyed stream.
+    Batch twin: ``SELECT user_id, COUNT(*), SUM(value) GROUP BY user_id``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, "0")
+        acc = Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["value"]:
+                # per-value quantize HALF_UP == Spark's cast(double as
+                # decimal(18,6)) in the batch twin; the running sum is exact
+                acc += Decimal(str(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        state.update((n, str(acc)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [float(acc)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class UpsertForeachBatch:
     """B55: foreachBatch upsert — each micro-batch create-or-replaces the
     named output through the same Sink the batch pipeline uses (the

@@ -100,3 +100,33 @@ def test_foreach_batch_upsert(spark, event_input, tmp_path):
     ev = load_table(spark, SF_SMALL, "events")
     want = {(r[0], r[1]) for r in ev.groupBy("event_type").count().collect()}
     assert {(r["event_type"], r["cnt"]) for r in out.collect()} == want
+
+
+def test_stateful_user_totals_matches_batch(spark, event_input, tmp_path):
+    from sheetsetl_spark.streaming import stateful_user_totals
+
+    stream = read_event_stream(spark, event_input, max_files_per_trigger=1)
+    _run_stream(spark, stateful_user_totals(stream), tmp_path, "update")
+    # update mode emits one row per user per micro-batch; the LAST emission
+    # per user is the running total after all input -> equals the batch agg
+    import pandas as pd
+
+    emitted = spark.table("stream_out").toPandas()
+    final = emitted.groupby("user_id").last()
+    ev = load_table(spark, SF_SMALL, "events")
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv"),
+        )
+        .collect()
+    }
+    assert len(final) == len(want)
+    for uid, row in final.iterrows():
+        wn, wv = want[uid]
+        assert row["n_events"] == wn
+        assert abs(row["total_value"] - wv) < 1e-9
