@@ -82,6 +82,10 @@ class SqlFolderPipeline:
     ``register_views`` so analyst SQL sees the catalog, the analog of the
     reference pointing its MySQL connection at a database (loader.py:54-58).
 
+    ``dialect='mysql'`` routes each file through the conservative
+    MySQL->Spark translator first (LIMIT off,cnt / DATE_FORMAT patterns /
+    GROUP_CONCAT), so the reference's analyst files run unmodified.
+
     ``max_concurrency`` > 1 runs query files concurrently from a thread
     pool — Spark schedules concurrent jobs from one session across free
     cores, so small queries no longer serialize behind big ones (the
@@ -99,13 +103,17 @@ class SqlFolderPipeline:
         cell_limit: int = DEFAULT_CELL_LIMIT,
         setup=None,
         max_concurrency: int = 1,
+        dialect: str = "spark",
     ):
+        if dialect not in ("spark", "mysql"):
+            raise ValueError(f"dialect must be spark|mysql, got {dialect!r}")
         self.spark = spark
         self.source_dir = source_dir
         self.sink = sink
         self.cell_limit = cell_limit
         self.setup = setup
         self.max_concurrency = max_concurrency
+        self.dialect = dialect
 
     def run(self) -> PipelineReport:
         if self.setup is not None:
@@ -125,7 +133,14 @@ class SqlFolderPipeline:
     def _run_one(self, qf: QueryFile) -> QueryResult:
         logger.info("Executing query for file %s", qf.name)
         try:
-            df = self.spark.sql(qf.sql)
+            sql = qf.sql
+            if self.dialect == "mysql":
+                # analysts' MySQL files run unmodified (the reference ships
+                # them verbatim to MySQL, loader.py:231)
+                from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+                sql = mysql_to_spark_sql(sql)
+            df = self.spark.sql(sql)
         except Exception as exc:  # parse/analysis error -> skip file (loader.py:232-234)
             logger.exception("SQL error in %s", qf.name)
             return QueryResult(qf.name, "sql_error", error=str(exc))

@@ -153,3 +153,28 @@ def test_pipeline_concurrent_matches_serial(spark, sql_dir, tmp_path):
         ("top_nations", "ok"),
     ]
     assert spark.read.parquet(str(tmp_path / "out_conc" / "top_nations")).count() == 5
+
+
+def test_pipeline_mysql_dialect(spark, tmp_path):
+    d = tmp_path / "mysql_sql"
+    d.mkdir()
+    # the reference's analysts write MySQL: LIMIT off,cnt + GROUP_CONCAT +
+    # %-style DATE_FORMAT all in one file
+    (d / "mysql_flavored.sql").write_text(
+        "SELECT o_orderstatus, GROUP_CONCAT(o_orderpriority SEPARATOR '|') AS prios, "
+        "DATE_FORMAT(MIN(o_orderdate), '%Y-%m') AS first_month "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus LIMIT 1, 2"
+    )
+    sink = TempViewSink()
+    pipe = SqlFolderPipeline(
+        spark,
+        str(d),
+        sink,
+        setup=lambda s: register_views(s, SF_SMALL),
+        dialect="mysql",
+    )
+    report = pipe.run()
+    assert [r.status for r in report.results] == ["ok"]
+    rows = spark.table("mysql_flavored").collect()
+    assert len(rows) == 2  # LIMIT 1,2 -> skip first status, take two
+    assert all("|" in r["prios"] and len(r["first_month"]) == 7 for r in rows)
