@@ -50,3 +50,40 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_scan_pushdown_and_pruning(spark):
+    from sheetsetl_spark.queries import QUERIES
+
+    df = QUERIES["b21_groupby_agg"](spark, SF_SMALL)
+    df.collect()  # materialize so AQE finalizes the plan (codegen visible)
+    plan = _executed_plan(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 6 needed lineitem columns are read
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_quantity" in scan_line and "l_partkey" not in scan_line
+    # the agg pipeline runs inside whole-stage codegen ("*(n)" stage marks)
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark):
+    from sheetsetl_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["b20_star_join"](spark, SF_SMALL))
+    # all dimension joins are broadcast-hash; the only Exchange is the
+    # final aggregation's (plus AQE coalescing wrappers)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    from sheetsetl_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["b36_topk"](spark, SF_SMALL))
+    # ORDER BY .. LIMIT k must plan as TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
