@@ -109,3 +109,25 @@ def tf_idf_top_terms(
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+#: GPT-2-ish pre-tokenizer, reduced to syntax RE2 and java.util.regex
+#: treat identically (letter runs | single digits | single punctuation) so
+#: the Spark plan and the DuckDB oracle tokenize bit-identically.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 token counting, BPE-ish tier: counts sub-word-style regex tokens
+    next to whitespace tokens (the ratio approximates tokens-per-word
+    inflation a real BPE tokenizer would report). One scan, no shuffle."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    ws = tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(bpe).cast("int").alias("n_bpe_tokens"),
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.size(ws), 6).alias("tokens_per_word"),
+    )

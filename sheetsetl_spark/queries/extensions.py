@@ -427,3 +427,23 @@ def c6_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return ev.select("event_id", "event_type", k.alias("k_val")).filter(F.col("k_val") > 50)
+
+
+@query(
+    "c4f_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{text.BPE_PATTERN}')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           ROUND(LEN(regexp_extract_all(text, '{text.BPE_PATTERN}'))
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS tokens_per_word
+    FROM documents
+    """,
+)
+def c4f_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: BPE-ish regex token counting (letter runs / digits /
+    punctuation), the tokens-per-word shape a training-data pipeline
+    reports; pattern chosen so RE2 (DuckDB) and java.util.regex agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_stats(docs)

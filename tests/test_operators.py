@@ -217,3 +217,18 @@ def test_multimodal_frame_sampling(spark):
         (1, 0), (1, 5), (1, 10), (1, 15)
     ]
     assert all(len(r["frame"]) == 10 for r in frames)  # 200 bytes / 20 frames
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    from sheetsetl_spark.operators import compaction
+
+    out = str(tmp_path / "frag")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(16).write.parquet(out)  # fragment: 16 tiny files
+    before = spark.read.parquet(out).orderBy("event_id").collect()
+
+    report = compaction.compact_parquet_dir(spark, out, target_file_bytes=10 * 1024 * 1024)
+    assert report["files_before"] == 16
+    assert report["files_after"] == 1  # well under one 10MB target
+    after = spark.read.parquet(out).orderBy("event_id").collect()
+    assert after == before  # lossless rewrite
