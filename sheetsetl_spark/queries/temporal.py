@@ -70,3 +70,75 @@ def x5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("click_ts", _TS_FMT).alias("click_ts"),
         F.round(gap, 6).alias("gap_s"),
     )
+
+
+@query(
+    "x6_range_join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+           STRFTIME(l.l_shipdate::TIMESTAMP, '%Y-%m-%d') AS ship_date
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_totalprice > 499500) o
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL '3 days'
+    """,
+)
+def x6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: point-in-interval range join — shipments falling inside the
+    3-day window after each top-price order's date. Bin-bucketed equi-join
+    (operators/ranges.py), never a nested-loop over all pairs."""
+    from sheetsetl_spark.operators.ranges import point_in_interval_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 499500)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("iv_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("iv_end"),
+        )
+    )
+    joined = point_in_interval_join(
+        li, iv, point_col="l_shipdate", start_col="iv_start", end_col="iv_end",
+        bin_width_s=3 * 86400,
+    )
+    return joined.select(
+        "o_orderkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@query(
+    "x7_multires_rollup",
+    oracle="""
+    SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x7_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: hypertable-style multi-resolution rollup — the daily aggregate
+    is derived by RE-aggregating the hourly continuous aggregate, not by
+    rescanning raw events (the scale pattern: aggregate once at fine
+    grain, derive every coarser grain). Decimal partial sums make the
+    re-aggregation exactly equal the direct daily aggregation, which is
+    what the oracle computes."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("hv"),  # stays decimal
+    )
+    return (
+        hourly.groupBy(F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("hv").cast("double").alias("total_value"),
+        )
+    )

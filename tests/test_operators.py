@@ -232,3 +232,30 @@ def test_compaction_merges_small_files(spark, tmp_path):
     assert report["files_after"] == 1  # well under one 10MB target
     after = spark.read.parquet(out).orderBy("event_id").collect()
     assert after == before  # lossless rewrite
+
+
+def test_range_join_matches_theta_join_without_nested_loop(spark):
+    from sheetsetl_spark.operators.ranges import point_in_interval_join
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    iv = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("iv_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("iv_end"),
+        )
+    )
+    binned = point_in_interval_join(
+        li, iv, "l_shipdate", "iv_start", "iv_end", bin_width_s=3 * 86400
+    ).select("o_orderkey", "l_orderkey", "l_linenumber")
+    naive = (
+        li.join(
+            iv,
+            (li.l_shipdate >= iv.iv_start) & (li.l_shipdate < iv.iv_end),
+        ).select("o_orderkey", "l_orderkey", "l_linenumber")
+    )
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan  # candidates come from the bin equi-join
