@@ -1,6 +1,8 @@
 from sheetsetl_spark.streaming.pipeline import (
     UpsertForeachBatch,
     dedup_stream,
+    enrich_stream,
+    purchase_click_attribution,
     stateful_user_totals,
     read_event_stream,
     sessionized_counts,
@@ -12,6 +14,8 @@ __all__ = [
     "windowed_counts",
     "sessionized_counts",
     "dedup_stream",
+    "enrich_stream",
+    "purchase_click_attribution",
     "stateful_user_totals",
     "UpsertForeachBatch",
 ]

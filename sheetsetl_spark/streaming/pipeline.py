@@ -94,6 +94,48 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension snapshot, explicitly broadcast (the dim is
+    dimension-sized by definition — at 100 TB the stream side never
+    shuffles for this join)."""
+    return events.join(F.broadcast(dim), events[on_left] == dim[on_right])
+
+
+def purchase_click_attribution(
+    events: DataFrame, horizon_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream self-join: each purchase matched to the same user's
+    clicks within ``horizon_s`` seconds before it. The time-bound join
+    condition plus watermarks on BOTH sides lets Spark expire join state —
+    the requirement for unbounded streams. Batch twin: the same theta
+    join on the static events table (tested equal)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon_s} SECONDS"))
+    )
+    return p.join(c, cond).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
 #: Output of the custom stateful operator below.
 USER_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 #: Persisted state per user: running count + value sum (kept as a string-

@@ -130,3 +130,56 @@ def test_stateful_user_totals_matches_batch(spark, event_input, tmp_path):
         wn, wv = want[uid]
         assert row["n_events"] == wn
         assert abs(row["total_value"] - wv) < 1e-9
+
+
+def test_stream_static_enrichment(spark, event_input, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sheetsetl_spark.streaming import enrich_stream
+
+    dim = load_table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_event_stream(spark, event_input)
+    enriched = (
+        enrich_stream(stream, dim, "user_id", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+    )
+    _run_stream(spark, enriched, tmp_path, "complete")
+    got = {tuple(r) for r in spark.table("stream_out").collect()}
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {
+        tuple(r)
+        for r in ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_attribution_matches_batch(spark, event_input, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sheetsetl_spark.streaming import purchase_click_attribution
+
+    stream = read_event_stream(spark, event_input)
+    _run_stream(spark, purchase_click_attribution(stream), tmp_path, "append")
+    got = {tuple(r) for r in spark.table("stream_out").collect()}
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+    )
+    want = {
+        tuple(r)
+        for r in p.join(c, cond).select("purchase_id", "click_id", F.col("p_user").alias("user_id")).collect()
+    }
+    assert got == want and len(want) > 0
