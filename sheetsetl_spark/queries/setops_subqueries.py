@@ -160,3 +160,39 @@ def b42_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r.r_name
         """
     )
+
+
+_B18B_SQL = """
+    SELECT 'with_null' AS variant, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)
+    UNION ALL
+    SELECT 'no_null' AS variant, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey <> 7)
+    """
+
+
+@query("b18b_not_in_null_semantics", oracle=_B18B_SQL)
+def b18b_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: the NOT IN + NULL trap — standard 3VL makes NOT IN against a
+    set containing NULL never-true (count 0), while the NULL-free variant
+    counts normally. Spark, MySQL and DuckDB all implement the standard;
+    the pair of counts proves we reproduce it rather than the left-anti
+    shortcut (which would wrongly return rows in the with_null branch)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_B18B_SQL)
+
+
+_B27B_SQL = """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+           GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """
+
+
+@query("b27b_grouping_sets", oracle=_B27B_SQL)
+def b27b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: explicit GROUPING SETS (beyond b27's CUBE) with GROUPING()
+    markers distinguishing the aggregation level of each row."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_B27B_SQL)
