@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) for the custom operators — random
+inputs catch the edge cases the fixtures never produce: empty sides,
+all-ties timestamps, hot keys, bin-boundary points.
+
+Spark round-trips are expensive, so the Spark properties run few examples
+on tiny frames; the pure-Python translator gets a wide sweep.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+_BASE = datetime(2024, 1, 1)
+
+# --- pure-Python: MySQL->Spark translator ---------------------------------
+
+
+@given(off=st.integers(0, 10**6), cnt=st.integers(0, 10**6))
+def test_translator_limit_offset(off, cnt):
+    out = mysql_to_spark_sql(f"SELECT * FROM t LIMIT {off}, {cnt}")
+    assert out == f"SELECT * FROM t LIMIT {cnt} OFFSET {off}"
+
+
+@given(
+    sql=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), whitelist_characters="*,.=<>()_"),
+        max_size=200,
+    )
+)
+def test_translator_is_identity_without_mysql_constructs(sql):
+    # no LIMIT a,b / DATE_FORMAT / GROUP_CONCAT -> text passes through
+    if not any(k in sql.upper() for k in ("LIMIT", "DATE_FORMAT", "STR_TO_DATE", "GROUP_CONCAT")):
+        assert mysql_to_spark_sql(sql) == sql
+
+
+# --- Spark: as-of join vs a per-row reference ------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left_rows=_asof_rows, right_rows=_asof_rows)
+def test_asof_join_matches_reference(spark, left_rows, right_rows):
+    from sheetsetl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(left_rows)]
+        or [(0, _BASE, -1)],
+        "k int, ts timestamp_ntz, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, _BASE + timedelta(minutes=m), i) for i, (k, m) in enumerate(right_rows)]
+        or [(99, _BASE, -1)],
+        "k int, ts timestamp_ntz, rid int",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in asof_join(
+            left, right, on=["k"], right_order=F.col("rid"), how="inner"
+        ).collect()
+    }
+    # reference: latest right ts <= left ts per key; ties -> max rid
+    want = set()
+    lrows = left_rows or [(0, 0)]
+    rrows = right_rows or [(99, 0)]
+    for li, (lk, lm) in enumerate(lrows if left_rows else [(0, 0)]):
+        lid = li if left_rows else -1
+        cands = [
+            (rm, ri)
+            for ri, (rk, rm) in enumerate(rrows if right_rows else [(99, 0)])
+            if rk == lk and rm <= lm
+        ]
+        if cands:
+            best = max(cands)  # (ts, rid) lexicographic == latest ts, max rid
+            want.add((lid, best[1] if right_rows else -1))
+    assert got == want
+
+
+# --- Spark: salted join == plain join --------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_keys=st.lists(st.integers(0, 3), min_size=1, max_size=20),
+    right_keys=st.lists(st.integers(0, 3), min_size=1, max_size=6),
+)
+def test_salted_join_property(spark, left_keys, right_keys):
+    from sheetsetl_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(k, i) for i, k in enumerate(left_keys)], "k int, lv int")
+    right = spark.createDataFrame([(k, i) for i, k in enumerate(right_keys)], "k int, rv int")
+    plain = sorted(map(tuple, left.join(right, "k").select("lv", "rv").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, on=["k"]).select("lv", "rv").collect()))
+    assert salted == plain
+
+
+# --- Spark: range join is bin-width invariant ------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(st.integers(0, 100), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 30)), min_size=1, max_size=6
+    ),
+    bin_width=st.sampled_from([60, 600, 3600]),
+)
+def test_range_join_bin_width_invariant(spark, points, intervals, bin_width):
+    from sheetsetl_spark.operators.ranges import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, _BASE + timedelta(minutes=m)) for i, m in enumerate(points)],
+        "pid int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (i, _BASE + timedelta(minutes=s), _BASE + timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(intervals)
+        ],
+        "iid int, iv_start timestamp, iv_end timestamp",
+    )
+    got = sorted(
+        map(
+            tuple,
+            point_in_interval_join(pts, ivs, "ts", "iv_start", "iv_end", bin_width)
+            .select("pid", "iid")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, pm in enumerate(points)
+        for ii, (s, d) in enumerate(intervals)
+        if s <= pm < s + d
+    )
+    assert got == want
