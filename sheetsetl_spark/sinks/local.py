@@ -54,3 +54,15 @@ class TempViewSink:
 
     def write(self, df: DataFrame, name: str) -> None:
         df.createOrReplaceTempView(name)
+
+
+class JsonDirSink:
+    """JSON-lines-per-name sink (interchange with downstream tooling)."""
+
+    def __init__(self, root: str, coalesce: int | None = None):
+        self.root = root
+        self.coalesce = coalesce
+
+    def write(self, df: DataFrame, name: str) -> None:
+        out = df.coalesce(self.coalesce) if self.coalesce else df
+        out.write.mode("overwrite").json(os.path.join(self.root, name))

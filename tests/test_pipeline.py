@@ -178,3 +178,31 @@ def test_pipeline_mysql_dialect(spark, tmp_path):
     rows = spark.table("mysql_flavored").collect()
     assert len(rows) == 2  # LIMIT 1,2 -> skip first status, take two
     assert all("|" in r["prios"] and len(r["first_month"]) == 7 for r in rows)
+
+
+def test_example_folder_end_to_end(spark, tmp_path):
+    import os
+
+    examples = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "analyst_sql")
+    pipe = SqlFolderPipeline(
+        spark,
+        examples,
+        ParquetDirSink(str(tmp_path / "ex_out")),
+        setup=lambda s: register_views(s, SF_SMALL),
+        dialect="mysql",
+        max_concurrency=2,
+    )
+    report = pipe.run()
+    assert [r.status for r in report.results] == ["ok", "ok", "ok"]
+    rev = spark.read.parquet(str(tmp_path / "ex_out" / "revenue_by_region"))
+    assert rev.columns == ["region", "order_year", "revenue"] and rev.count() > 0
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    from sheetsetl_spark.sinks import JsonDirSink
+
+    register_views(spark, SF_SMALL, ("region",))
+    df = spark.sql("SELECT r_regionkey, r_name FROM region")
+    JsonDirSink(str(tmp_path), coalesce=1).write(df, "regions_json")
+    back = spark.read.json(str(tmp_path / "regions_json"))
+    assert back.count() == 5 and set(back.columns) == {"r_regionkey", "r_name"}
