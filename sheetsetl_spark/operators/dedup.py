@@ -275,3 +275,25 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         F.lit(0).cast("bigint"),
     )
     return sums.select(F.col(id_col), F.concat_ws(":", F.hex(hi), F.hex(lo)).alias("simhash"))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    k_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep the k rows per stratum
+    that rank first by md5(id) — a reproducible pseudo-random order that
+    needs no seed plumbing and recomputes identically on any cluster (and
+    in the DuckDB oracle, unlike sampleBy's partition-dependent Bernoulli
+    draw). The corpus-balancing primitive: cap every source/language at k.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_per_stratum)
+        .drop("__rn")
+    )

@@ -131,3 +131,24 @@ def bpe_token_stats(
         F.size(ws).cast("int").alias("n_ws_tokens"),
         F.round(F.size(bpe) / F.size(ws), 6).alias("tokens_per_word"),
     )
+
+
+#: Email shape kept to syntax RE2 (DuckDB) and java.util.regex agree on.
+EMAIL_PATTERN = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+
+
+def redact_pii(
+    docs: DataFrame,
+    pattern: str = EMAIL_PATTERN,
+    replacement: str = "[REDACTED]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 PII scrubbing: regex redaction with a per-doc hit count (the
+    audit column a compliance pipeline needs). One scan, JVM-side regex."""
+    hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.col(text_col), pattern, replacement).alias("redacted_text"),
+        hits.cast("int").alias("n_redactions"),
+    )

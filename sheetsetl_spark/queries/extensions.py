@@ -447,3 +447,104 @@ def c4f_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports; pattern chosen so RE2 (DuckDB) and java.util.regex agree."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_token_stats(docs)
+
+
+@query(
+    "c4g_pii_redaction",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact: doc' || doc_id || '@example.com' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(text, '{text.EMAIL_PATTERN}', '[REDACTED]', 'g')
+             AS redacted_text,
+           CAST(LEN(regexp_extract_all(text, '{text.EMAIL_PATTERN}')) AS INTEGER)
+             AS n_redactions
+    FROM seeded
+    """,
+)
+def c4g_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: PII scrubbing — the corpus has no natural emails, so the query
+    plants one per document (deterministically, in both engines) and the
+    operator must redact exactly those with an audit count."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact: doc"), F.col("doc_id"), F.lit("@example.com")
+        ).alias("text"),
+    )
+    return text.redact_pii(seeded)
+
+
+@query(
+    "c7_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, source FROM (
+      SELECT lang, doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def c7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: deterministic stratified downsampling — cap each language at 20
+    documents, picked by md5(id) rank (reproducible on any cluster, no
+    seed/partitioning dependence). The corpus-balancing primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.stratified_sample_exact(
+        docs, strata_col="lang", k_per_stratum=20, id_col="doc_id"
+    ).select("lang", "doc_id", "source")
+
+
+@query(
+    "c8_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(first_signup) AS BIGINT) AS reached_signup,
+           CAST(COUNT(CASE WHEN first_click > first_signup THEN 1 END) AS BIGINT)
+             AS signup_then_click,
+           CAST(COUNT(CASE WHEN first_purchase > first_click
+                            AND first_click > first_signup THEN 1 END) AS BIGINT)
+             AS full_funnel
+    FROM per_user
+    """,
+)
+def c8_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: funnel analysis — users progressing signup -> click -> purchase
+    in temporal order, computed from one conditional-min aggregation pass
+    (no self-joins; the per-user funnel state is 3 timestamps)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("first_signup"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("reached_signup"),
+        F.count(
+            F.when(F.col("first_click") > F.col("first_signup"), 1)
+        ).alias("signup_then_click"),
+        F.count(
+            F.when(
+                (F.col("first_purchase") > F.col("first_click"))
+                & (F.col("first_click") > F.col("first_signup")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
