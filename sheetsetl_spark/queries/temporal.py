@@ -142,3 +142,87 @@ def x7_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hv").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "c9_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+             CASE WHEN ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER w > INTERVAL '30 minutes'
+                    OR LAG(ts::TIMESTAMP) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def c9_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: explicit sessionization — gap > 30 min starts a new per-user
+    session; session ids come from a running sum over boundary flags (the
+    lag+cumsum idiom, one sort per user partition — the composable
+    alternative to session_window when you need the ids, not just the
+    aggregate)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__eus",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag("__eus").over(w)
+    # µs-precise gap comparison == the oracle's INTERVAL '30 minutes' test
+    is_start = F.when(
+        prev_us.isNull() | (F.col("__eus") - prev_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_start).over(wsum).alias("session_no"),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "x8_time_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS events_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    """,
+)
+def x8_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: time-interval RANGE frame — per-user trailing-hour count and
+    exact decimal sum. Spark's rangeBetween is numeric, so the frame runs
+    over epoch seconds (ts truncated to µs exactly like the oracle)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ -> epoch microseconds (tz-independent), then a µs-range frame
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us.alias("__e"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("events_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("value_last_hour"),
+    )
