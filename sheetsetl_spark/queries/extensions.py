@@ -548,3 +548,40 @@ def c8_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+@query(
+    "x9_profile_table",
+    oracle="""
+    WITH w AS (
+      SELECT COUNT(*) AS n,
+             COUNT(*) - COUNT(l_quantity) AS nu_q, COUNT(DISTINCT l_quantity) AS d_q,
+             MIN(l_quantity)::DOUBLE AS mn_q, MAX(l_quantity)::DOUBLE AS mx_q,
+             COUNT(*) - COUNT(l_extendedprice) AS nu_e, COUNT(DISTINCT l_extendedprice) AS d_e,
+             MIN(l_extendedprice)::DOUBLE AS mn_e, MAX(l_extendedprice)::DOUBLE AS mx_e,
+             COUNT(*) - COUNT(l_discount) AS nu_d, COUNT(DISTINCT l_discount) AS d_d,
+             MIN(l_discount)::DOUBLE AS mn_d, MAX(l_discount)::DOUBLE AS mx_d
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column, n AS n_rows, CAST(nu_q AS BIGINT) AS n_nulls,
+           CAST(d_q AS BIGINT) AS n_distinct, mn_q AS min_val, mx_q AS max_val FROM w
+    UNION ALL
+    SELECT 'l_extendedprice', n, CAST(nu_e AS BIGINT), CAST(d_e AS BIGINT), mn_e, mx_e FROM w
+    UNION ALL
+    SELECT 'l_discount', n, CAST(nu_d AS BIGINT), CAST(d_d AS BIGINT), mn_d, mx_d FROM w
+    """,
+)
+def x9_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: one-pass column profiling (nulls/distinct/min/max per column) —
+    the pre-publish data-quality summary; single scan, stack-unpivoted."""
+    from sheetsetl_spark.operators.profiling import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_table(li, ["l_quantity", "l_extendedprice", "l_discount"]).select(
+        "column",
+        "n_rows",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
