@@ -87,12 +87,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash signature per document: num_hashes independent xxhash64
-    seeds (seed mixed in as a leading literal column), min-aggregated over
-    the shingle stream — one groupBy, map-side partial mins."""
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    """MinHash signature per document, min-aggregated over the shingle
+    stream — one groupBy, map-side partial mins.
+
+    Each shingle string is hashed ONCE (xxhash64); the num_hashes
+    families re-hash that fixed-width value with the family index as
+    seed column — one variable-length string hash + k 12-byte hashes per
+    shingle instead of k string hashes, and no arithmetic that could
+    overflow under ANSI mode. ~num_hashes× less string hashing on a
+    100 TB corpus."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).withColumn(
+        "__h", F.xxhash64(F.col("shingle"))
+    )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}") for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*mins)
 
