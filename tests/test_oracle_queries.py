@@ -34,3 +34,15 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_rows_only_queries_are_deterministic(spark):
+    """The four queries without DuckDB oracles (hash-seeded/approximate)
+    must still be run-to-run deterministic — the driver's rows-only check
+    plus this guarantees stable output."""
+    from sheetsetl_spark.queries import ORACLES, QUERIES
+
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        a = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+        b = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+        assert a == b and len(a) > 0, name
