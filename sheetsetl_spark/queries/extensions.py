@@ -585,3 +585,91 @@ def x9_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+@query(
+    "c10_intra_doc_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS s
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    per AS (SELECT doc_id, COUNT(*) AS total_shingles,
+                   COUNT(DISTINCT s) AS distinct_shingles
+            FROM sh GROUP BY doc_id)
+    SELECT doc_id, CAST(total_shingles AS BIGINT) AS total_shingles,
+           CAST(distinct_shingles AS BIGINT) AS distinct_shingles,
+           ROUND(1.0 - 1.0 * distinct_shingles / total_shingles, 6) AS repetition
+    FROM per
+    ORDER BY repetition DESC, doc_id
+    LIMIT 20
+    """,
+)
+def c10_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: intra-document repetition — fraction of duplicated word-3-gram
+    shingles (the boilerplate/looping-text quality signal); top-20 most
+    repetitive documents. One explode + one groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_list = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "  i -> array_join(slice(split(text, ' '), i, 3), ' ')) "
+        "ELSE array() END"
+    )
+    sh = docs.select("doc_id", F.explode(shingle_list).alias("s"))
+    per = sh.groupBy("doc_id").agg(
+        F.count("*").alias("total_shingles"),
+        F.countDistinct("s").alias("distinct_shingles"),
+    )
+    rep = F.round(
+        1.0 - F.col("distinct_shingles") / F.col("total_shingles"), 6
+    ).alias("repetition")
+    return (
+        per.select("doc_id", "total_shingles", "distinct_shingles", rep)
+        .orderBy(F.col("repetition").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "c11_cross_source_contamination",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, MD5(LOWER(TRIM(text))) AS fp FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, 'src_planted', MD5(LOWER(TRIM(text)))
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT a.doc_id AS doc_a, a.source AS source_a,
+           b.doc_id AS doc_b, b.source AS source_b
+    FROM corpus a JOIN corpus b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id AND a.source <> b.source
+    """,
+)
+def c11_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: cross-source (train/test-split) contamination — documents whose
+    normalized fingerprint appears under a different source. The fixture
+    has no natural cross-source dups, so the query plants copies of
+    doc_id < 10 under 'src_planted' (identically in the oracle); the
+    fingerprint equi-self-join must recover exactly those pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    base = docs.select("doc_id", "source", fp)
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("src_planted").alias("source"),
+        fp,
+    )
+    corpus = base.unionAll(planted)
+    a = corpus.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"), "fp"
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), "fp"
+    )
+    return (
+        a.join(b, "fp")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("source_a") != F.col("source_b")))
+        .select("doc_a", "source_a", "doc_b", "source_b")
+    )
