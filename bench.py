@@ -39,7 +39,10 @@ HEADLINE = [
     "c3_topk_cosine",  # brute-force vector top-k
     "c3c_topk_cosine_ivf",  # IVF ANN (probed inverted lists)
     "c4e_tfidf_top_terms",  # tf-idf
+    "c7_stratified_sample",  # deterministic corpus downsampling
+    "c9_sessionize",  # lag+cumsum sessionization
     "x5_asof_join",  # sort-based as-of join
+    "x6_range_join",  # bin-bucketed interval join
 ]
 
 
