@@ -595,3 +595,52 @@ def b28_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").cast("date").alias("first_order"),
         F.max("o_orderdate").cast("date").alias("last_order"),
     )
+
+
+@query(
+    "b59_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def b59_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B59: PIVOT — event counts spread into per-type columns (the
+    conditional-aggregation idiom MySQL analysts write by hand; Spark
+    plans it as one hash aggregate either way)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view", "error"])
+        .count()
+    )
+    # pivot leaves null for absent combos; the oracle's COUNT gives 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "view", "error")],
+    )
+
+
+@query(
+    "b60_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def b60_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60: UNPIVOT/stack — wide columns to (metric, value) rows, the
+    long-format reshape feeding charting/ML tooling."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
+    )
