@@ -54,8 +54,16 @@ def main() -> None:
     spark = build_session(app_name="sheetsetl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM/codegen paths outside the timed region.
-    QUERIES["b28_global_agg"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm up each plan's analysis/codegen at the smallest SF so the timed
+    # region measures steady-state throughput at the bench SF, not JIT and
+    # first-call Catalyst costs (which amortize away in production).
+    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
