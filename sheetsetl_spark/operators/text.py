@@ -152,3 +152,32 @@ def redact_pii(
         F.regexp_replace(F.col(text_col), pattern, replacement).alias("redacted_text"),
         hits.cast("int").alias("n_redactions"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks (the
+    pre-training chunking step: window of ``chunk_tokens``, advancing
+    ``stride`` tokens, so consecutive chunks overlap by
+    chunk_tokens - stride). Pure array functions — sequence over start
+    offsets, slice per offset, one explode; no UDF, no shuffle."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # start offsets 1, 1+stride, ... while start <= n (last partial chunk kept)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+    ).filter(F.size("chunk_toks") > 0)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").cast("int").alias("n_tokens"),
+    )

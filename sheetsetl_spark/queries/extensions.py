@@ -673,3 +673,28 @@ def c11_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("source_a") != F.col("source_b")))
         .select("doc_a", "source_a", "doc_b", "source_b")
     )
+
+
+@query(
+    "c12_chunk_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+             w[s:s+63] AS chunk
+      FROM toks, LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 48)) AS s) u
+    )
+    SELECT doc_id, chunk_idx,
+           ARRAY_TO_STRING(chunk, ' ') AS chunk_text,
+           CAST(LEN(chunk) AS INTEGER) AS n_tokens
+    FROM chunks WHERE LEN(chunk) > 0
+    """,
+)
+def c12_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: pre-training document chunking — 64-token windows advancing by
+    48 (16-token overlap), trailing partial chunks kept. Array-function
+    pipeline (sequence/slice/posexplode), zero Python in the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, stride=48)
