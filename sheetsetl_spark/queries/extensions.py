@@ -698,3 +698,56 @@ def c12_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (sequence/slice/posexplode), zero Python in the hot path."""
     docs = load_table(spark, sf_dir, "documents")
     return text.chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@query(
+    "c13_pack_sequences",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+             CAST(LEN(w[s:s+63]) AS INTEGER) AS n_tokens
+      FROM toks, LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 48)) AS s) u
+      WHERE LEN(w[s:s+63]) > 0
+    ),
+    cum AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST(doc_id // 50 AS INTEGER) AS pack_group,
+             SUM(n_tokens) OVER (PARTITION BY CAST(doc_id // 50 AS INTEGER)
+                                 ORDER BY doc_id, chunk_idx
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM chunks
+    )
+    SELECT pack_group,
+           CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS pack_id,
+           doc_id, chunk_idx, n_tokens
+    FROM cum
+    """,
+)
+def c13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: sequence packing — chunks are assigned to fixed-budget (1024
+    token) training sequences by a running token count, parallelized by
+    pack group (50 docs each) so no global sort exists. The streaming
+    first-fit approximation every packing pipeline uses; at 100 TB each
+    group packs independently in its own partition."""
+    from pyspark.sql import Window
+
+    from sheetsetl_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride=48)
+    grp = F.expr("doc_id DIV 50").cast("int").alias("pack_group")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = chunks.select(grp, "doc_id", "chunk_idx", "n_tokens").withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    pack_id = F.expr("(cum_tokens - n_tokens) DIV 1024").cast("bigint")
+    return cum.select(
+        "pack_group", pack_id.alias("pack_id"), "doc_id", "chunk_idx", "n_tokens"
+    )
