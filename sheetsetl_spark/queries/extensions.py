@@ -751,3 +751,34 @@ def c13_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.select(
         "pack_group", pack_id.alias("pack_id"), "doc_id", "chunk_idx", "n_tokens"
     )
+
+
+@query(
+    "x10_mix_weights",
+    oracle="""
+    WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_sources FROM per)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(1.0 * n / total, 6) AS actual_frac,
+           ROUND((1.0 / n_sources) / (1.0 * n / total), 6) AS sampling_weight
+    FROM per, tot
+    """,
+)
+def x10_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: domain-mix reweighting — per-source sampling weights that
+    rebalance the corpus to a uniform target mix (weight =
+    target_frac / actual_frac); feed these to c7's stratified sampler.
+    One aggregation + a broadcast of the 1-row total."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_sources")
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    actual = F.col("n") / F.col("total")
+    return joined.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(actual, 6).alias("actual_frac"),
+        F.round((1.0 / F.col("n_sources")) / actual, 6).alias("sampling_weight"),
+    )
