@@ -50,6 +50,11 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter pushdown: joins inject a bloom built from
+        # the small side into the big side's scan (semi-join reduction
+        # before the shuffle) — pinned on explicitly because it is a core
+        # 100 TB lever even though current Spark defaults it on.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

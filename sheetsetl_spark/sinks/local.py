@@ -36,13 +36,25 @@ class ParquetDirSink:
 
     ``partition_by`` enables hive-style directory partitioning so
     downstream readers get partition pruning (the 100 TB layout: partition
-    on the dominant filter column, e.g. date)."""
+    on the dominant filter column, e.g. date).
 
-    def __init__(self, root: str, partition_by: list[str] | None = None):
+    ``sort_by`` sorts within each output partition before writing, so the
+    parquet min/max stats on those columns become selective (row-group
+    data skipping — free read-side pruning at any scale)."""
+
+    def __init__(
+        self,
+        root: str,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ):
         self.root = root
         self.partition_by = partition_by
+        self.sort_by = sort_by
 
     def write(self, df: DataFrame, name: str) -> None:
+        if self.sort_by:
+            df = df.sortWithinPartitions(*self.sort_by)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

@@ -87,3 +87,47 @@ def test_topk_is_take_ordered(spark):
     plan = _executed_plan(QUERIES["b36_topk"](spark, SF_SMALL))
     # ORDER BY .. LIMIT k must plan as TakeOrderedAndProject, not a full sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from sheetsetl_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(3, 5)], "a int, b int")
+    # a=0b011 -> even positions 0,2 ; b=0b101 -> odd positions 1,5
+    # z = 1<<0 + 1<<2 + 1<<1 + 1<<5 = 1+4+2+32 = 39
+    assert df.select(zorder_value("a", "b").alias("z")).first()["z"] == 39
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sheetsetl_spark.operators.layout import zorder_by
+
+    # 64x64 grid of (x, y) points, arriving in hash-shuffled order
+    grid = spark.range(64 * 64).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y"
+    ).repartition(8)
+
+    def stat_width(path: str) -> tuple[int, int]:
+        wx = wy = 0
+        for f in glob.glob(path + "/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                row = meta.row_group(rg)
+                cols = {row.column(i).path_in_schema: row.column(i) for i in range(row.num_columns)}
+                wx += cols["x"].statistics.max - cols["x"].statistics.min
+                wy += cols["y"].statistics.max - cols["y"].statistics.min
+        return wx, wy
+
+    grid.write.parquet(str(tmp_path / "shuffled"))
+    zorder_by(grid, "x", "y", num_files=8, bits=6).write.parquet(str(tmp_path / "zordered"))
+
+    sx, sy = stat_width(str(tmp_path / "shuffled"))
+    zx, zy = stat_width(str(tmp_path / "zordered"))
+    # shuffled files each span ~the full range on both axes; z-ordered
+    # files cover compact rectangles -> strictly tighter on BOTH columns
+    assert zx < sx * 0.7 and zy < sy * 0.7, (sx, sy, zx, zy)
+    # lossless
+    assert spark.read.parquet(str(tmp_path / "zordered")).count() == 64 * 64
