@@ -1,0 +1,81 @@
+"""Incremental computation: aggregate merge and CDC apply.
+
+The reference refreshes outputs by full re-run under cron
+(/root/reference/README.md:38-43) — every sheet recomputes from scratch.
+These operators are the incremental upgrade: merge only the new data into
+a materialized aggregate, or apply a change log to a snapshot, both exact.
+
+Scale: a day's delta is orders of magnitude smaller than the 100 TB
+history; merging partials costs O(delta + groups) instead of O(history).
+The decimal-sum determinism contract is what makes the merge EXACT —
+decimal partials are associative, so merged results equal full
+recomputation bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_aggregates(
+    existing: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    count_col: str = "cnt",
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge two partial aggregates that share the schema
+    (keys..., count_col, sum_cols...): counts add, decimal sums add.
+    ``full == merge(agg(old), agg(new))`` exactly — averages and other
+    ratios derive downstream from (sum, count)."""
+    sum_cols = sum_cols or []
+    merged = existing.unionByName(delta)
+    aggs = [F.sum(count_col).alias(count_col)]
+    aggs += [F.sum(c).alias(c) for c in sum_cols]
+    return merged.groupBy(*keys).agg(*aggs)
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC log to a snapshot: for each key take the latest change
+    row (by ``order_cols``); a delete drops the key, an upsert replaces
+    the snapshot row. Unchanged snapshot keys pass through.
+
+    One window over the changes + one outer join against the snapshot —
+    the MERGE INTO primitive as a composition, exact and idempotent.
+    Output schema = snapshot schema (change rows must carry those columns).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[c.desc() for c in order_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    ch = latest.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    cond = [snapshot[k].eqNullSafe(ch[f"__k_{k}"]) for k in keys]
+    joined = snapshot.join(ch, cond, "full_outer")
+    kept = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != delete_op)
+    )
+    out_cols = []
+    for k in keys:
+        out_cols.append(F.coalesce(snapshot[k], F.col(f"__k_{k}")).alias(k))
+    for c in value_cols:
+        out_cols.append(
+            F.when(F.col("__op").isNotNull(), F.col(f"__v_{c}"))
+            .otherwise(snapshot[c])
+            .alias(c)
+        )
+    return kept.select(*out_cols)

@@ -782,3 +782,104 @@ def x10_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(actual, 6).alias("actual_frac"),
         F.round((1.0 / F.col("n_sources")) / actual, 6).alias("sampling_weight"),
     )
+
+
+@query(
+    "c14_cdc_apply",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN l.user_id IS NOT NULL THEN ROUND(l.value, 6)
+                ELSE ROUND(c.c_acctbal, 6) END AS acct_value
+    FROM customer c
+    LEFT JOIN latest l ON c.c_custkey = l.user_id
+    WHERE l.user_id IS NULL OR l.event_type <> 'error'
+    """,
+)
+def c14_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: CDC apply — the events stream acts as a change log on the
+    customer snapshot keyed by user_id: the user's latest event updates
+    acct_value ('error' = delete). One window over changes + one outer
+    join (the MERGE INTO primitive as a composition)."""
+    from sheetsetl_spark.operators.incremental import apply_changes
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), "c_name", F.round("c_acctbal", 6).alias("acct_value")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),  # upserts keep snapshot name
+        F.round("value", 6).alias("acct_value"),
+    )
+    applied = apply_changes(
+        cust,
+        changes,
+        keys=["c_custkey"],
+        order_cols=[F.col("ts"), F.col("event_id")],
+    )
+    # change rows carry no c_name; restore it from the snapshot for output
+    names = load_table(spark, sf_dir, "customer").select("c_custkey", F.col("c_name").alias("__n"))
+    return (
+        applied.join(names, "c_custkey")
+        .select("c_custkey", F.col("__n").alias("c_name"), "acct_value")
+    )
+
+
+@query(
+    "x11_quality_checks",
+    oracle="""
+    SELECT 'unique(event_id)' AS check,
+           CASE WHEN COUNT(*) - COUNT(DISTINCT event_id) = 0
+                THEN 'pass' ELSE 'fail' END AS status,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'non_null(o_custkey)',
+           CASE WHEN COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0
+                THEN 'pass' ELSE 'fail' END,
+           CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(l_discount,[0.0,0.1])',
+           CASE WHEN COUNT(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                                     OR l_discount > 0.1 THEN 1 END) = 0
+                THEN 'pass' ELSE 'fail' END,
+           CAST(COUNT(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                                OR l_discount > 0.1 THEN 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'ref(o_custkey->c_custkey)',
+           CASE WHEN COUNT(*) = 0 THEN 'pass' ELSE 'fail' END,
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def x11_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: declarative data-quality report — uniqueness, non-null, value
+    range, and referential integrity, one aggregate scan per check."""
+    from sheetsetl_spark.operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    return quality.run_checks(
+        [
+            quality.check_unique(ev, ["event_id"]),
+            quality.check_non_null(orders, "o_custkey"),
+            quality.check_in_range(li, "l_discount", 0.0, 0.1),
+            quality.check_referential(orders, "o_custkey", cust, "c_custkey"),
+        ]
+    )

@@ -259,3 +259,40 @@ def test_range_join_matches_theta_join_without_nested_loop(spark):
     assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, naive.collect()))
     plan = binned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan  # candidates come from the bin equi-join
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    from sheetsetl_spark.operators.incremental import merge_aggregates
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+
+    def agg(df):
+        return df.groupBy("l_returnflag").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"),
+        )
+
+    old = agg(li.filter("l_orderkey % 2 = 0"))
+    new = agg(li.filter("l_orderkey % 2 = 1"))
+    merged = merge_aggregates(old, new, keys=["l_returnflag"], count_col="cnt", sum_cols=["qty"])
+    full = agg(li)
+    # decimal partials are associative -> merge equals full recompute EXACTLY
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cdc_apply_upsert_delete_passthrough(spark):
+    from sheetsetl_spark.operators.incremental import apply_changes
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(1, 1, "U", "a2"),   # update k=1
+         (2, 1, "D", None),   # delete k=2
+         (2, 2, "U", "b2"),   # ...then re-insert k=2 (later wins)
+         (4, 1, "U", "d")],   # insert new k=4
+        "k int, seq int, op string, v string",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in apply_changes(snap, changes, keys=["k"], order_cols=[F.col("seq")]).collect()
+    }
+    assert got == {(1, "a2"), (2, "b2"), (3, "c"), (4, "d")}
