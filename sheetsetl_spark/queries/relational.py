@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.catalog import load_table, register_views
 from sheetsetl_spark.queries import davg, dsum, query
 
 
@@ -644,3 +644,52 @@ def b60_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
     )
+
+
+@query(
+    "b61_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 6) AS top_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+    WHERE c.c_custkey < 50
+    """,
+)
+def b61_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61: LATERAL correlated subquery — each customer's single priciest
+    order (Spark 3.4+ supports LATERAL natively; Catalyst decorrelates it
+    into a window/aggregate join rather than a per-row loop)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 6) AS top_price
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        WHERE c.c_custkey < 50
+        """
+    )
+
+
+@query(
+    "b62_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def b62_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62: equi-width histogram — the profiling/charting staple, one
+    hash aggregate over computed buckets."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        (bucket * 50000).cast("bigint").alias("bucket_lo"),
+    ).agg(F.count("*").alias("cnt"))
