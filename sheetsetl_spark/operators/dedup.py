@@ -285,6 +285,58 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return sums.select(F.col(id_col), F.concat_ws(":", F.hex(hi), F.hex(lo)).alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns pairwise near-dup output (C2) into duplicate CLUSTERS so a
+    corpus can keep exactly one canonical doc per cluster.
+
+    Min-label propagation: every node starts labelled with its own id;
+    each round every node takes the min of its own and its neighbors'
+    labels; converged when the (monotonically decreasing) label sum stops
+    changing. Rounds needed = graph diameter — near-dup clusters are
+    shallow (dups of a common source), so this terminates in a handful of
+    distributed rounds; each round is one equi-join + one groupBy, both
+    Catalyst-shuffled on the node key, and the frontier is
+    localCheckpointed so plan depth stays constant. The driver sees only
+    one scalar (the label sum) per round, never the data.
+
+    Returns (node, cluster_id) with cluster_id = min node id reachable.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels.select(F.col("node").alias("u"), "label"), "u"
+        ).select(F.col("v").alias("node"), "label")
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,

@@ -100,6 +100,65 @@ def c2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD, num_hashes=32, bands=8, n=3)
 
 
+@query(
+    "c2f_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def c2f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: duplicate-cluster resolution — connected components over the
+    exact near-dup pair graph, with a canonical representative (min doc_id)
+    per cluster. The keep-one-per-cluster step a corpus dedup actually
+    ships: everything with is_canonical = 0 is dropped. The DuckDB twin
+    computes the same components with a genuine WITH RECURSIVE
+    reachability closure (the engine uses distributed min-label
+    propagation — see operators/dedup.py::connected_components)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD, n=3)
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .withColumn("is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .withColumn("cluster_size", F.count("*").over(Window.partitionBy("cluster_id")))
+    )
+
+
 def _neardup_pert(dim: int = 64, scale: float = 0.01) -> list[float]:
     """Deterministic ±scale perturbation literal — shared by the Spark
     plan and the DuckDB oracle so the planted near-dups are identical."""

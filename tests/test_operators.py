@@ -296,3 +296,22 @@ def test_cdc_apply_upsert_delete_passthrough(spark):
         for r in apply_changes(snap, changes, keys=["k"], order_cols=[F.col("seq")]).collect()
     }
     assert got == {(1, "a2"), (2, "b2"), (3, "c"), (4, "d")}
+
+
+def test_connected_components_clusters(spark):
+    from sheetsetl_spark.operators.dedup import connected_components
+
+    # two chains and one isolated edge: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
