@@ -79,3 +79,43 @@ def apply_changes(
             .alias(c)
         )
     return kept.select(*out_cols)
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build SCD Type-2 validity intervals from a change log: per key,
+    collapse consecutive rows with identical ``attr_cols`` into one
+    interval [valid_from, valid_to), valid_to = next interval's start
+    (null on the open current interval, is_current = 1).
+
+    Gaps-and-islands entirely in window functions: one change flag via
+    null-safe lag comparison, one running sum to number islands, one
+    groupBy for interval bounds, one lead for valid_to — three
+    window passes + one partial agg, all partitioned on the key, so the
+    whole history build is a single shuffle by key at any scale. The
+    reference's cron refresh (/root/reference/README.md:38-43) overwrites
+    history in place; this is the lossless alternative.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lag(ts_col).over(w).isNull()
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    islands = changes.withColumn("__chg", changed.cast("int")).withColumn(
+        "__island",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ivals = islands.groupBy(*keys, "__island", *attr_cols).agg(
+        F.min(ts_col).alias("valid_from"), F.count("*").alias("n_rows")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("valid_from", "__island")
+    return (
+        ivals.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
+        .drop("__island")
+    )

@@ -942,3 +942,59 @@ def x11_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality.check_referential(orders, "o_custkey", cust, "c_custkey"),
         ]
     )
+
+
+@query(
+    "c15_scd2_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR event_type IS DISTINCT FROM LAG(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    ivals AS (
+      SELECT user_id, event_type, island,
+             MIN(ts) AS vf, COUNT(*) AS n_rows
+      FROM islands GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           STRFTIME(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(STRFTIME(LEAD(vf) OVER w2, '%Y-%m-%d %H:%M:%S.%f'), '') AS valid_to,
+           CASE WHEN LEAD(vf) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current,
+           n_rows
+    FROM ivals
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY vf, island)
+    """,
+)
+def c15_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: SCD Type-2 history build — each user's event_type stream becomes
+    validity intervals [valid_from, valid_to) with consecutive identical
+    values collapsed (gaps-and-islands); the open interval is flagged
+    is_current. See operators/incremental.py::scd2_intervals — one shuffle
+    by key regardless of history depth. The reference's cron refresh
+    (/root/reference/loader.py:168-174) overwrites history; this keeps it."""
+    from sheetsetl_spark.operators.incremental import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ivals = scd2_intervals(
+        ev, keys=["user_id"], attr_cols=["event_type"],
+        ts_col="ts", tiebreak_cols=["event_id"],
+    )
+    return ivals.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("")).alias("valid_to"),
+        "is_current",
+        "n_rows",
+    )

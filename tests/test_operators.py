@@ -315,3 +315,31 @@ def test_connected_components_clusters(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    from datetime import datetime as dt
+
+    from sheetsetl_spark.operators.incremental import scd2_intervals
+
+    rows = [
+        # key 1: a,a,b,a -> three intervals (run of two a's collapses)
+        (1, dt(2024, 1, 1), 1, "a"),
+        (1, dt(2024, 1, 2), 2, "a"),
+        (1, dt(2024, 1, 3), 3, "b"),
+        (1, dt(2024, 1, 4), 4, "a"),
+        # key 2: single row -> one open interval
+        (2, dt(2024, 1, 1), 5, "z"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, seq int, attr string")
+    got = {
+        (r["k"], r["attr"], r["valid_from"].day,
+         r["valid_to"].day if r["valid_to"] else None, r["is_current"], r["n_rows"])
+        for r in scd2_intervals(df, ["k"], ["attr"], "ts", ["seq"]).collect()
+    }
+    assert got == {
+        (1, "a", 1, 3, 0, 2),
+        (1, "b", 3, 4, 0, 1),
+        (1, "a", 4, None, 1, 1),
+        (2, "z", 1, None, 1, 1),
+    }
