@@ -49,3 +49,31 @@ def zorder_by(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def deterministic_shards(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Assign every row a reproducible (shard_id, pos) for training-data
+    assembly: shard = md5-hash bucket of (seed, id), pos = rank of the
+    same hash within the shard. The full corpus ordering is a pure
+    function of (ids, seed) — re-running on any cluster, any partitioning,
+    any row order yields byte-identical shards, which is what makes a
+    training run resumable and ablatable.
+
+    Scale: one hash-partition shuffle on shard_id + one in-shard sort
+    (window per shard). With n_shards sized to the cluster (thousands at
+    100 TB) each shard sorts independently; no global sort, no driver
+    state. Pair with ParquetDirSink(partition_by='shard_id') to emit one
+    directory per shard.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    sharded = df.withColumn("__k", key).withColumn(
+        "shard_id", (F.conv(F.substring("__k", 1, 8), 16, 10).cast("bigint") % n_shards)
+    )
+    w = Window.partitionBy("shard_id").orderBy("__k", id_col)
+    return sharded.withColumn("pos", F.row_number().over(w)).drop("__k")

@@ -998,3 +998,32 @@ def c15_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current",
         "n_rows",
     )
+
+
+@query(
+    "c16_shard_assignment",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, MD5(CONCAT('42', ':', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, k, ('0x' || SUBSTRING(k, 1, 8))::BIGINT % 8 AS shard_id
+      FROM keyed
+    )
+    SELECT doc_id, shard_id,
+           ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS pos
+    FROM sharded
+    """,
+)
+def c16_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: deterministic shuffle-and-shard — every document gets a
+    reproducible (shard_id, pos) from md5(seed:id), independent of cluster
+    partitioning or input order; the last-mile step that turns a curated
+    corpus into stable training shards. See
+    operators/layout.py::deterministic_shards."""
+    from sheetsetl_spark.operators.layout import deterministic_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shards(docs, "doc_id", n_shards=8, seed=42).select(
+        "doc_id", "shard_id", "pos"
+    )

@@ -343,3 +343,26 @@ def test_scd2_intervals_collapse_and_current(spark):
         (1, "a", 4, None, 1, 1),
         (2, "z", 1, None, 1, 1),
     }
+
+
+def test_deterministic_shards_stable_under_reordering(spark):
+    from sheetsetl_spark.operators.layout import deterministic_shards
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    a = deterministic_shards(df, "k", n_shards=4, seed=7)
+    # same ids, reversed input order and different partitioning
+    b = deterministic_shards(
+        df.orderBy(F.col("k").desc()).repartition(13), "k", n_shards=4, seed=7
+    )
+    ra = sorted(map(tuple, a.select("k", "shard_id", "pos").collect()))
+    rb = sorted(map(tuple, b.select("k", "shard_id", "pos").collect()))
+    assert ra == rb
+    # every shard used; positions are 1..size contiguous per shard
+    sizes = dict(
+        (r["shard_id"], r["n"]) for r in a.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(sizes) == {0, 1, 2, 3}
+    maxpos = dict(
+        (r["shard_id"], r["m"]) for r in a.groupBy("shard_id").agg(F.max("pos").alias("m")).collect()
+    )
+    assert maxpos == sizes
