@@ -43,6 +43,9 @@ HEADLINE = [
     "c9_sessionize",  # lag+cumsum sessionization
     "x5_asof_join",  # sort-based as-of join
     "x6_range_join",  # bin-bucketed interval join
+    "c15_scd2_history",  # SCD2 gaps-and-islands interval build
+    "c16_shard_assignment",  # deterministic shuffle-and-shard
+    "c17_label_centroids",  # per-group vector centroid aggregate
 ]
 
 

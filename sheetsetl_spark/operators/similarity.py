@@ -204,3 +204,36 @@ def cosine_topk_lsh(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "nn_rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group mean vector in long form (group, dim 1-based, centroid) —
+    the training step of an IVF index (operators/similarity.py::cosine_topk_ivf
+    probes these) and the class-prototype primitive for embedding QA.
+
+    posexplode flattens each vector once, then one hash aggregation on
+    (group, dim) computes every component: dims never meet on a single
+    node, so a 100 TB corpus reduces to groups x dim cells with map-side
+    partial aggregation and no driver involvement. Cross-row sums use
+    exact DECIMAL accumulation (associative), keeping the result
+    independent of partitioning.
+    """
+    ex = embeddings.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "v"),
+    )
+    return (
+        ex.groupBy(group_col, (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,9)")).cast("double") / F.count("*"),
+                round_to,
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

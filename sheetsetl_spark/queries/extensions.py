@@ -1027,3 +1027,24 @@ def c16_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shards(docs, "doc_id", n_shards=8, seed=42).select(
         "doc_id", "shard_id", "pos"
     )
+
+
+@query(
+    "c17_label_centroids",
+    oracle="""
+    SELECT label, dim,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM (SELECT label, UNNEST(embedding::DOUBLE[]) AS v,
+                 GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+          FROM embeddings) t
+    GROUP BY 1, 2
+    """,
+)
+def c17_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: per-class mean embedding (vector aggregate) — posexplode +
+    one hash agg on (label, dim), exact-decimal cross-row sums. The IVF
+    coarse-quantizer training step and the class-prototype primitive.
+    See operators/similarity.py::group_centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.group_centroids(emb, group_col="label", vec_col="embedding")
