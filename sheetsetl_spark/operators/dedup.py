@@ -357,3 +357,36 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= k_per_stratum)
         .drop("__rn")
     )
+
+
+def eval_decontamination(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word n-gram with an eval/benchmark document, with the
+    evidence counts a removal decision needs (how many eval docs, how
+    many distinct shared shingles).
+
+    The eval set is tiny next to a 100 TB corpus, so its shingle table is
+    broadcast — each training partition checks its shingles locally with
+    zero shuffle of the corpus side; only the (rare) hits are aggregated.
+    Output: (train_doc_id, n_eval_docs, n_shared_shingles).
+    """
+    tr = shingles(train, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("train_doc_id"), "shingle"
+    )
+    ev = shingles(evals, n=n, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.count("*").alias("n_shared_shingles"),
+        )
+    )

@@ -1048,3 +1048,47 @@ def c17_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/similarity.py::group_centroids."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.group_centroids(emb, group_col="label", vec_col="embedding")
+
+
+@query(
+    "c18_benchmark_decontamination",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 20
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5
+    ),
+    ev_toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+                FROM documents WHERE doc_id < 20),
+    ev AS (
+      SELECT DISTINCT doc_id AS eval_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS shingle
+      FROM ev_toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 4)) AS i) u
+    ),
+    tr_toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM corpus),
+    tr AS (
+      SELECT DISTINCT doc_id AS train_doc_id, ARRAY_TO_STRING(w[i:i+4], ' ') AS shingle
+      FROM tr_toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 4)) AS i) u
+    )
+    SELECT train_doc_id,
+           COUNT(DISTINCT eval_id) AS n_eval_docs,
+           COUNT(*) AS n_shared_shingles
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+)
+def c18_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: benchmark decontamination — training docs sharing any word
+    5-gram with the eval set (doc_id < 20 plays the benchmark). The
+    fixture has no natural eval/train 5-gram overlap at this n, so the
+    query plants copies of 5 eval texts under train ids (identically in
+    the oracle); the broadcast shingle join must recover exactly those.
+    See operators/dedup.py::eval_decontamination (eval side broadcast —
+    the corpus side never shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20).select("doc_id", "text").unionAll(
+        evals.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.eval_decontamination(train, evals, n=5)

@@ -366,3 +366,20 @@ def test_deterministic_shards_stable_under_reordering(spark):
         (r["shard_id"], r["m"]) for r in a.groupBy("shard_id").agg(F.max("pos").alias("m")).collect()
     )
     assert maxpos == sizes
+
+
+def test_scd2_single_shuffle_plan(spark):
+    from datetime import datetime as dt
+
+    from sheetsetl_spark.operators.incremental import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), 1, "a")], "k int, ts timestamp, seq int, attr string"
+    )
+    plan = (
+        scd2_intervals(df, ["k"], ["attr"], "ts", ["seq"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # all three window passes and the interval agg share one hash
+    # partitioning on the key -> exactly one Exchange end to end
+    assert plan.count("Exchange") == 1, plan
