@@ -383,3 +383,18 @@ def test_scd2_single_shuffle_plan(spark):
     # all three window passes and the interval agg share one hash
     # partitioning on the key -> exactly one Exchange end to end
     assert plan.count("Exchange") == 1, plan
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    from sheetsetl_spark.operators.dedup import eval_decontamination
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame([(100, "a b c d e z")], "doc_id long, text string")
+    out = eval_decontamination(train, evals, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must never shuffle for the join: eval is broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    got = {(r["train_doc_id"], r["n_shared_shingles"]) for r in out.collect()}
+    assert got == {(1, 1)}  # only "a b c d e" is shared
