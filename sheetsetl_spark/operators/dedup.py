@@ -255,19 +255,35 @@ def embedding_neardup_pairs(
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """C2: 64-bit SimHash per document over unigram tokens.
 
-    bit_j(doc) = sign of sum over tokens of ±1 (bit j of xxhash64(token)).
+    bit_j(doc) = sign of sum over tokens of ±1 (bit j of hash(token)).
     Implemented as 64 conditional-sum aggregates over the exploded token
-    stream — one shuffle, no UDF."""
+    stream — one shuffle, no UDF.
+
+    ``token_hash``: 'xxhash64' (fastest, JVM-only) or 'md5' (a 60-bit
+    value from the md5 hex prefix — engine-portable, what the DuckDB
+    oracle twin uses; see queries/extensions.py::c2c_simhash)."""
     tok = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
-    tok = tok.withColumn("h", F.xxhash64("t"))
+    if token_hash == "md5":
+        n_bits = 60  # 15 hex chars -> always positive, fits signed 64-bit
+        tok = tok.withColumn(
+            "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint")
+        )
+    else:
+        n_bits = 64
+        tok = tok.withColumn("h", F.xxhash64("t"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s_{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
     # 2**63 overflows signed 64-bit; emit the fingerprint as two 32-bit
@@ -279,7 +295,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
     hi = reduce(
         lambda acc, j: acc + F.when(F.col(f"s_{j + 32}") > 0, F.lit(1 << j)).otherwise(0),
-        range(32),
+        range(n_bits - 32),
         F.lit(0).cast("bigint"),
     )
     return sums.select(F.col(id_col), F.concat_ws(":", F.hex(hi), F.hex(lo)).alias("simhash"))

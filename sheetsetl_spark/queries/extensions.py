@@ -290,12 +290,37 @@ def c3c_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(emb, queries_df, k=10, num_centroids=16, nprobe=4)
 
 
-@query("c2c_simhash")
+@query(
+    "c2c_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || SUBSTRING(MD5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS j) js
+      GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS lo,
+             SUM(CASE WHEN s > 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS hi
+      FROM bits GROUP BY 1
+    )
+    SELECT doc_id, CONCAT(to_hex(hi), ':', to_hex(lo)) AS simhash FROM packed
+    """,
+)
 def c2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: 64-bit SimHash fingerprints (rows-only check: xxhash64 bits are
-    engine-specific; determinism is still exact across runs)."""
+    """C2: SimHash fingerprints. Token hash = 60 bits of the md5 hex
+    prefix — engine-portable, so the fingerprints themselves are
+    hash-checked against DuckDB (the xxhash64 fast path stays the default
+    in operators/dedup.py::simhash64 for production)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash64(docs)
+    return dedup.simhash64(docs, token_hash="md5")
 
 
 @query(
@@ -328,10 +353,46 @@ def c3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries_df, k=10)
 
 
-@query("c3b_topk_cosine_lsh")
+def _lsh_topk_oracle(k: int = 10, num_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ``similarity.cosine_topk_lsh``: the same inlined
+    hyperplane signatures, bucket equi-join, and in-bucket exact cosine —
+    the approximate stage is seeded/deterministic, so the full ANN
+    pipeline is hash-checkable (recall<1 vs exact is irrelevant; the
+    oracle runs the identical algorithm)."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    bit_exprs = ", ".join(
+        "CASE WHEN LIST_DOT_PRODUCT(["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[], v) > 0 THEN '1' ELSE '0' END"
+        for row in hyperplanes(num_planes, dim)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, CONCAT({bit_exprs}) AS bits FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bits AS qb FROM sig WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(qv, c.v)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) AS sim
+      FROM sig c JOIN q ON c.bits = q.qb AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE nn_rank <= {k}
+    """
+
+
+@query("c3b_topk_cosine_lsh", oracle=_lsh_topk_oracle())
 def c3b_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 scale path: random-hyperplane LSH bucketing + in-bucket exact
-    cosine. Approximate by construction -> rows-only check."""
+    cosine. The planes are seeded driver-side literals shared with the
+    DuckDB oracle, so even this approximate path is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return similarity.cosine_topk_lsh(emb, queries_df, k=10)

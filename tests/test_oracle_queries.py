@@ -37,7 +37,7 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_are_deterministic(spark):
-    """The four queries without DuckDB oracles (hash-seeded/approximate)
+    """The queries without DuckDB oracles (genuinely approximate sketches)
     must still be run-to-run deterministic — the driver's rows-only check
     plus this guarantees stable output."""
     from sheetsetl_spark.queries import ORACLES, QUERIES
