@@ -406,3 +406,41 @@ def eval_decontamination(
             F.count("*").alias("n_shared_shingles"),
         )
     )
+
+
+def weighted_resample(
+    docs: DataFrame,
+    weights: DataFrame,
+    join_col: str = "source",
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    tag: str = "mix",
+) -> DataFrame:
+    """Materialize a target corpus mix from per-group sampling weights:
+    every row is emitted floor(w) times plus one more with probability
+    frac(w), driven by a deterministic md5 uniform of (tag, id) — so
+    w < 1 downsamples, w > 1 oversamples (with copy_id distinguishing
+    repeats), and the output is a pure function of (ids, weights, tag)
+    on any cluster/partitioning.
+
+    The weight table is groups-sized -> broadcast; the corpus side maps
+    in place (hash + compare + explode), no shuffle at all.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(tag), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    w = F.col(weight_col)
+    n_copies = (F.floor(w) + (u < (w - F.floor(w))).cast("bigint")).alias("n_copies")
+    joined = docs.join(F.broadcast(weights), join_col).withColumn("n_copies", n_copies)
+    return (
+        joined.filter(F.col("n_copies") >= 1)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))))
+        .drop("n_copies")
+    )

@@ -2,9 +2,9 @@
 
 Each entry wires an operator from ``sheetsetl_spark.operators`` to the
 fixture tables. Oracles are full ANSI/DuckDB rewrites of the same
-algorithm; the xxhash64-based internals (MinHash/LSH/SimHash) are not
-portable to DuckDB, so those entries rely on the driver's rows-only check
-— their verification twin (exact n-gram Jaccard) IS oracle-checked.
+algorithm — including the ANN/SimHash paths, whose seeded internals
+(hyperplane literals, md5-bit token hashes) are replicated verbatim in
+the SQL twins so even the approximate pipelines are hash-checked.
 """
 
 from __future__ import annotations
@@ -1153,3 +1153,47 @@ def c18_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return dedup.eval_decontamination(train, evals, n=5)
+
+
+@query(
+    "c19_apply_mix_weights",
+    oracle="""
+    WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_sources FROM per),
+    w AS (SELECT source, (1.0 / n_sources) / (1.0 * n / total) AS weight
+          FROM per, tot),
+    u AS (SELECT doc_id, source,
+                 ('0x' || SUBSTRING(MD5(CONCAT('mix', ':', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+          FROM documents),
+    k AS (SELECT doc_id, source,
+                 CAST(FLOOR(weight) AS BIGINT)
+                   + CASE WHEN u < weight - FLOOR(weight) THEN 1 ELSE 0 END AS n_copies
+          FROM u JOIN w USING (source))
+    SELECT doc_id, source, copy_id
+    FROM k, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, n_copies)) AS copy_id) g
+    WHERE n_copies >= 1
+    """,
+)
+def c19_apply_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: materialize the target corpus mix — x10's per-source weights
+    applied as deterministic weighted resampling (floor(w) copies + one
+    more when the md5-uniform of the id falls under frac(w); w<1
+    downsamples, w>1 oversamples with copy_id on repeats). Broadcast
+    weight table, zero corpus shuffle. See
+    operators/dedup.py::weighted_resample."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("total"), F.count("*").alias("n_sources"))
+    weights = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            ((F.lit(1.0) / F.col("n_sources")) / (F.lit(1.0) * F.col("n") / F.col("total"))).alias(
+                "weight"
+            ),
+        )
+    )
+    return dedup.weighted_resample(
+        docs.select("doc_id", "source"), weights, join_col="source"
+    ).select("doc_id", "source", "copy_id")

@@ -398,3 +398,27 @@ def test_decontamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     got = {(r["train_doc_id"], r["n_shared_shingles"]) for r in out.collect()}
     assert got == {(1, 1)}  # only "a b c d e" is shared
+
+
+def test_weighted_resample_over_and_under_sampling(spark):
+    from sheetsetl_spark.operators.dedup import weighted_resample
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    weights = spark.createDataFrame(
+        [("big", 0.5), ("small", 2.5)], "source string, weight double"
+    )
+    out = weighted_resample(docs, weights)
+    rows = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("copy_id").alias("max_copy")
+    ).collect()
+    by_src = {r["source"]: (r["n"], r["max_copy"]) for r in rows}
+    # w=0.5 keeps roughly half of 80, never more than 1 copy each
+    assert 20 <= by_src["big"][0] <= 60 and by_src["big"][1] == 1
+    # w=2.5 emits 2 or 3 copies of each of the 20: 40 <= n <= 60
+    assert 40 <= by_src["small"][0] <= 60 and by_src["small"][1] == 3
+    # deterministic under re-partitioning
+    again = weighted_resample(docs.repartition(7), weights)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
