@@ -1197,3 +1197,36 @@ def c19_apply_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.weighted_resample(
         docs.select("doc_id", "source"), weights, join_col="source"
     ).select("doc_id", "source", "copy_id")
+
+
+@query(
+    "c20_quality_threshold_filter",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             ROUND(CAST(0.4 AS DOUBLE) * CASE WHEN LENGTH(text) BETWEEN 100 AND 5000
+                                              THEN 1 ELSE 0 END
+                 + CAST(0.3 AS DOUBLE) * CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) > 0 THEN 1 ELSE 0 END
+                 + CAST(0.3 AS DOUBLE) * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                                          / LEN(STRING_SPLIT(text, ' '))), 6) AS quality
+      FROM documents
+    ),
+    med AS (SELECT ROUND(QUANTILE_CONT(quality, 0.5), 6) AS p50 FROM q)
+    SELECT doc_id, quality, p50 FROM q, med WHERE quality >= p50
+    """,
+)
+def c20_quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: corpus-relative quality filtering — keep documents scoring at
+    or above the exact corpus median quality. Two jobs: one percentile
+    aggregate (the only full pass), then a broadcast of the 1-row
+    threshold against the scored corpus — the data-driven-cutoff shape
+    every curation pipeline ends with (vs c4b's absolute scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    med = q.agg(F.round(F.percentile("quality", F.lit(0.5)), 6).alias("p50"))
+    return (
+        q.crossJoin(F.broadcast(med))
+        .filter(F.col("quality") >= F.col("p50"))
+        .select("doc_id", "quality", "p50")
+    )
