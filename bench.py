@@ -46,6 +46,9 @@ HEADLINE = [
     "c15_scd2_history",  # SCD2 gaps-and-islands interval build
     "c16_shard_assignment",  # deterministic shuffle-and-shard
     "c17_label_centroids",  # per-group vector centroid aggregate
+    "c18_benchmark_decontamination",  # broadcast n-gram eval overlap
+    "c19_apply_mix_weights",  # deterministic weighted resampling
+    "c20_quality_threshold_filter",  # percentile-cutoff curation
 ]
 
 
