@@ -422,3 +422,14 @@ def test_weighted_resample_over_and_under_sampling(spark):
     # deterministic under re-partitioning
     again = weighted_resample(docs.repartition(7), weights)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_connected_components_long_chain(spark):
+    from sheetsetl_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-19: diameter 19 forces many propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs).groupBy("cluster_id").count().collect()
+    assert len(got) == 1 and got[0]["cluster_id"] == 0 and got[0]["count"] == 20
