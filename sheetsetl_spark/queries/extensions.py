@@ -1230,3 +1230,44 @@ def c20_quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("p50"))
         .select("doc_id", "quality", "p50")
     )
+
+
+@query(
+    "x12_ewma_decay",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, n AS n_events,
+           ROUND(CAST(SUM(CAST(value * POWER(0.9, n - rn) AS DECIMAL(30,15)))
+                      AS DOUBLE), 6) AS ewma_value
+    FROM r GROUP BY user_id, n
+    """,
+)
+def x12_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: exponentially-decayed per-user activity (decay 0.9 per event,
+    newest weighted highest) — the recency-feature shape. Each term
+    value*0.9^age is computed in double (bit-identical across engines),
+    then cast to exact DECIMAL before the cross-row sum, so the aggregate
+    is associative and independent of partitioning — one keyed window +
+    one hash agg, one shuffle total."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    term = (F.col("value") * F.pow(F.lit(0.9), F.col("n") - F.col("rn"))).cast(
+        "decimal(30,15)"
+    )
+    return r.groupBy("user_id", F.col("n").alias("n_events")).agg(
+        F.round(F.sum(term).cast("double"), 6).alias("ewma_value")
+    )
