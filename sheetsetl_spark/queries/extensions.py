@@ -1271,3 +1271,50 @@ def x12_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("user_id", F.col("n").alias("n_events")).agg(
         F.round(F.sum(term).cast("double"), 6).alias("ewma_value")
     )
+
+
+@query(
+    "c21_novelty_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN sh.doc_id = first_doc THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM sh JOIN first USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def c21_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: per-document n-gram novelty — the fraction of a doc's distinct
+    3-gram shingles whose first occurrence (min doc_id order) is this doc.
+    Low novelty = the doc restates earlier corpus content; the
+    redundancy/diversity signal used to prioritize what enters a training
+    mix. One shingle groupBy (first-occurrence attribution) + one
+    shuffle-join back — both keyed on the shingle, no pairwise stage at
+    all, so it scales linearly where Jaccard-style dedup is
+    candidate-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
