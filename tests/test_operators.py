@@ -433,3 +433,15 @@ def test_connected_components_long_chain(spark):
     )
     got = connected_components(pairs).groupBy("cluster_id").count().collect()
     assert len(got) == 1 and got[0]["cluster_id"] == 0 and got[0]["count"] == 20
+
+
+def test_deterministic_shards_single_shuffle_plan(spark):
+    from sheetsetl_spark.operators.layout import deterministic_shards
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = (
+        deterministic_shards(df, "k", n_shards=4, seed=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # shard assignment is map-side; only the in-shard rank window shuffles
+    assert plan.count("Exchange") == 1, plan
