@@ -24,21 +24,43 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[Column]) ->
 
 
 def shingles(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document.
 
     Built with higher-order functions (transform/slice over the token
-    array) — one pass, no UDF, explode only the shingle stream."""
+    array) — one pass, no UDF, explode only the shingle stream.
+
+    ``max_df``: drop shingles whose document frequency exceeds the cap
+    (standard near-dup practice — boilerplate shingles like license
+    headers appear in millions of docs and contribute f² candidate pairs
+    to any shingle self-join; capping is the difference between a
+    bounded candidate set and 10¹² rows from one hot key at 100 TB).
+    Implemented as a count window over the shingle key, so the filter
+    leaves the stream hash-partitioned on ``shingle`` and a following
+    self-join on the same key reuses the exchange instead of
+    re-shuffling."""
     shingle_list = F.expr(
         f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
         f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
         f"  i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')) "
         f"ELSE array() END"
     )
-    return docs.select(
+    sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingle_list)).alias("shingle")
     )
+    if max_df is not None:
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    return sh
 
 
 def ngram_jaccard_pairs(
@@ -47,13 +69,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """C2: near-duplicate pairs by word-n-gram Jaccard similarity.
 
     Candidate generation is the shingle equi-self-join (only docs sharing
     a shingle ever meet); |union| = |A| + |B| - |A∩B| avoids materializing
-    unions. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    unions. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_shingle_df`` drops boilerplate shingles (document frequency
+    above the cap) BEFORE the self-join — a shingle in f docs yields f²
+    candidate rows, so one hot shingle at corpus scale would dominate the
+    whole job. Jaccard is then computed over the capped shingle universe
+    (sizes and intersections both post-cap — self-consistent semantics
+    that the DuckDB oracle twin mirrors exactly)."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -86,6 +116,7 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash signature per document, min-aggregated over the shingle
     stream — one groupBy, map-side partial mins.
@@ -96,9 +127,9 @@ def minhash_signatures(
     shingle instead of k string hashes, and no arithmetic that could
     overflow under ANSI mode. ~num_hashes× less string hashing on a
     100 TB corpus."""
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col).withColumn(
-        "__h", F.xxhash64(F.col("shingle"))
-    )
+    sh = shingles(
+        docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+    ).withColumn("__h", F.xxhash64(F.col("shingle")))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}") for i in range(num_hashes)
     ]
@@ -113,6 +144,8 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """C2: MinHash + LSH banding near-dup candidates, verified by true
     Jaccard >= threshold.
@@ -121,9 +154,26 @@ def minhash_lsh_pairs(
     collide into a bucket; candidates come from the bucket equi-join.
     This is the 100 TB path: signature table is O(docs), band join touches
     only colliding docs. Verification reuses the exact Jaccard operator on
-    the candidate subset."""
+    the candidate subset.
+
+    Two scale guards: ``max_shingle_df`` caps boilerplate shingles in
+    BOTH the signature and verification streams (same capped universe as
+    :func:`ngram_jaccard_pairs`, so LSH output still equals the exact
+    operator's wherever banding recall is 1); ``max_bucket_size`` drops
+    degenerate band buckets (a bucket of m near-identical templated docs
+    contributes m² candidates — at corpus scale a boilerplate-heavy
+    source can put millions of docs in one bucket). The bucket cap is a
+    recall guard only: it binds on pathological buckets far above any
+    honest near-dup cluster size."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, id_col=id_col, text_col=text_col)
+    sig = minhash_signatures(
+        docs,
+        num_hashes=num_hashes,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        max_shingle_df=max_shingle_df,
+    )
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(
             f"band_{b}"
@@ -137,6 +187,13 @@ def minhash_lsh_pairs(
             "band_idx", "band_hash"
         ),
     )
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_idx", "band_hash")
+        stacked = (
+            stacked.withColumn("__bsz", F.count("*").over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     candidates = (
@@ -147,8 +204,9 @@ def minhash_lsh_pairs(
     )
     # Candidate-proportional verification: intersection sizes are computed
     # ONLY for LSH candidates (never all-pairs — that would undo the whole
-    # point of banding at scale).
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    # point of banding at scale). Same capped shingle universe as the
+    # signatures so the verified Jaccard matches the exact operator's.
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -220,7 +278,17 @@ def embedding_neardup_pairs(
             ).otherwise(F.lit("0")),
         ),
     )
-    sig = vectors.select(F.col(id_col).alias("vec_id"), vec.alias("v"), bits.alias("bits"))
+    # ||v|| computed ONCE per vector here and carried through to the
+    # verify stage — re-deriving dot(v,v) per candidate pair side would
+    # repeat that work candidate-many times.
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    sig = vectors.select(
+        F.col(id_col).alias("vec_id"), vec.alias("v"), norm.alias("nrm"), bits.alias("bits")
+    )
     band_arr = F.array(
         *[F.substring("bits", b * rows_per_band + 1, rows_per_band) for b in range(bands)]
     )
@@ -235,8 +303,12 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = sig.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = sig.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    ea = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
 
     def dot(a: str, b: str) -> Column:
         return F.aggregate(
@@ -245,7 +317,7 @@ def embedding_neardup_pairs(
             lambda acc, x: acc + x,
         )
 
-    sim = dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb")))
+    sim = dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         pairs.join(F.broadcast(ea), "vec_a")
         .join(F.broadcast(eb), "vec_b")

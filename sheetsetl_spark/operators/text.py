@@ -99,13 +99,22 @@ def tf_idf_top_terms(
     )
     tf = term_rows.groupBy(id_col, "term", "doc_len").agg(F.count("*").alias("term_cnt"))
     df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_counts), "term").select(
-        id_col,
-        "term",
-        F.round(
-            (F.col("term_cnt") / F.col("doc_len")) * F.log(F.lit(float(n_docs)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # N enters as a broadcast one-row aggregate, not a docs.count() driver
+    # action — that action cost a whole extra scan of the corpus before
+    # the real job even started.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                (F.col("term_cnt") / F.col("doc_len"))
+                * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -17,6 +17,10 @@ from sheetsetl_spark.operators import dedup, similarity, text
 from sheetsetl_spark.queries import query
 
 _JACCARD_THRESHOLD = 0.5
+# Boilerplate-shingle document-frequency cap shared by the Spark operators
+# and their DuckDB twins (Jaccard is computed over the capped universe on
+# both sides). Far above any honest shingle df at fixture scale.
+_SHINGLE_DF_CAP = 1000
 
 
 @query(
@@ -43,9 +47,15 @@ def c1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c2_ngram_jaccard",
     oracle=f"""
     WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= {_SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -65,7 +75,9 @@ def c2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: near-dup pairs by word-3-gram Jaccard (candidate generation via
     shingle equi-join — no cross join at any scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD, n=3)
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, n=3, max_shingle_df=_SHINGLE_DF_CAP
+    )
 
 
 @query(
@@ -75,9 +87,15 @@ def c2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified on the fixtures at sf0.001/sf0.01) — same oracle as c2.
     oracle=f"""
     WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= {_SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -97,7 +115,14 @@ def c2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: MinHash(32)+LSH(8 bands) near-dup candidates verified by true
     Jaccard — the 100 TB path (band equi-join instead of shingle join)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=_JACCARD_THRESHOLD, num_hashes=32, bands=8, n=3)
+    return dedup.minhash_lsh_pairs(
+        docs,
+        threshold=_JACCARD_THRESHOLD,
+        num_hashes=32,
+        bands=8,
+        n=3,
+        max_shingle_df=_SHINGLE_DF_CAP,
+    )
 
 
 @query(
@@ -105,9 +130,15 @@ def c2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE
     toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= {_SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -150,7 +181,9 @@ def c2f_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=_JACCARD_THRESHOLD, n=3)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, n=3, max_shingle_df=_SHINGLE_DF_CAP
+    )
     comp = dedup.connected_components(pairs, "doc_a", "doc_b")
     return (
         comp.select(F.col("node").alias("doc_id"), "cluster_id")

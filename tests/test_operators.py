@@ -84,6 +84,48 @@ def test_embedding_neardup_recovers_planted_pairs(spark):
     assert got == {(i, i + 1000000) for i in range(10)}
 
 
+def test_shingle_df_cap_bounds_hot_shingle_blowup(spark):
+    """A shingle planted in 1,000 docs must NOT produce ~500k candidate
+    pairs: with max_shingle_df below the plant it is dropped before the
+    self-join, and only the genuinely-similar docs pair up."""
+    common = "all rights reserved by the licensor"  # 6 tokens -> 4 3-gram shingles
+    rows = [(i, f"{common} unique{i} tail{i} filler{i} pad{i}") for i in range(1000)]
+    # two true near-dups sharing a rare tail
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3, max_shingle_df=100)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(2000, 2001)}
+
+    # the capped candidate space stays bounded: the shingle stream after
+    # the df filter contains no shingle from the planted boilerplate
+    sh = dedup.shingles(docs, n=3, max_df=100)
+    hot = sh.filter(F.col("shingle").startswith("all rights")).count()
+    assert hot == 0
+    # uncapped for contrast: the hot shingles really do appear 1000x each
+    sh_raw = dedup.shingles(docs, n=3)
+    assert sh_raw.filter(F.col("shingle") == "all rights reserved").count() == 1000
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """1,000 identical docs land in one band bucket per band; with
+    max_bucket_size below that the bucket is dropped and the pair list is
+    empty instead of ~500k rows — while normal-sized clusters survive."""
+    rows = [(i, "the exact same templated document body here") for i in range(1000)]
+    # identical pair -> every band collides -> recall deterministically 1
+    rows += [(2000, "alpha beta gamma delta epsilon zeta"),
+             (2001, "alpha beta gamma delta epsilon zeta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.3, num_hashes=32, bands=8, n=3,
+        max_shingle_df=None, max_bucket_size=100,
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(2000, 2001)}
+
+
 def test_embedding_neardup_no_false_positives(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     # natural max pairwise sim in the fixture is ~0.5 -> empty at 0.9
