@@ -67,13 +67,44 @@ def x3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x4_approx_percentiles")
+@query(
+    "x4_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50,
+           ROUND(QUANTILE_CONT(l_quantity, 0.95), 6) AS p95,
+           CAST(ABS(APPROX_QUANTILE(l_quantity, 0.5) - QUANTILE_CONT(l_quantity, 0.5))
+                <= 0.05 * GREATEST(ABS(QUANTILE_CONT(l_quantity, 0.5)), 1.0)
+                AS INT) AS p50_within_tol,
+           CAST(ABS(APPROX_QUANTILE(l_quantity, 0.95) - QUANTILE_CONT(l_quantity, 0.95))
+                <= 0.05 * GREATEST(ABS(QUANTILE_CONT(l_quantity, 0.95)), 1.0)
+                AS INT) AS p95_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def x4_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: sketch-based percentiles for the 100 TB path (one pass,
-    bounded memory vs a full sort). Deterministic but not SQL-exact ->
-    rows-only check alongside the exact twin above."""
+    bounded memory vs a full sort).
+
+    Sketch internals differ per engine (Spark Greenwald-Khanna vs DuckDB
+    t-digest), so the hash-checkable contract mirrors x1: exact
+    interpolated percentiles plus a flag that each engine's OWN sketch
+    lands within 5% of them — the approximation guarantee is what gets
+    hash-checked."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def within(p: float, alias: str):
+        exact = F.percentile("l_quantity", F.lit(p))
+        approx = F.percentile_approx("l_quantity", F.lit(p), F.lit(10000))
+        return (
+            (F.abs(approx - exact) <= 0.05 * F.greatest(F.abs(exact), F.lit(1.0)))
+            .cast("int")
+            .alias(alias)
+        )
+
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("p95"),
+        within(0.5, "p50_within_tol"),
+        within(0.95, "p95_within_tol"),
     )
