@@ -79,7 +79,12 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # ns -> NTZ microseconds via tz-independent arithmetic on an NTZ
-        # epoch base (integer div floors, matching DuckDB's ns->us cast).
+        # epoch base. Spark's DIV/% truncate toward zero, and so does
+        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast (measured: -1234 ns
+        # casts to -1 us, -999 ns to 0 — NOT floor), so the truncating
+        # second/micro split below reconstructs trunc(ts/1000) and stays
+        # bit-identical to the oracle for pre-epoch values too
+        # (tests/test_functions.py::test_ns_catalog_preepoch_parity).
         ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
         df = df.withColumn(
             "ts",

@@ -103,27 +103,55 @@ def date_format_mysql(col: Column | str, mysql_pattern: str) -> Column:
 
 
 _LIMIT_OFFSET_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
-_DATE_FORMAT_RE = re.compile(r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(([^,]+),\s*'([^']*)'\s*\)", re.IGNORECASE)
+# String literals appear as \x00<slot>\x00 masks by the time these run.
+_DATE_FORMAT_RE = re.compile(
+    r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(([^,]+),\s*\x00(\d+)\x00\s*\)", re.IGNORECASE
+)
 _GROUP_CONCAT_RE = re.compile(
-    r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?([^()]+?)(?:\s+SEPARATOR\s+'([^']*)')?\s*\)",
+    r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?([^()]+?)(?:\s+SEPARATOR\s+\x00(\d+)\x00)?\s*\)",
     re.IGNORECASE,
 )
+# Longest-match-at-position alternation: a string consumes any '--' inside
+# it, a comment consumes any quote inside it — whichever starts first wins.
+_STRING_OR_COMMENT_RE = re.compile(
+    r"'(?:[^']|'')*'|--[^\n]*|#[^\n]*|/\*.*?\*/", re.DOTALL
+)
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals and comments with \\x00<slot>\\x00 tokens so
+    keyword rewrites can never fire inside e.g. ``'see LIMIT 1, 2'``."""
+    slots: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        slots.append(m.group(0))
+        return f"\x00{len(slots) - 1}\x00"
+
+    return _STRING_OR_COMMENT_RE.sub(repl, sql), slots
+
+
+def _unmask(sql: str, slots: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: slots[int(m.group(1))], sql)
 
 
 def mysql_to_spark_sql(sql: str) -> str:
     """Best-effort MySQL -> Spark SQL text translation for the syntax
     deltas Spark doesn't accept natively. Conservative: rewrites only
-    recognized constructs.
+    recognized constructs, and only OUTSIDE string literals / comments
+    (literals and -- # /* */ comments are masked before any rewrite, so
+    a query like ``WHERE note = 'see LIMIT 1, 2'`` is untouched).
 
     - ``LIMIT off, cnt``          -> ``LIMIT cnt OFFSET off``
     - ``DATE_FORMAT(x, '%Y..')``  -> Java pattern equivalent
     - ``STR_TO_DATE(x, '%Y..')``  -> ``TO_TIMESTAMP(x, 'yyyy..')``
     - ``GROUP_CONCAT(x [SEPARATOR s])`` -> sorted concat_ws/collect_list
     """
+    sql, slots = _mask_literals(sql)
     sql = _LIMIT_OFFSET_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
 
     def _fmt(m: re.Match) -> str:
-        fn, arg, pat = m.group(1).upper(), m.group(2).strip(), _translate_pattern(m.group(3))
+        fn, arg = m.group(1).upper(), m.group(2).strip()
+        pat = _translate_pattern(slots[int(m.group(3))][1:-1])
         if fn == "STR_TO_DATE":
             return f"TO_TIMESTAMP({arg}, '{pat}')"
         return f"DATE_FORMAT({arg}, '{pat}')"
@@ -131,8 +159,9 @@ def mysql_to_spark_sql(sql: str) -> str:
     sql = _DATE_FORMAT_RE.sub(_fmt, sql)
 
     def _gc(m: re.Match) -> str:
-        distinct, expr, sep = m.group(1), m.group(2).strip(), m.group(3) or ","
+        distinct, expr = m.group(1), m.group(2).strip()
+        sep = slots[int(m.group(3))][1:-1] if m.group(3) is not None else ","
         collect = "collect_set" if distinct else "collect_list"
         return f"concat_ws('{sep}', sort_array({collect}({expr})))"
 
-    return _GROUP_CONCAT_RE.sub(_gc, sql)
+    return _unmask(_GROUP_CONCAT_RE.sub(_gc, sql), slots)

@@ -44,6 +44,14 @@ def compact_parquet_dir(
     Returns a report dict: files/bytes before and after. The file count is
     ceil(total_bytes / target) — the 128 MB default matches the scan
     partition size a cluster wants; pass smaller targets for local tests.
+
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS. The swap
+    is two renames (path -> old, tmp -> path); between them the directory
+    does not exist, and a crash in that window leaves only the ``__old``
+    copy to recover by hand. Table formats solve this with manifest
+    indirection (Iceberg/Delta commit a new snapshot pointer); for a bare
+    parquet directory, schedule compaction when nothing else touches the
+    path.
     """
     files_before, bytes_before = parquet_dir_stats(path)
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))

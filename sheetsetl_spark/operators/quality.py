@@ -23,9 +23,15 @@ def _report(df: DataFrame, check: str, violations) -> DataFrame:
 
 
 def check_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
-    """Rows minus distinct key combinations = duplicate count."""
-    dup = F.count("*") - F.countDistinct(*[F.col(c) for c in cols])
-    return _report(df, name or f"unique({','.join(cols)})", dup)
+    """Duplicates = sum of (group size - 1) over key groups.
+
+    groupBy keeps NULL keys as their own group, so a lone NULL-keyed row
+    is NOT a violation and two identical NULL-keyed rows count as one —
+    the countDistinct formulation (COUNT(*) - COUNT(DISTINCT cols)) got
+    both wrong because countDistinct skips NULL-containing rows."""
+    grouped = df.groupBy(*[F.col(c) for c in cols]).agg(F.count("*").alias("__n"))
+    dup = F.coalesce(F.sum(F.col("__n") - 1), F.lit(0))
+    return _report(grouped, name or f"unique({','.join(cols)})", dup)
 
 
 def check_non_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:

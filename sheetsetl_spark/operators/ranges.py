@@ -13,8 +13,31 @@ kdb's window joins use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _epoch_micros(df: DataFrame, col: str) -> Column:
+    """Microsecond epoch of a timestamp column. TIMESTAMP_NTZ (and DATE)
+    are measured against an NTZ epoch — tz-independent, no session-zone
+    dependence; unix_micros handles the instant-typed case."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.TimestampNTZType, T.DateType)):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"CAST(`{col}` AS TIMESTAMP_NTZ))"
+        )
+    return F.unix_micros(F.col(col))
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    """Floor division of a bigint column by a positive literal.
+
+    Spark's ``div``/``%`` truncate toward zero, which rounds the wrong way
+    for negative (pre-epoch) values; ``a - pmod(a, b)`` is always the
+    largest multiple of b <= a, so the quotient is a true floor."""
+    return ((a - F.pmod(a, F.lit(b))) / b).cast("long")
 
 
 def point_in_interval_join(
@@ -31,13 +54,19 @@ def point_in_interval_join(
 
     ``bin_width_s`` should be >= the typical interval length so each
     interval lands in few bins; correctness never depends on it.
+
+    Bins are computed from MICROSECOND epochs (timestamp precision), not
+    whole seconds — second-truncated math loses the final bin of any
+    interval whose exclusive end has a fractional second (end 10.5s used
+    to bin as if it ended at 10s, dropping matches in [10s, 10.5s)).
     """
-    p_bin = F.floor(F.unix_timestamp(F.col(point_col)) / bin_width_s)
+    w_us = bin_width_s * 1_000_000
+    p_bin = _floordiv(_epoch_micros(points, point_col), w_us)
     binned_points = points.withColumn("__bin", p_bin)
 
-    start_bin = F.floor(F.unix_timestamp(F.col(start_col)) / bin_width_s)
-    # end is exclusive: the last covered bin holds end - 1s
-    end_bin = F.floor((F.unix_timestamp(F.col(end_col)) - 1) / bin_width_s)
+    start_bin = _floordiv(_epoch_micros(intervals, start_col), w_us)
+    # end is exclusive: the last covered instant is end - 1 microsecond
+    end_bin = _floordiv(_epoch_micros(intervals, end_col) - 1, w_us)
     binned_intervals = intervals.withColumn(
         "__bin", F.explode(F.sequence(start_bin, end_bin))
     )

@@ -993,10 +993,10 @@ def c14_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x11_quality_checks",
     oracle="""
     SELECT 'unique(event_id)' AS check,
-           CASE WHEN COUNT(*) - COUNT(DISTINCT event_id) = 0
+           CASE WHEN COALESCE(SUM(n - 1), 0) = 0
                 THEN 'pass' ELSE 'fail' END AS status,
-           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_violations
-    FROM events
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS n FROM events GROUP BY event_id) uq
     UNION ALL
     SELECT 'non_null(o_custkey)',
            CASE WHEN COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0

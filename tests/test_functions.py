@@ -77,3 +77,53 @@ def test_translator_date_format_and_group_concat(spark):
     # passthrough: valid Spark SQL is untouched
     s = "SELECT 1 AS x"
     assert mysql_to_spark_sql(s) == s
+
+
+def test_ns_catalog_preepoch_parity(spark, tmp_path):
+    """The ns->us conversion in catalog.load_table must agree with
+    DuckDB's TIMESTAMP_NS -> TIMESTAMP cast for PRE-epoch values too.
+    Both engines truncate toward zero (measured; not floor)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sheetsetl_spark.catalog import load_table
+
+    vals = [1234, -1234, 1_500_000_123_456, -1_500_000_123_456, 0, -1, 999, -999]
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(
+        pa.table(
+            {"user_id": list(range(len(vals))), "ts": pa.array(vals, type=pa.timestamp("ns"))}
+        ),
+        path,
+    )
+    got = [
+        r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        for r in load_table(spark, str(tmp_path), "events").orderBy("user_id").collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        r[0].strftime("%Y-%m-%d %H:%M:%S.%f")
+        for r in con.execute(
+            f"SELECT CAST(ts AS TIMESTAMP) FROM read_parquet('{path}') ORDER BY user_id"
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_translator_masks_literals_and_comments():
+    # keywords inside string literals are never rewritten
+    s = "SELECT * FROM t WHERE note = 'see LIMIT 1, 2' LIMIT 3, 4"
+    assert mysql_to_spark_sql(s) == (
+        "SELECT * FROM t WHERE note = 'see LIMIT 1, 2' LIMIT 4 OFFSET 3"
+    )
+    # ... nor inside -- or /* */ comments
+    s2 = "SELECT 1 -- LIMIT 5, 6\nFROM t /* GROUP_CONCAT(x) */ LIMIT 1, 2"
+    assert mysql_to_spark_sql(s2) == (
+        "SELECT 1 -- LIMIT 5, 6\nFROM t /* GROUP_CONCAT(x) */ LIMIT 2 OFFSET 1"
+    )
+    # literal rewrites still work when they SHOULD fire
+    s3 = "SELECT DATE_FORMAT(d, '%Y-%m') FROM t WHERE x = 'DATE_FORMAT(d, ''%d'')'"
+    out = mysql_to_spark_sql(s3)
+    assert out.startswith("SELECT DATE_FORMAT(d, 'yyyy-MM')")
+    assert "'DATE_FORMAT(d, ''%d'')'" in out

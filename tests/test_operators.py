@@ -487,3 +487,127 @@ def test_deterministic_shards_single_shuffle_plan(spark):
     )
     # shard assignment is map-side; only the in-shard rank window shuffles
     assert plan.count("Exchange") == 1, plan
+
+
+def test_check_unique_null_keys(spark):
+    """A lone NULL-keyed row is not a duplicate; two identical NULL-keyed
+    rows count as exactly one violation."""
+    from sheetsetl_spark.operators import quality
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    assert quality.check_unique(df, ["k"]).first()["n_violations"] == 0
+    df2 = spark.createDataFrame([(1,), (None,), (None,)], "k int")
+    r = quality.check_unique(df2, ["k"]).first()
+    assert r["n_violations"] == 1 and r["status"] == "fail"
+    df3 = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    assert quality.check_unique(df3, ["k"]).first()["n_violations"] == 1
+
+
+def _make_ppm(w, h, seed):
+    rgb = bytes((seed * 31 + i * 7) % 256 for i in range(w * h * 3))
+    return multimodal.encode_ppm(w, h, rgb)
+
+
+def _make_bmp(w, h, seed):
+    """Uncompressed 24-bpp bottom-up BMP with 4-byte row padding."""
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    raster = b"".join(
+        bytes(((seed + y) * 13 + x) % 256 for x in range(row)) + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + raster
+
+
+def test_ppm_bmp_roundtrip_pixels():
+    """The pure-Python codecs agree: a BMP and a PPM of the same pixels
+    decode to identical RGB."""
+    w, h = 5, 3
+    rgb = bytes(range(w * h * 3))
+    ppm = multimodal.encode_ppm(w, h, rgb)
+    assert multimodal.parse_ppm(ppm) == (w, h, rgb)
+    # build a BMP holding the same pixels (BGR, bottom-up, padded rows)
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    bgr_rows = []
+    for y in range(h - 1, -1, -1):
+        r = rgb[y * row : (y + 1) * row]
+        bgr_rows.append(
+            bytes(b for i in range(0, row, 3) for b in (r[i + 2], r[i + 1], r[i]))
+            + b"\x00" * pad
+        )
+    raster = b"".join(bgr_rows)
+    off = 54
+    bmp = (
+        b"BM" + (off + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+        + off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little") + b"\x00" * 16
+    ) + raster
+    assert multimodal.parse_bmp(bmp) == (w, h, rgb)
+
+
+def test_multimodal_real_resize_end_to_end(spark):
+    """resize_images over REAL pixel data: PPM and BMP payloads resized by
+    the pure-Python nearest-neighbor path inside mapInPandas."""
+    rows = [
+        (0, "image", _make_ppm(8, 6, 1), (8, 6, None, None)),
+        (1, "image", _make_bmp(7, 5, 2), (7, 5, None, None)),
+        (2, "audio", b"\x01\x02\x03", (None, None, 8000, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(
+            media, 4, 4, resize_fn=multimodal.ppm_resizer
+        ).collect()
+    }
+    for mid in (0, 1):
+        w, h, rgb = multimodal.parse_ppm(bytes(out[mid]["payload"]))
+        assert (w, h) == (4, 4) and len(rgb) == 4 * 4 * 3
+    # nearest-neighbor: resized pixels are a subset of source pixels
+    src_w, src_h, src_rgb = multimodal.parse_ppm(_make_ppm(8, 6, 1))
+    _, _, dst_rgb = multimodal.parse_ppm(bytes(out[0]["payload"]))
+    src_px = {src_rgb[i : i + 3] for i in range(0, len(src_rgb), 3)}
+    assert all(dst_rgb[i : i + 3] in src_px for i in range(0, len(dst_rgb), 3))
+    # audio passthrough untouched
+    assert bytes(out[2]["payload"]) == b"\x01\x02\x03"
+
+
+def test_multimodal_real_features_and_frames(spark):
+    """extract_features with the real decoder + frame sampling over a
+    concatenated-PPM 'video' stream."""
+    frames = [_make_ppm(4, 4, s) for s in range(10)]
+    rows = [
+        (0, "image", _make_ppm(6, 4, 3), (6, 4, None, None)),
+        (1, "image", _make_bmp(6, 4, 4), (6, 4, None, None)),
+        (2, "video", b"".join(frames), (4, 4, None, 10)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(
+            media.filter("kind = 'image'"), decode_fn=multimodal.ppm_bmp_decoder
+        ).collect()
+    }
+    assert feats[0][0] == 6.0 and feats[0][1] == 4.0 and feats[0][7] == 24.0
+    assert feats[1][0] == 6.0 and 0.0 <= feats[1][2] <= 1.0
+
+    sampled = multimodal.sample_frames(
+        media, every_n=3, extract_fn=multimodal.ppm_frame_extractor
+    ).collect()
+    got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in sampled}
+    assert set(got) == {(2, 0), (2, 3), (2, 6), (2, 9)}
+    assert all(got[(2, i)] == frames[i] for i in (0, 3, 6, 9))

@@ -144,3 +144,45 @@ def test_range_join_bin_width_invariant(spark, points, intervals, bin_width):
         if s <= pm < s + d
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(st.integers(0, 40_000), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 40_000), st.integers(1, 12_000)), min_size=1, max_size=6
+    ),
+    bin_width=st.sampled_from([1, 10, 60]),
+)
+def test_range_join_fractional_second_bounds(spark, points, intervals, bin_width):
+    """Sub-second timestamps (millisecond offsets): an interval whose
+    exclusive end falls mid-bin must still match points in its final bin
+    — the regression the second-truncated bin math used to drop."""
+    from sheetsetl_spark.operators.ranges import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(i, _BASE + timedelta(milliseconds=m)) for i, m in enumerate(points)],
+        "pid int, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (i, _BASE + timedelta(milliseconds=s), _BASE + timedelta(milliseconds=s + d))
+            for i, (s, d) in enumerate(intervals)
+        ],
+        "iid int, iv_start timestamp, iv_end timestamp",
+    )
+    got = sorted(
+        map(
+            tuple,
+            point_in_interval_join(pts, ivs, "ts", "iv_start", "iv_end", bin_width)
+            .select("pid", "iid")
+            .collect(),
+        )
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, pm in enumerate(points)
+        for ii, (s, d) in enumerate(intervals)
+        if s <= pm < s + d
+    )
+    assert got == want
