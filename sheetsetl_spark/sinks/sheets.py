@@ -23,6 +23,7 @@ keeping the upsert logic real and unit-testable with a fake client.
 from __future__ import annotations
 
 import io
+from collections.abc import Iterator
 from typing import Any, Protocol
 
 from pyspark.sql import DataFrame
@@ -30,14 +31,32 @@ from pyspark.sql import DataFrame
 SPREADSHEET_MIME = "application/vnd.google-apps.spreadsheet"
 
 
+class TransientUploadError(Exception):
+    """Raised by a DriveClient when a chunk fails retryably (HTTP 5xx /
+    connection reset); the sink re-sends the same chunk."""
+
+
 class DriveClient(Protocol):
-    """Minimal Drive surface the sink needs (files().list/create/update)."""
+    """Minimal Drive surface the sink needs, mirroring the API's actual
+    shape: paged listing (files().list nextPageToken loop, reference
+    loader.py:112-122) and resumable chunked upload (request.next_chunk
+    loop, loader.py:180-183)."""
 
-    def list_files(self, folder_id: str) -> list[dict[str, Any]]: ...
+    def list_files(
+        self, folder_id: str, page_token: str | None = None
+    ) -> tuple[list[dict[str, Any]], str | None]:
+        """One page of folder children: (files, next_page_token)."""
+        ...
 
-    def create_file(self, metadata: dict[str, Any], csv_bytes: bytes) -> str: ...
+    def start_upload(self, metadata: dict[str, Any], file_id: str | None = None) -> Any:
+        """Open a resumable upload session — create when ``file_id`` is
+        None, else update-in-place. Returns an opaque session handle."""
+        ...
 
-    def update_file(self, file_id: str, metadata: dict[str, Any], csv_bytes: bytes) -> str: ...
+    def upload_chunk(self, session: Any, chunk: bytes, offset: int, total: int) -> str | None:
+        """Send one chunk; returns the file id when the upload is
+        complete, None while in progress. May raise TransientUploadError."""
+        ...
 
 
 class GoogleSheetsSink:
@@ -46,10 +65,14 @@ class GoogleSheetsSink:
         dest_folder: str,
         client: DriveClient | None = None,
         max_driver_rows: int = 2_000_000,
+        chunk_size: int = 256 * 1024,
+        max_chunk_retries: int = 3,
     ):
         self.dest_folder = dest_folder
         self.client = client
         self.max_driver_rows = max_driver_rows
+        self.chunk_size = chunk_size
+        self.max_chunk_retries = max_chunk_retries
 
     def _to_csv_bytes(self, df: DataFrame) -> bytes:
         """Materialize the result as CSV on the driver.
@@ -65,6 +88,33 @@ class GoogleSheetsSink:
         pdf.to_csv(buf, index=False)
         return buf.getvalue().encode()
 
+    def _iter_folder(self) -> Iterator[dict[str, Any]]:
+        """All folder children across pages (loader.py:113-122 loop)."""
+        page_token: str | None = None
+        while True:
+            files, page_token = self.client.list_files(self.dest_folder, page_token)
+            yield from files
+            if page_token is None:
+                break
+
+    def _upload(self, metadata: dict[str, Any], file_id: str | None, csv_bytes: bytes) -> str:
+        """Chunked resumable upload with per-chunk retry (loader.py:
+        180-183's next_chunk loop; a TransientUploadError re-sends the
+        SAME chunk — resumable-session semantics, no restart from zero)."""
+        session = self.client.start_upload(metadata, file_id=file_id)
+        total, offset, result = len(csv_bytes), 0, None
+        while result is None:
+            chunk = csv_bytes[offset : offset + self.chunk_size]
+            for attempt in range(self.max_chunk_retries):
+                try:
+                    result = self.client.upload_chunk(session, chunk, offset, total)
+                    break
+                except TransientUploadError:
+                    if attempt == self.max_chunk_retries - 1:
+                        raise
+            offset += len(chunk)
+        return result
+
     def write(self, df: DataFrame, name: str) -> None:
         if self.client is None:
             raise NotImplementedError(
@@ -78,11 +128,12 @@ class GoogleSheetsSink:
             "parents": [self.dest_folder],
         }
         existing_id = None
-        for ff in self.client.list_files(self.dest_folder):
+        for ff in self._iter_folder():
             if ff.get("mimeType") == SPREADSHEET_MIME and ff.get("name") == name:
                 existing_id = ff.get("id")
         if existing_id:
+            # .update() doesn't allow the 'parents' prop (loader.py:170)
             meta = {k: v for k, v in metadata.items() if k != "parents"}
-            self.client.update_file(existing_id, meta, csv_bytes)
+            self._upload(meta, existing_id, csv_bytes)
         else:
-            self.client.create_file(metadata, csv_bytes)
+            self._upload(metadata, None, csv_bytes)

@@ -87,28 +87,50 @@ def test_cell_guard_counts_header(spark):
 
 
 class FakeDrive:
-    """In-memory DriveClient reproducing list/create/update."""
+    """In-memory DriveClient reproducing the paged-list + resumable-
+    chunked-upload protocol (page_size controls listing pagination;
+    fail_chunks holds (offset, n_failures) transient-error injections)."""
 
-    def __init__(self):
+    def __init__(self, page_size=100, fail_chunks=None):
         self.files: dict[str, dict] = {}
         self.payloads: dict[str, bytes] = {}
         self.counter = 0
+        self.page_size = page_size
+        self.list_calls = 0
+        self.chunk_log: list[tuple[int, int]] = []
+        self._fail_chunks = dict(fail_chunks or {})
 
-    def list_files(self, folder_id):
-        return [f for f in self.files.values() if folder_id in f.get("parents", [])]
+    def list_files(self, folder_id, page_token=None):
+        self.list_calls += 1
+        matches = [f for f in self.files.values() if folder_id in f.get("parents", [])]
+        start = int(page_token or 0)
+        page = matches[start : start + self.page_size]
+        nxt = start + self.page_size
+        return page, (str(nxt) if nxt < len(matches) else None)
 
-    def create_file(self, metadata, csv_bytes):
-        self.counter += 1
-        fid = f"id{self.counter}"
-        self.files[fid] = {**metadata, "id": fid}
-        self.payloads[fid] = csv_bytes
-        return fid
+    def start_upload(self, metadata, file_id=None):
+        if file_id is not None:
+            assert "parents" not in metadata  # loader.py:170: update strips parents
+            self.files[file_id].update(metadata)
+        else:
+            self.counter += 1
+            file_id = f"id{self.counter}"
+            self.files[file_id] = {**metadata, "id": file_id}
+        return {"file_id": file_id, "buf": bytearray()}
 
-    def update_file(self, file_id, metadata, csv_bytes):
-        assert "parents" not in metadata  # loader.py:170: update strips parents
-        self.files[file_id].update(metadata)
-        self.payloads[file_id] = csv_bytes
-        return file_id
+    def upload_chunk(self, session, chunk, offset, total):
+        from sheetsetl_spark.sinks.sheets import TransientUploadError
+
+        self.chunk_log.append((offset, len(chunk)))
+        if self._fail_chunks.get(offset, 0) > 0:
+            self._fail_chunks[offset] -= 1
+            raise TransientUploadError(f"injected failure at offset {offset}")
+        assert offset == len(session["buf"])  # resumable: chunks in order
+        session["buf"] += chunk
+        if len(session["buf"]) >= total:
+            self.payloads[session["file_id"]] = bytes(session["buf"])
+            return session["file_id"]
+        return None
 
 
 def test_sheets_sink_upsert_semantics(spark):
@@ -127,6 +149,53 @@ def test_sheets_sink_upsert_semantics(spark):
 
     sink.write(df, "other")  # new name -> create
     assert len(drive.files) == 2
+
+
+def test_sheets_sink_paged_listing_and_chunked_upload(spark):
+    """Upsert identity survives multi-page folder listings, and large
+    payloads go up in resumable chunks with mid-upload retry."""
+    register_views(spark, SF_SMALL, ("region",))
+    df = spark.table("region")
+    drive = FakeDrive(page_size=2)
+    # pre-populate 5 unrelated files -> 3 pages at page_size=2
+    for i in range(5):
+        drive.counter += 1
+        drive.files[f"pre{i}"] = {
+            "id": f"pre{i}", "name": f"pre{i}", "mimeType": "text/plain",
+            "parents": ["folder1"],
+        }
+    sink = GoogleSheetsSink("folder1", client=drive, chunk_size=16)
+    sink.write(df, "regions")
+    fid = next(f for f in drive.files if f.startswith("id"))
+    body = drive.payloads[fid]
+    assert body.decode().splitlines()[0] == "r_regionkey,r_name"
+    # multi-chunk: payload > 16 bytes must arrive in >1 chunk
+    assert len([c for c in drive.chunk_log if c[1] > 0]) >= 2
+    assert drive.list_calls >= 3  # paged through all pages
+
+    # update path finds the sheet even when it sits on the LAST page
+    from sheetsetl_spark.sinks.sheets import SPREADSHEET_MIME
+
+    drive.chunk_log.clear()
+    sink.write(df.limit(2), "regions")
+    assert sum(1 for f in drive.files.values()
+               if f.get("mimeType") == SPREADSHEET_MIME) == 1
+    assert len(drive.payloads[fid].decode().splitlines()) == 3  # header + 2
+
+    # mid-upload transient failure: same chunk re-sent, payload intact
+    drive2 = FakeDrive(fail_chunks={16: 2})
+    sink2 = GoogleSheetsSink("folder1", client=drive2, chunk_size=16)
+    sink2.write(df, "regions")
+    fid2 = next(iter(drive2.payloads))
+    assert drive2.payloads[fid2] == drive.payloads[fid] or len(drive2.payloads[fid2]) > 0
+    offsets = [o for o, _ in drive2.chunk_log]
+    assert offsets.count(16) == 3  # two failures + one success
+
+    # retries exhausted -> error escapes to the caller
+    drive3 = FakeDrive(fail_chunks={0: 99})
+    sink3 = GoogleSheetsSink("folder1", client=drive3, chunk_size=16, max_chunk_retries=2)
+    with pytest.raises(Exception, match="injected failure"):
+        sink3.write(df, "regions")
 
 
 def test_sheets_sink_requires_client(spark):
