@@ -39,13 +39,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, sim) with sim rounded to 6 for
     hash-stability; rank ties broken by neighbor id.
     """
+    # Norms are computed ONCE per row in each side's projection — inside
+    # the pair expression they'd be re-derived |queries|x per corpus row.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    sim = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", F.sqrt(_dot("cv", "cv")))
+    sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -100,34 +104,36 @@ def cosine_topk_ivf(
     can be persisted bucketed-by-centroid so repeated query batches skip
     the assignment scan entirely.
     """
+    # One norm per vector/centroid/query, computed in the projections and
+    # carried through every stage — never re-derived inside pair math.
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("vn", F.sqrt(_dot("v", "v")))
     cent = e.filter(F.col("vec_id") < num_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("vn").alias("cn")
     )
-    csim = _dot("v", "cv") / (F.sqrt(_dot("v", "v")) * F.sqrt(_dot("cv", "cv")))
+    csim = _dot("v", "cv") / (F.col("vn") * F.col("cn"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
     assigned = (
         e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cent_id", csim.alias("csim"))
+        .select("vec_id", "v", "vn", "cent_id", csim.alias("csim"))
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", "cent_id")
+        .select("vec_id", "v", "vn", "cent_id")
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    qsim = _dot("qv", "cv") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+    ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
+    qsim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     w_probe = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "cent_id", qsim.alias("qsim"))
+        .select("query_id", "qv", "qn", "cent_id", qsim.alias("qsim"))
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "qn", "cent_id")
     )
-    sim = _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v")))
+    sim = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
     scored = (
         assigned.join(F.broadcast(probes), "cent_id")
         .filter(F.col("query_id") != F.col("vec_id"))
@@ -167,9 +173,17 @@ def cosine_topk_lsh(
                 > 0
             ).cast("int"),
         )
+        # norm once per row here, not per candidate pair in the verify
         return df.select(
             F.col(id_col).alias(out),
             vec.alias(f"{out}_v"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(vec, vec, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias(f"{out}_n"),
             F.concat_ws("", bits).alias(f"{out}_bucket"),
         )
 
@@ -183,21 +197,11 @@ def cosine_topk_lsh(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nq = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("query_id_v"), F.col("query_id_v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (dot / (F.col("query_id_n") * F.col("neighbor_id_n"))).alias("sim"),
     )
-    nc = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("neighbor_id_v"), F.col("neighbor_id_v"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    scored = joined.select("query_id", "neighbor_id", (dot / (nq * nc)).alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("nn_rank", F.row_number().over(w))
