@@ -516,3 +516,77 @@ def weighted_resample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))))
         .drop("n_copies")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C2 semantic tier (SemDeDup-shaped): coarse-cluster the embedding
+    corpus, then drop every vector whose cluster holds a smaller-id vector
+    with cosine >= ``threshold``. Returns the KEPT rows as (id, cent_id).
+
+    Priority-by-id (instead of connected components) makes the result a
+    pure semi-join: a vector survives iff no higher-priority near-twin
+    shares its cluster — deterministic, one pass, no iteration. Centroids
+    are the deterministic ``id < num_centroids`` subset so the whole
+    operator (assignment included) is DuckDB-oracle-checkable; swap in
+    trained k-means centroids via a broadcast table in production.
+
+    Scale: assignment is broadcast(M) x corpus with no shuffle; the
+    pairwise stage is one shuffle on cent_id and O(sum c_i^2) work, the
+    SemDeDup contract — num_centroids must grow ~sqrt(N) so clusters stay
+    bounded. ``max_cluster_size`` is the skew fuse: clusters bigger than
+    the cap skip pairwise entirely (all kept, flagged upstream) rather
+    than detonating a c^2 join on a degenerate centroid.
+    """
+    from sheetsetl_spark.operators.similarity import _dot
+
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vn", F.sqrt(_dot("v", "v")))
+    cent = e.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+    csim = _dot("v", "cv") / (F.col("vn") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "vn", "cent_id", csim.alias("csim"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", "vn", "cent_id")
+    )
+    pairwise = assigned
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cent_id").agg(F.count("*").alias("__csz"))
+        pairwise = assigned.join(
+            F.broadcast(sizes.filter(F.col("__csz") <= max_cluster_size)), "cent_id"
+        ).drop("__csz")
+    a = pairwise.select(
+        "cent_id",
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("av"),
+        F.col("vn").alias("an"),
+    )
+    b = pairwise.select(
+        "cent_id",
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+    )
+    sim = _dot("av", "bv") / (F.col("an") * F.col("bn"))
+    dups = (
+        a.join(b, ["cent_id"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(sim >= threshold)
+        .select("dup_id")
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned["vec_id"] == dups["dup_id"], "left_anti"
+    ).select("vec_id", "cent_id")

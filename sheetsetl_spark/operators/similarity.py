@@ -241,3 +241,61 @@ def group_centroids(
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+def int8_quantize(vec: Column, eps: float = 1e-12) -> tuple[Column, Column]:
+    """Symmetric per-vector int8 quantization: scale = 127/max|v_i|,
+    q_i = floor(v_i * scale + 0.5). Returns (quantized array, scale).
+
+    floor(x + 0.5) instead of round() on purpose — identical IEEE
+    semantics in Spark and DuckDB (ROUND half-away/half-even varies), so
+    the quantized grid is bit-identical across engines. Cosine over the
+    quantized vectors needs no dequantize: the scales cancel.
+    """
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(eps)
+    )
+    return F.transform(vec, lambda x: F.floor(x * scale + F.lit(0.5))), scale
+
+
+def cosine_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """C3 memory-scale path: exact top-k over int8-quantized vectors.
+
+    At 100 TB of fp32 embeddings the scan is bandwidth-bound; int8 cuts
+    the bytes moved 4x and the integer dot products stay exact (64 dims x
+    127^2 << 2^53), so the whole approximate pipeline is deterministic
+    and DuckDB-hash-checkable — quantization error only perturbs the
+    ranking, never the reproducibility. Same broadcast-queries x
+    streamed-corpus shape as the exact baseline; in production the
+    quantized corpus is materialized once and re-scanned per query batch.
+    """
+    def q(df: DataFrame, out: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        qv, _ = int8_quantize(vec)
+        sel = df.select(F.col(id_col).alias(out), qv.alias(f"{out}_qv"))
+        return sel.withColumn(
+            f"{out}_qn", F.sqrt(_dot(f"{out}_qv", f"{out}_qv"))
+        )
+
+    qs = q(queries, "query_id")
+    c = q(embeddings, "neighbor_id")
+    sim = _dot("query_id_qv", "neighbor_id_qv") / (
+        F.col("query_id_qn") * F.col("neighbor_id_qn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("sim", 6).alias("sim"))
+    )

@@ -1351,3 +1351,101 @@ def c21_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+def _semantic_dedup_oracle(
+    threshold: float = 0.95, num_centroids: int = 16, dim: int = 64
+) -> str:
+    """DuckDB twin of ``dedup.semantic_dedup`` over the planted corpus:
+    identical centroid assignment (rank-1 cosine, cent_id tiebreak) and
+    identical smaller-id-wins pairwise pruning, so the full cluster-then-
+    dedup pipeline is hash-checked, not just rows-only."""
+    pert = ", ".join(repr(v) for v in _neardup_pert(dim))
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, {dim}),
+                            i -> (embedding::DOUBLE[])[i] + ([{pert}]::DOUBLE[])[i])
+      FROM embeddings WHERE vec_id < 20
+    ),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM corpus WHERE vec_id < {num_centroids}),
+    asg AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT corpus.vec_id, corpus.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY corpus.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM corpus, cent) t
+      WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE LIST_DOT_PRODUCT(a.v, b.v)
+              / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v)))
+            >= {threshold}
+    )
+    SELECT vec_id, cent_id FROM asg
+    WHERE vec_id NOT IN (SELECT dup_id FROM dups)
+    """
+
+
+@query("c2g_semantic_dedup", oracle=_semantic_dedup_oracle())
+def c2g_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 semantic tier: SemDeDup-shaped cluster-then-dedup — coarse
+    centroid assignment (broadcast, no shuffle), within-cluster pairwise
+    cosine, smaller id survives. Planted perturbed copies of vec_id < 20
+    (ids +1e6, sim ~ 0.997) must be the rows removed. See
+    operators/dedup.py::semantic_dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    pert_lit = F.array(*[F.lit(v) for v in _neardup_pert()])
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    return dedup.semantic_dedup(corpus, num_centroids=16, threshold=0.95)
+
+
+@query(
+    "c3d_topk_cosine_quantized",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id,
+             127.0 / GREATEST(list_max(list_transform(v, x -> ABS(x))), 1e-12) AS sc,
+             v
+      FROM e
+    ),
+    q8 AS (
+      SELECT vec_id, list_transform(v, x -> FLOOR(x * sc + 0.5)) AS qv FROM s
+    ),
+    n AS (SELECT vec_id, qv, SQRT(LIST_DOT_PRODUCT(qv, qv)) AS qn FROM q8),
+    q AS (SELECT vec_id AS query_id, qv AS aqv, qn AS aqn FROM n WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(aqv, n.qv) / (aqn * n.qn) AS sim
+      FROM n, q WHERE q.query_id <> n.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE nn_rank <= 10
+    """,
+)
+def c3d_topk_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 memory-scale path: exact top-10 cosine over int8-quantized
+    vectors (4x less scan bandwidth; integer dots are exact, so the whole
+    approximate pipeline is hash-checked against the DuckDB twin). See
+    operators/similarity.py::cosine_topk_quantized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_quantized(emb, queries_df, k=10)

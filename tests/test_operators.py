@@ -611,3 +611,56 @@ def test_multimodal_real_features_and_frames(spark):
     got = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in sampled}
     assert set(got) == {(2, 0), (2, 3), (2, 6), (2, 9)}
     assert all(got[(2, i)] == frames[i] for i in (0, 3, 6, 9))
+
+
+def test_semantic_dedup_removes_planted_twin(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # exact copy of vec_id 3 at id 1_000_003: same cluster, sim == 1.0
+    twin = base.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    kept = dedup.semantic_dedup(base.unionAll(twin), num_centroids=16, threshold=0.95)
+    ids = {r.vec_id for r in kept.collect()}
+    assert 3 in ids and 1000003 not in ids
+    # fixture vectors are near-orthogonal: nothing else should be dropped
+    assert len(ids) == base.count()
+
+
+def test_semantic_dedup_cluster_cap_skips_pairwise(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    twin = base.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionAll(twin)
+    # cap of 0 disables every cluster's pairwise stage -> everything kept
+    kept = dedup.semantic_dedup(corpus, num_centroids=16, threshold=0.95, max_cluster_size=0)
+    assert kept.count() == corpus.count()
+
+
+def test_quantized_topk_tracks_exact_ranking(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    quant = similarity.cosine_topk_quantized(emb, q, k=10).collect()
+    by_q_exact: dict[int, set[int]] = {}
+    by_q_quant: dict[int, set[int]] = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_exact) == set(by_q_quant)
+    # int8 error is tiny relative to neighbor gaps: >=70% top-10 overlap per query
+    for qid, exact_ids in by_q_exact.items():
+        assert len(exact_ids & by_q_quant[qid]) >= 7, qid
+
+
+def test_int8_quantize_range(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    vec = F.col("embedding").cast("array<double>")
+    qv, _ = similarity.int8_quantize(vec)
+    mx = emb.select(
+        F.array_max(F.transform(qv, lambda x: F.abs(x))).alias("m")
+    ).agg(F.max("m").alias("mm")).collect()[0].mm
+    assert mx == 127  # the max-|v| dim always lands exactly on the grid edge
