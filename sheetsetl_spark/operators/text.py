@@ -190,3 +190,75 @@ def chunk_documents(
         F.array_join("chunk_toks", " ").alias("chunk_text"),
         F.size("chunk_toks").cast("int").alias("n_tokens"),
     )
+
+
+#: Engine-portable URL shape: scheme + host; simple enough that RE2 and
+#: java.util.regex agree character-for-character.
+URL_PATTERN = "https?://([A-Za-z0-9.-]+)"
+
+
+def url_domain_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus stats from URLs embedded in document text (C4):
+    (domain, n_urls, n_docs). The first step of domain-level curation —
+    blocklist filtering, per-domain quality priors, crawl dedup.
+
+    regexp_extract_all + explode keeps extraction JVM-side and one pass;
+    the aggregation is vocabulary-sized (domains), so map-side combine
+    collapses the corpus before the single shuffle. At 100 TB the output
+    is still just the domain table — join it back broadcast for
+    per-document filtering (see domain_blocklist_filter)."""
+    urls = docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1)).alias(
+            "domain"
+        ),
+    )
+    return urls.groupBy("domain").agg(
+        F.count("*").alias("n_urls"), F.countDistinct(id_col).alias("n_docs")
+    )
+
+
+def domain_blocklist_filter(
+    docs: DataFrame,
+    blocked_domains: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document containing a URL whose domain is blocklisted.
+    The blocklist is list-sized -> broadcast anti-join; the corpus never
+    shuffles."""
+    doc_domains = docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1)).alias(
+            "domain"
+        ),
+    )
+    hit = doc_domains.join(F.broadcast(blocked_domains), "domain").select(id_col).distinct()
+    return docs.join(hit, id_col, "left_anti")
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    min_frac: float = 0.005,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokens whose corpus-wide frequency is at least ``min_frac`` of all
+    tokens (C4): (token, cnt, frac). Exact — the vocabulary after
+    map-side combine is tiny relative to the corpus, so the exact
+    formulation beats a sketch until the vocabulary itself stops fitting
+    (then swap the groupBy for count_min_sketch and keep the same
+    contract). The total is re-aggregated from the vocabulary-sized count
+    table — the scan+partial-agg subtree is shared with the main branch,
+    so ReuseExchange folds both into ONE pass over the corpus (and it is
+    a broadcast one-row aggregate, not a driver-side count action)."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("__total") * F.lit(min_frac))
+        .select("token", "cnt", F.round(F.col("cnt") / F.col("__total"), 6).alias("frac"))
+    )

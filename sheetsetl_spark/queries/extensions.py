@@ -1449,3 +1449,83 @@ def c3d_topk_cosine_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return similarity.cosine_topk_quantized(emb, queries_df, k=10)
+
+
+#: Deterministic planted-URL augmentation shared by c4h's Spark plan and
+#: its DuckDB twin (the fixture text has no URLs of its own): every third
+#: doc gets a source-derived domain, every ninth a mirror domain too.
+_URL_AUG_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' https://' || source || '-' || (doc_id % 7)
+                          || '.example.com/p/' || doc_id
+                     ELSE '' END
+             || CASE WHEN doc_id % 9 = 0
+                     THEN ' http://m' || (doc_id % 4) || '.mirror.example.org/x'
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _with_planted_urls(docs: DataFrame) -> DataFrame:
+    url1 = F.concat(
+        F.lit(" https://"), F.col("source"), F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+    )
+    url2 = F.concat(
+        F.lit(" http://m"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".mirror.example.org/x"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, url1).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, url2).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "c4h_url_domain_stats",
+    oracle=f"""
+    WITH aug AS ({_URL_AUG_SQL}),
+    urls AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+      FROM aug
+    )
+    SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+    FROM urls GROUP BY 1
+    """,
+)
+def c4h_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: URL extraction + per-domain corpus stats — the first step of
+    domain-level curation (blocklists, per-domain quality priors, crawl
+    dedup). URLs are planted deterministically (fixture text has none);
+    extraction is one JVM-side regexp pass, aggregation is domain-sized.
+    See operators/text.py::url_domain_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.url_domain_stats(_with_planted_urls(docs))
+
+
+@query(
+    "c4i_heavy_hitters",
+    oracle="""
+    WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    total AS (SELECT SUM(cnt) AS t FROM counts)
+    SELECT token, cnt, ROUND(cnt / t, 6) AS frac
+    FROM counts, total WHERE cnt >= t * 0.02
+    """,
+)
+def c4i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: corpus-wide heavy-hitter tokens (freq >= 2% of all tokens) —
+    the exact formulation of the frequency analysis that feeds stopword
+    lists and dedup df-caps. Single corpus scan: the one-row total is
+    re-aggregated from the vocabulary-sized count table, so ReuseExchange
+    shares the scan+partial-agg subtree. See
+    operators/text.py::heavy_hitters."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.heavy_hitters(docs, min_frac=0.02)

@@ -664,3 +664,35 @@ def test_int8_quantize_range(spark):
         F.array_max(F.transform(qv, lambda x: F.abs(x))).alias("m")
     ).agg(F.max("m").alias("mm")).collect()[0].mm
     assert mx == 127  # the max-|v| dim always lands exactly on the grid edge
+
+
+def test_domain_blocklist_filter_drops_only_hit_docs(spark):
+    from sheetsetl_spark.operators import text as text_ops
+    from sheetsetl_spark.queries.extensions import _with_planted_urls
+
+    docs = _with_planted_urls(load_table(spark, SF_SMALL, "documents"))
+    # block one concrete planted domain; doc_id=0 is src0, 0%7=0
+    blocked = spark.createDataFrame([("src0-0.example.com",)], ["domain"])
+    kept = text_ops.domain_blocklist_filter(docs, blocked)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    dropped = all_ids - kept_ids
+    assert dropped, "blocklist must drop at least one doc"
+    # every dropped doc really contains the blocked domain; no survivor does
+    hits = {
+        r.doc_id
+        for r in docs.filter(F.col("text").contains("src0-0.example.com")).collect()
+    }
+    assert dropped == hits
+
+
+def test_heavy_hitters_single_corpus_scan(spark):
+    from sheetsetl_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    df = text_ops.heavy_hitters(docs)
+    df.collect()  # AQE finalizes exchange reuse at execution time
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("FileScan parquet") == 1, final
