@@ -299,3 +299,75 @@ def cosine_topk_quantized(
         .filter(F.col("nn_rank") <= k)
         .select("query_id", "neighbor_id", "nn_rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement with deterministic seeding (centroids
+    init = ``id < k``), fixed ``iters`` assignment+mean rounds. Returns
+    the final centroids long-form: (cent_id, dim, centroid, n_vectors).
+
+    Determinism contract: squared-Euclidean argmin with cent_id
+    tiebreak; per-dim means via exact DECIMAL(18,9) sums (associative,
+    partitioning-independent); centroid arrays rebuilt with an explicit
+    (dim, value) sort — so the WHOLE iterative pipeline, not just one
+    step, hash-matches a DuckDB twin. Empty clusters drop out of the next
+    round on both engines identically.
+
+    Scale: per round the corpus is scanned once against broadcast(k)
+    centroids (no shuffle), then one (cent_id, dim)-keyed agg whose
+    output is k x dim cells — the classic distributed-Lloyd shape. The
+    plan is static (iters is small and fixed); for large iteration counts
+    checkpoint between rounds like functions/iterative.py does.
+    """
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vv", _dot("v", "v"))
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        c = cent_df.withColumn("cc", _dot("cv", "cv"))
+        dist2 = F.col("vv") - 2 * _dot("v", "cv") + F.col("cc")
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id"))
+        return (
+            e.crossJoin(F.broadcast(c))
+            .select("vec_id", "v", "vv", "cent_id", dist2.alias("d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "v", "vv", "cent_id")
+        )
+
+    def means_long(assigned: DataFrame) -> DataFrame:
+        ex = assigned.select(
+            "cent_id", F.posexplode("v").alias("dim0", "val")
+        )
+        return ex.groupBy("cent_id", (F.col("dim0") + 1).alias("dim")).agg(
+            (
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count("*")
+            ).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+
+    assigned = None
+    for _ in range(iters):
+        assigned = assign(cent)
+        long = means_long(assigned)
+        cent = (
+            long.groupBy("cent_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+                ).alias("s")
+            )
+            .select("cent_id", F.transform("s", lambda x: x["centroid"]).alias("cv"))
+        )
+    return means_long(assigned).select(
+        "cent_id", "dim", F.round("centroid", 6).alias("centroid"), "n_vectors"
+    )

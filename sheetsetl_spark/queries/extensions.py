@@ -1529,3 +1529,86 @@ def c4i_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::heavy_hitters."""
     docs = load_table(spark, sf_dir, "documents")
     return text.heavy_hitters(docs, min_frac=0.02)
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """DuckDB twin of layout.zorder_value: the identical bit-interleave
+    expression, generated from the same loop."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((o_custkey >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((o_orderkey >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+    WITH z AS (SELECT o_orderkey, o_custkey, {z} AS zval FROM orders)
+    SELECT o_orderkey, zval,
+           NTILE(8) OVER (ORDER BY zval, o_orderkey) AS file_bucket
+    FROM z
+    """
+
+
+@query("x13_zorder_curve", oracle=_zorder_oracle())
+def x13_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: Morton z-values over (o_custkey, o_orderkey) + the 8-way file
+    bucket each row lands in — the clustering key behind multi-column
+    data skipping (operators/layout.py::zorder_by writes this layout;
+    tests/test_scale_layout.py proves the per-file min/max stats tighten).
+    The NTILE here is the deterministic stand-in for the production
+    range-partitioner, whose sampled boundaries aren't oracle-stable."""
+    from pyspark.sql import Window
+
+    from sheetsetl_spark.operators.layout import zorder_value
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("zval", "o_orderkey")
+    return (
+        o.select("o_orderkey", zorder_value("o_custkey", "o_orderkey").alias("zval"))
+        .withColumn("file_bucket", F.ntile(8).over(w))
+    )
+
+
+def _kmeans_oracle(k: int = 8) -> str:
+    """DuckDB twin of ``similarity.kmeans_refine`` (2 Lloyd rounds):
+    identical squared-distance argmin (cent_id tiebreak), identical
+    exact-decimal means, identical dim-ordered array rebuild — the full
+    iterative pipeline is hash-checked, not a single step."""
+    assign = """
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 e.vv - 2 * LIST_DOT_PRODUCT(e.v, c.cv) + LIST_DOT_PRODUCT(c.cv, c.cv) ASC,
+                 c.cent_id) AS rn
+        FROM e, {cent} c) t
+      WHERE rn = 1
+    """
+    means = """
+      SELECT cent_id, dim,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid,
+             COUNT(*) AS n_vectors
+      FROM (SELECT cent_id, UNNEST(v) AS val, GENERATE_SUBSCRIPTS(v, 1) AS dim
+            FROM {asg}) t
+      GROUP BY 1, 2
+    """
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {k}),
+    a1 AS ({assign.format(cent="c0")}),
+    m1 AS ({means.format(asg="a1")}),
+    c1 AS (SELECT cent_id, LIST(centroid ORDER BY dim) AS cv FROM m1 GROUP BY 1),
+    a2 AS ({assign.format(cent="c1")}),
+    m2 AS ({means.format(asg="a2")})
+    SELECT cent_id, dim, ROUND(centroid, 6) AS centroid, n_vectors FROM m2
+    """
+
+
+@query("c22_kmeans_refine", oracle=_kmeans_oracle())
+def c22_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: distributed Lloyd's k-means (2 refinement rounds, k=8,
+    deterministic init) — the corpus-clustering step behind semantic
+    dedup and IVF index training. Per round: broadcast(k) assignment scan
+    (no shuffle) + one (cent_id, dim) agg of k x dim cells. See
+    operators/similarity.py::kmeans_refine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_refine(emb, k=8, iters=2)

@@ -696,3 +696,22 @@ def test_heavy_hitters_single_corpus_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final, final
     assert final.count("FileScan parquet") == 1, final
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    import itertools
+
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    nid = itertools.count(2)
+    for i in range(10):
+        off = 0.1 * (i - 4.5)
+        rows.append((next(nid), [off, -off]))          # around (0, 0)
+        rows.append((next(nid), [10.0 + off, 10.0 - off]))  # around (10, 10)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_refine(df, k=2, iters=2).collect()
+    sizes = {r.cent_id: r.n_vectors for r in out}
+    assert sizes == {0: 11, 1: 11}
+    cents = {(r.cent_id, r.dim): r.centroid for r in out}
+    for d in (1, 2):
+        assert abs(cents[(0, d)]) < 0.5
+        assert abs(cents[(1, d)] - 10.0) < 0.5
