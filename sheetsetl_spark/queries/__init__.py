@@ -65,5 +65,6 @@ from sheetsetl_spark.queries import extensions  # noqa: E402,F401
 from sheetsetl_spark.queries import udfs  # noqa: E402,F401
 from sheetsetl_spark.queries import recursive  # noqa: E402,F401
 from sheetsetl_spark.queries import temporal  # noqa: E402,F401
+from sheetsetl_spark.queries import tpch  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]
