@@ -11,7 +11,13 @@ mirrors the reference's A11 auth bootstrap being environment-specific).
 
 from sheetsetl_spark.sinks.base import CellLimitExceeded, Sink, cell_count_guard
 from sheetsetl_spark.sinks.bucketed import BucketedTableSink
-from sheetsetl_spark.sinks.local import CsvDirSink, JsonDirSink, ParquetDirSink, TempViewSink
+from sheetsetl_spark.sinks.local import (
+    CsvDirSink,
+    JsonDirSink,
+    OrcDirSink,
+    ParquetDirSink,
+    TempViewSink,
+)
 from sheetsetl_spark.sinks.sheets import GoogleSheetsSink
 
 __all__ = [
@@ -20,6 +26,7 @@ __all__ = [
     "cell_count_guard",
     "CsvDirSink",
     "JsonDirSink",
+    "OrcDirSink",
     "ParquetDirSink",
     "TempViewSink",
     "BucketedTableSink",

@@ -78,3 +78,19 @@ class JsonDirSink:
     def write(self, df: DataFrame, name: str) -> None:
         out = df.coalesce(self.coalesce) if self.coalesce else df
         out.write.mode("overwrite").json(os.path.join(self.root, name))
+
+
+class OrcDirSink:
+    """ORC-per-name sink — columnar interchange with Hive/Trino stacks
+    (same pushdown/stats story as parquet; Spark's ORC writer is
+    built in, no extra packages)."""
+
+    def __init__(self, root: str, partition_by: list[str] | None = None):
+        self.root = root
+        self.partition_by = partition_by
+
+    def write(self, df: DataFrame, name: str) -> None:
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.orc(os.path.join(self.root, name))

@@ -95,3 +95,24 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC reader (Hive/Trino interchange). Same posture as parquet:
+    filters and column pruning push into the ORC scan."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, line_sep: str | None = None
+) -> DataFrame:
+    """Raw text source: one row per line (or per file with
+    ``whole_file``) in a single ``value`` column — the entry point for
+    unstructured corpora before parsing/chunking (operators/text.py)."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=whole_file)

@@ -131,3 +131,62 @@ def test_zorder_layout_tightens_file_stats(spark, tmp_path):
     assert zx < sx * 0.7 and zy < sy * 0.7, (sx, sy, zx, zy)
     # lossless
     assert spark.read.parquet(str(tmp_path / "zordered")).count() == 64 * 64
+
+
+def test_tpch_q5_broadcasts_all_dims_single_fact_shuffle(spark):
+    """Q5's six-way join must broadcast every dimension: the only
+    hash-partitioned exchanges allowed are the orders–lineitem join keys
+    and the final n_name aggregation — no dimension may shuffle the fact."""
+    from sheetsetl_spark.queries import QUERIES
+
+    df = QUERIES["x16_tpch_q5_local_supplier_volume"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # at least the four true dimensions broadcast (AQE may upgrade the
+    # filtered orders side too); lineitem itself must never shuffle into
+    # a join — the only hash exchanges allowed are join-side inputs AQE
+    # chose to keep plus the final n_name aggregation
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tpch_q6_predicates_push_to_scan(spark):
+    from sheetsetl_spark.queries import QUERIES
+
+    df = QUERIES["x17_tpch_q6_forecast_revenue"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # every predicate column reaches the scan as a pushed filter
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    # projection pruned to exactly the needed columns
+    rs = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_extendedprice" in rs and "l_orderkey" not in rs
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from sheetsetl_spark.sinks import OrcDirSink
+    from sheetsetl_spark.sources.readers import read_orc
+
+    o = load_table(spark, SF_SMALL, "orders")
+    OrcDirSink(str(tmp_path)).write(o, "orders_orc")
+    back = read_orc(spark, str(tmp_path / "orders_orc"))
+    assert back.count() == o.count()
+    assert [f.name for f in back.schema.fields] == [f.name for f in o.schema.fields]
+    plan = back.filter(F.col("o_orderkey") == 42)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_text_source_lines(spark, tmp_path):
+    from sheetsetl_spark.sources.readers import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(p))
+    assert sorted(r.value for r in lines.collect()) == ["line one", "line two", "solo"]
+    whole = read_text(spark, str(p), whole_file=True)
+    assert whole.count() == 2
