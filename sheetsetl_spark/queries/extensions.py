@@ -1612,3 +1612,70 @@ def c22_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py::kmeans_refine."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_refine(emb, k=8, iters=2)
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """DuckDB twin of ``graph.pagerank`` over the nation trade graph:
+    identical edge derivation, identical src-ordered contribution fold
+    (list_reduce over LIST(.. ORDER BY src)), float literals injected via
+    repr() so both engines parse the exact same doubles."""
+    d = f"CAST('{damping!r}' AS DOUBLE)"
+    one_minus_d = f"CAST('{(1.0 - damping)!r}' AS DOUBLE)"
+    parts = [
+        f"""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             list_reduce(LIST(r.rank * (e.w / ow.ow) ORDER BY e.src),
+                         (a, b) -> a + b) AS s
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.node
+      JOIN outw ow ON e.src = ow.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node, {one_minus_d} / nn.n + {d} * COALESCE(c.s, 0.0) AS rank
+      FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON n.node = c.node
+    )"""
+        )
+    parts.append(f"\n    SELECT node, ROUND(rank, 10) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+@query("x22_pagerank_trade", oracle=_pagerank_oracle())
+def x22_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: weighted PageRank (3 fixed rounds, d=0.85) over the nation
+    trade graph (customer-nation -> supplier-nation edges weighted by
+    line items). The deterministic src-ordered fold makes the full
+    iterative pipeline hash-checkable. See operators/graph.py::pagerank."""
+    from sheetsetl_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank(edges, iters=3, damping=0.85)

@@ -715,3 +715,20 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     for d in (1, 2):
         assert abs(cents[(0, d)]) < 0.5
         assert abs(cents[(1, d)] - 10.0) < 0.5
+
+
+def test_pagerank_toy_graph_ordering(spark):
+    from sheetsetl_spark.operators.graph import pagerank
+
+    # star graph: everyone links to hub node 0; hub links back to 1
+    edges = spark.createDataFrame(
+        [(1, 0, 1), (2, 0, 1), (3, 0, 1), (0, 1, 1)], ["src", "dst", "w"]
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+    assert set(ranks) == {0, 1, 2, 3}
+    assert ranks[0] > ranks[1] > ranks[2]  # hub first, its sole target second
+    assert ranks[2] == ranks[3]            # symmetric leaves tie exactly
+    assert all(v > 0 for v in ranks.values())
+    # the associative-sum production path agrees to float tolerance
+    fast = {r.node: r.rank for r in pagerank(edges, iters=5, deterministic_fold=False).collect()}
+    assert all(abs(fast[n] - ranks[n]) < 1e-9 for n in ranks)
