@@ -1679,3 +1679,46 @@ def x22_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     return pagerank(edges, iters=3, damping=0.85)
+
+
+@query(
+    "c23_incremental_agg_merge",
+    # The oracle is the FULL recompute — the whole point: merging the
+    # history partial with the delta partial must equal aggregating all
+    # of history from scratch, bit-for-bit (decimal partials are
+    # associative).
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def c23_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: materialized-aggregate maintenance — history (ts < Jan 16) is
+    aggregated once, the delta (ts >= Jan 16) separately, and
+    merge_aggregates combines the partials. At 100 TB the history
+    aggregate is a stored table and each refresh costs O(delta + groups)
+    instead of a full rescan; the oracle proves the merge is EXACTLY the
+    full recompute. See operators/incremental.py::merge_aggregates."""
+    from sheetsetl_spark.operators.incremental import merge_aggregates
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+
+    history = agg(ev.filter(F.col("ts") < split))
+    delta = agg(ev.filter(F.col("ts") >= split))
+    merged = merge_aggregates(
+        history, delta, keys=["user_id", "event_type"],
+        count_col="cnt", sum_cols=["total_value"],
+    )
+    return merged.select(
+        "user_id", "event_type", "cnt", F.col("total_value").cast("double").alias("total_value")
+    )
