@@ -226,3 +226,67 @@ def x8_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("events_last_hour"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("value_last_hour"),
     )
+
+
+@query(
+    "x29_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             TIME_BUCKET(INTERVAL '6 hours', ts::TIMESTAMP) AS bucket,
+             ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type,
+           STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS cnt
+    FROM r
+    GROUP BY 1, 2
+    """,
+)
+def x29_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: OHLC candlestick bars (6-hour buckets per event_type) — the
+    time-series downsample every metrics/market pipeline runs. First/last
+    are pinned by (ts, event_id) so ties are deterministic; no float
+    arithmetic happens, so raw doubles pass through hash-identical.
+    One shuffle: the window partition and the final agg share the
+    (event_type, bucket) key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.window("ts", "6 hours").alias("w"),
+        "ts", "event_id", "value",
+    ).withColumn("bucket", F.col("w.start"))
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.select(
+        "event_type", "bucket", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+    ).agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("cnt"),
+    )
