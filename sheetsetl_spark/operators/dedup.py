@@ -117,6 +117,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document, min-aggregated over the shingle
     stream — one groupBy, map-side partial mins.
@@ -127,12 +128,33 @@ def minhash_signatures(
     shingle instead of k string hashes, and no arithmetic that could
     overflow under ANSI mode. ~num_hashes× less string hashing on a
     100 TB corpus."""
-    sh = shingles(
-        docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-    ).withColumn("__h", F.xxhash64(F.col("shingle")))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    if hash_family == "xxhash64":
+        sh = shingles(
+            docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+        ).withColumn("__h", F.xxhash64(F.col("shingle")))
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "md5":
+        # Engine-portable twin: 60-bit md5 prefixes (same trick as
+        # simhash64(token_hash='md5')) so a DuckDB oracle can replicate
+        # the signatures bit-for-bit. ~2-3x the hashing cost of the
+        # xxhash64 default — the audit path, not the production path.
+        def p60(col: Column) -> Column:
+            return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+        sh = shingles(
+            docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+        ).withColumn("__h", p60(F.col("shingle")))
+        mins = [
+            F.min(
+                p60(F.concat_ws(":", F.lit(str(i)), F.col("__h").cast("string")))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"unknown hash_family: {hash_family}")
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -146,6 +168,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
     max_bucket_size: int | None = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """C2: MinHash + LSH banding near-dup candidates, verified by true
     Jaccard >= threshold.
@@ -173,13 +196,25 @@ def minhash_lsh_pairs(
         id_col=id_col,
         text_col=text_col,
         max_shingle_df=max_shingle_df,
+        hash_family=hash_family,
     )
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
+    if hash_family == "md5":
+        # portable mode: the raw ':'-joined band value IS the bucket key
+        # (band hashing is only a width optimization) so a DuckDB twin
+        # can rebuild the buckets verbatim
+        band_cols = [
+            F.concat_ws(
+                ":", *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = sig.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),

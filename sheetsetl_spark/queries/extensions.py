@@ -1722,3 +1722,85 @@ def c23_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "user_id", "event_type", "cnt", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+def _minhash_portable_oracle(
+    threshold: float, num_hashes: int = 16, bands: int = 4, n: int = 3, df_cap: int = 1000
+) -> str:
+    """DuckDB twin of ``dedup.minhash_lsh_pairs(hash_family='md5')``:
+    rebuilds the SIGNATURES and BAND BUCKETS verbatim (60-bit md5-prefix
+    hash family, ':'-joined band values), so the approximate candidate
+    stage itself is hash-checked — c2b's oracle only checks the verified
+    output against exact Jaccard; this one checks the banding."""
+    rpb = num_hashes // bands
+    return f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+{n - 1}], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= {df_cap}
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || SUBSTRING(MD5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    fam AS (
+      SELECT doc_id, i,
+             MIN(('0x' || SUBSTRING(MD5(CONCAT(CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
+                              1, 15))::BIGINT) AS mh
+      FROM h, (SELECT UNNEST(GENERATE_SERIES(0, {num_hashes - 1})) AS i) fs
+      GROUP BY 1, 2
+    ),
+    bandv AS (
+      SELECT doc_id, i // {rpb} AS band_idx,
+             STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY i) AS band_val
+      FROM fam GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandv a
+      JOIN bandv b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh a ON c.doc_a = a.doc_id
+      JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+    """
+
+
+@query(
+    "c2d_minhash_lsh_portable",
+    oracle=_minhash_portable_oracle(threshold=_JACCARD_THRESHOLD),
+)
+def c2d_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 audit path: MinHash(16)+LSH(4 bands) with the engine-portable
+    md5-prefix hash family — signatures AND band buckets are rebuilt
+    verbatim in the DuckDB twin, so the approximate stage itself is
+    hash-checked (c2b's xxhash64 fast path stays the production
+    default). See operators/dedup.py::minhash_lsh_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs,
+        threshold=_JACCARD_THRESHOLD,
+        num_hashes=16,
+        bands=4,
+        n=3,
+        max_shingle_df=_SHINGLE_DF_CAP,
+        max_bucket_size=None,
+        hash_family="md5",
+    )
