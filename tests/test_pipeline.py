@@ -295,3 +295,20 @@ def test_parquet_sink_sort_by_tightens_stats(spark, tmp_path):
         stats = meta.row_group(0).column(3).statistics  # o_totalprice
         assert stats is not None and stats.min <= stats.max
     assert spark.read.parquet(str(tmp_path / "sorted")).count() == o.count()
+
+
+def test_curate_corpus_example(spark, tmp_path):
+    """The end-to-end curation example runs and every funnel stage only
+    shrinks the corpus; the sharded output holds exactly the survivors."""
+    import sys
+
+    sys.path.insert(0, "examples")
+    from curate_corpus import curate
+
+    report = curate(spark, SF_SMALL, str(tmp_path), n_shards=4)
+    assert report["raw"] >= report["after_quality"] >= report["after_exact_dedup"]
+    assert report["after_exact_dedup"] >= report["after_near_dedup"]
+    assert report["after_near_dedup"] >= report["after_decontamination"] > 0
+    out = spark.read.parquet(str(tmp_path / "corpus"))
+    assert out.count() == report["after_decontamination"]
+    assert out.select("shard_id").distinct().count() <= 4
