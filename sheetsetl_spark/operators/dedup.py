@@ -625,3 +625,41 @@ def semantic_dedup(
     return assigned.join(
         dups, assigned["vec_id"] == dups["dup_id"], "left_anti"
     ).select("vec_id", "cent_id")
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    text_col: str = "name",
+    max_distance: int = 4,
+    max_block_size: int | None = 10000,
+) -> DataFrame:
+    """Entity-resolution fuzzy matching: near-identical NAME pairs by
+    Levenshtein distance, blocked on the last token.
+
+    Works at the distinct-name level — the whole point of canonicalizing
+    entities is that distinct names are orders of magnitude fewer than
+    rows, so the pairwise stage runs on the small side and the result
+    joins back to the corpus as a broadcast mapping. Blocking on the
+    final token (the head noun in 'cold widget' / 'small widget') keeps
+    the self-join an equi-join; ``max_block_size`` is the same skew fuse
+    the shingle/bucket caps provide. Output: (name_a, name_b, distance)
+    with name_a < name_b.
+    """
+    names = df.select(F.lower(F.trim(F.col(text_col))).alias("name")).distinct()
+    blocked = names.withColumn("block", F.element_at(F.split(F.col("name"), " "), -1))
+    if max_block_size is not None:
+        w = Window.partitionBy("block")
+        blocked = (
+            blocked.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_block_size)
+            .drop("__bsz")
+        )
+    a = blocked.select(F.col("name").alias("name_a"), "block")
+    b = blocked.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "distance")
+    )

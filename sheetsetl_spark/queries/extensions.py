@@ -1804,3 +1804,24 @@ def c2d_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=None,
         hash_family="md5",
     )
+
+
+@query(
+    "c24_fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT LOWER(TRIM(p_name)) AS name FROM part),
+    b AS (SELECT name, STRING_SPLIT(name, ' ')[-1] AS block FROM names)
+    SELECT a.name AS name_a, c.name AS name_b,
+           LEVENSHTEIN(a.name, c.name) AS distance
+    FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+    WHERE LEVENSHTEIN(a.name, c.name) <= 4
+    """,
+)
+def c24_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: entity-resolution fuzzy match over part names — block on the
+    head noun, verify by Levenshtein <= 4, at the distinct-name level so
+    the pairwise stage runs on the (tiny) vocabulary and the result
+    broadcasts back onto the corpus. See
+    operators/dedup.py::fuzzy_name_pairs."""
+    p = load_table(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(p, text_col="p_name", max_distance=4)
