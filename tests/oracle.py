@@ -48,6 +48,18 @@ def compare(spark_df, oracle: str, sf_dir: str) -> None:
     for c in actual.columns:
         a, e = actual[c], expected[c]
         if a.dtype.kind == "f" or e.dtype.kind == "f":
+            # The driver compares STRINGIFIED values, so an int column on
+            # one side vs float on the other ("1791" vs "1791.0") is a
+            # hash mismatch even when numerically equal. The classic
+            # cause: DuckDB SUM(int) returns HUGEINT -> pandas float —
+            # CAST such sums to BIGINT in the oracle SQL.
+            assert a.dtype.kind == e.dtype.kind or (
+                a.dtype.kind not in "iu" and e.dtype.kind not in "iu"
+            ), (
+                f"column {c!r}: integer/float dtype split "
+                f"(spark={a.dtype}, oracle={e.dtype}) — the driver's "
+                f"stringified hash would mismatch"
+            )
             a = a.astype("float64")
             e = e.astype("float64")
             mism = ~((a == e) | (a.isna() & e.isna()))
