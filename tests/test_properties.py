@@ -186,3 +186,48 @@ def test_range_join_fractional_second_bounds(spark, points, intervals, bin_width
         if s <= pm < s + d
     )
     assert got == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(-100.0, 100.0, allow_nan=False, width=32), min_size=2, max_size=16
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_int8_quantize_error_bound(spark, vec):
+    """Quantization error per dim is <= max|v|/254 + eps (half a grid
+    step), and the grid never exceeds [-127, 127]."""
+    from sheetsetl_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    qv_col, scale = int8_quantize(F.col("v"))
+    row = df.select(qv_col.alias("qv"), scale.alias("sc")).first()
+    max_abs = max(abs(x) for x in vec)
+    assert all(-127 <= q <= 127 for q in row.qv)
+    if max_abs > 0:
+        for orig, q in zip(vec, row.qv):
+            assert abs(orig - q / row.sc) <= max_abs / 254 + 1e-9
+
+
+@given(
+    a=st.integers(0, 2**16 - 1),
+    b=st.integers(0, 2**16 - 1),
+    c=st.integers(0, 2**16 - 1),
+    d=st.integers(0, 2**16 - 1),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_value_is_injective_and_orders_quadrants(spark, a, b, c, d):
+    """The Morton code is a bijection on (16-bit, 16-bit) pairs, and the
+    high quadrant bit dominates: points in the lower-left quadrant always
+    sort before the upper-right."""
+    from sheetsetl_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(a, b, c, d)], "a long, b long, c long, d long")
+    row = df.select(
+        zorder_value("a", "b").alias("z1"), zorder_value("c", "d").alias("z2")
+    ).first()
+    if (a, b) != (c, d):
+        assert row.z1 != row.z2
+    half = 2**15
+    if a < half and b < half and c >= half and d >= half:
+        assert row.z1 < row.z2
