@@ -290,3 +290,58 @@ def x29_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("cnt"),
     )
+
+
+@query(
+    "x30_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, (ts::DATE - DATE '2024-01-01') // 7 AS w FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(w) AS cohort_w FROM wk GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT wk.user_id, f.cohort_w, wk.w - f.cohort_w AS week_n
+      FROM wk JOIN firsts f ON wk.user_id = f.user_id
+    ),
+    sizes AS (SELECT cohort_w, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_w)
+    SELECT STRFTIME(DATE '2024-01-01' + (a.cohort_w * 7) * INTERVAL '1 day', '%Y-%m-%d') AS cohort,
+           a.week_n, COUNT(*) AS active_users, s.cohort_size,
+           ROUND(COUNT(*) / s.cohort_size, 6) AS retention
+    FROM activity a JOIN sizes s ON a.cohort_w = s.cohort_w
+    GROUP BY a.cohort_w, a.week_n, s.cohort_size
+    """,
+)
+def x30_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: weekly retention cohorts — users grouped by first-seen week,
+    activity counted per weeks-since-cohort; week buckets use an
+    EXPLICIT origin (2024-01-01) because Spark's window() aligns to the
+    epoch and DuckDB's TIME_BUCKET to 2000-01-03 — engine-default bucket
+    origins never agree. Two aggregations over one events scan; the
+    first-seen table is users-sized and broadcasts back. The classic
+    product-analytics matrix, fully hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    origin = F.lit("2024-01-01").cast("date")
+    wk = ev.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"), origin) / 7).alias("w"),
+    )
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    activity = (
+        wk.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_n"))
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_w").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_w")
+        .groupBy("cohort_w", "week_n", "cohort_size")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"), (F.col("cohort_w") * 7).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("cohort"),
+            "week_n", "active_users", "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
