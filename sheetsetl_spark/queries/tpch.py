@@ -580,3 +580,370 @@ def x28_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@query(
+    "x31_tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT c.l_partkey, c.l_suppkey, c.unit_price,
+             s_acctbal, s_name, n_name,
+             MIN(c.unit_price) OVER (PARTITION BY c.l_partkey) AS best_price
+      FROM cost c
+      JOIN supplier ON c.l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name,
+           p_partkey AS partkey, p_name, unit_price
+    FROM eu
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'SMALL' AND p_size < 10 AND unit_price = best_price
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey
+    LIMIT 100
+    """,
+)
+def x31_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: observed lineitem unit price stands in for the
+    missing partsupp.ps_supplycost): for every small European-supplied
+    part, the supplier(s) quoting the minimum unit price. The correlated
+    MIN subquery becomes a window MIN over the part key — one shuffle on
+    l_partkey for the cost aggregate, dims broadcast, and the window
+    reuses the aggregate's partitioning. Unit prices are compared as raw
+    IEEE doubles: both engines derive them from the same division and
+    MIN picks an element, so equality is exact with no accumulation
+    order to stabilize."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") < 10)
+    )
+    from pyspark.sql import Window
+
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eu = cost.join(F.broadcast(eu_supp), cost["l_suppkey"] == F.col("s_suppkey")).withColumn(
+        "best_price", F.min("unit_price").over(Window.partitionBy("l_partkey"))
+    )
+    return (
+        eu.filter(F.col("unit_price") == F.col("best_price"))
+        .join(F.broadcast(p), eu["l_partkey"] == p["p_partkey"])
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").alias("partkey"), "p_name", "unit_price",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "x32_tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           {dsum("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity", "profit")}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def x32_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: 0.6 * p_retailprice stands in for the missing
+    partsupp.ps_supplycost): profit by supplier nation and order year for
+    red parts. The part filter broadcasts and prunes lineitem before the
+    single orders shuffle join; supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("__amt"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(_dsum(F.col("__amt"), "profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "x33_tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, value FROM val
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def x33_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: shipped value per part from lineitem stands in
+    for partsupp stock value): parts whose Asian-supplied value exceeds
+    0.1% of the total. The global threshold is a one-row aggregate
+    broadcast into the filter — no second scan of lineitem, no driver
+    action; per-part and global sums both accumulate in exact decimal so
+    the threshold comparison is bit-identical to the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia_supp), li["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("value"))
+    )
+    thresh = val.agg(
+        (F.sum(F.col("value").cast("decimal(38,6)")).cast("double") * 0.001).alias("__t")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("__t"))
+        .select("partkey", "value")
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "x34_tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size < 15
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def x34_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier count per (brand, type, size),
+    excluding flagged suppliers (negative balance stands in for the
+    complaints LIKE). The NOT IN is a broadcast anti-join (s_suppkey is
+    never NULL, so anti-join == NOT IN here); part filter broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("ECONOMY%"))
+        & (F.col("p_size") < 15)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "x35_tpch_q20_part_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 450
+      )
+    ORDER BY s_name
+    """,
+)
+def x35_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: shipped-quantity threshold stands in for the
+    partsupp availqty comparison): American suppliers who moved > 450
+    units of small parts in 1996. IN-with-aggregate becomes a semi-join
+    against the HAVING aggregate; the part filter broadcasts into the
+    lineitem scan, so the only shuffle is the per-supplier aggregate."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ntz("1996-01-01")) & (F.col("l_shipdate") < _ntz("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    movers = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("__q"))
+        .filter(F.col("__q") > 450)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(movers, "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "x36_tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def x36_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: ship > orderdate + 60 days stands in for the
+    missing receipt/commit dates): suppliers who were the SOLE late
+    supplier on a multi-supplier finalized order. The EXISTS / NOT EXISTS
+    pair is rewritten as one per-order aggregation — per (order, supplier)
+    late flags, then per-order supplier and late-supplier counts via a
+    window over the same shuffle key — so lineitem shuffles once on
+    l_orderkey instead of three correlated passes. The oracle keeps the
+    textbook correlated form, making the check a genuine cross-derivation.
+    numwait counts LATE LINES of qualifying suppliers (matching the
+    oracle, which counts l1 rows)."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int").alias("__late"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__any_late"), F.sum("__late").alias("__late_lines")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn("__n_supp", F.count("*").over(w)).withColumn(
+        "__n_late_supp", F.sum("__any_late").over(w)
+    )
+    sole_late = flagged.filter(
+        (F.col("__any_late") == 1) & (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.sum("__late_lines").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "x37_tpch_q22_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_acctbal, c_nationkey AS cntrycode
+      FROM customer WHERE c_nationkey IN (3, 8, 13, 17, 20, 24)
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM pool
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM pool WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def x37_tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nation key stands in for the phone country
+    code; "no orders at all" becomes "no orders since 1999" — the fixture
+    has no orderless customers): wealthy-but-lapsed customers per country
+    code. Scalar AVG broadcast into the filter, recent orders anti-joined;
+    the avg divides an exact-decimal sum by the count so both engines
+    compute the identical double."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pool = c.filter(F.col("c_nationkey").isin(3, 8, 13, 17, 20, 24)).select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").alias("cntrycode")
+    )
+    avg_bal = pool.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count("*"))
+        .alias("__avg")
+    )
+    recent = o.filter(F.col("o_orderdate") >= _ntz("1999-01-01")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        pool.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
