@@ -40,10 +40,12 @@ def shingles(
     headers appear in millions of docs and contribute f² candidate pairs
     to any shingle self-join; capping is the difference between a
     bounded candidate set and 10¹² rows from one hot key at 100 TB).
-    Implemented as a count window over the shingle key, so the filter
-    leaves the stream hash-partitioned on ``shingle`` and a following
-    self-join on the same key reuses the exchange instead of
-    re-shuffling."""
+    Implemented as a broadcast anti-join against the (by construction
+    tiny) hot-shingle list: the count aggregate benefits from map-side
+    partial aggregation, and the instance stream itself never shuffles —
+    a window over the shingle key would push the whole stream through an
+    exchange + sort that downstream consumers (the per-doc MinHash
+    groupBy) cannot reuse."""
     shingle_list = F.expr(
         f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
         f"transform(sequence(1, size(split({text_col}, ' ')) - {n} + 1), "
@@ -54,13 +56,24 @@ def shingles(
         F.col(id_col), F.explode(F.array_distinct(shingle_list)).alias("shingle")
     )
     if max_df is not None:
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count("*").over(w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+        sh = _drop_hot_keys(sh, ["shingle"], max_df)
     return sh
+
+
+def _drop_hot_keys(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove rows whose key group has more than ``cap`` members.
+
+    The over-cap key list is tiny by construction (only boilerplate /
+    degenerate keys exceed an honest cap), so it broadcasts; the main
+    stream is filtered by a broadcast anti-join and never shuffles. The
+    count aggregate shrinks map-side to distinct keys per partition."""
+    hot = (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -82,8 +95,11 @@ def ngram_jaccard_pairs(
     candidate rows, so one hot shingle at corpus scale would dominate the
     whole job. Jaccard is then computed over the capped shingle universe
     (sizes and intersections both post-cap — self-consistent semantics
-    that the DuckDB oracle twin mirrors exactly)."""
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
+    that the DuckDB oracle twin mirrors exactly). The capped stream is
+    persisted: it feeds both self-join sides plus the size aggregate."""
+    sh = shingles(
+        docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+    ).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -118,6 +134,7 @@ def minhash_signatures(
     text_col: str = "text",
     max_shingle_df: int | None = None,
     hash_family: str = "xxhash64",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document, min-aggregated over the shingle
     stream — one groupBy, map-side partial mins.
@@ -127,11 +144,17 @@ def minhash_signatures(
     seed column — one variable-length string hash + k 12-byte hashes per
     shingle instead of k string hashes, and no arithmetic that could
     overflow under ANSI mode. ~num_hashes× less string hashing on a
-    100 TB corpus."""
+    100 TB corpus.
+
+    ``shingle_df``: pre-built (typically persisted) shingle stream to use
+    instead of deriving one from ``docs`` — lets a pipeline that also
+    needs the stream for verification (minhash_lsh_pairs) pay the
+    shingling + df-cap cost exactly once."""
+    base = shingle_df
+    if base is None:
+        base = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
     if hash_family == "xxhash64":
-        sh = shingles(
-            docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-        ).withColumn("__h", F.xxhash64(F.col("shingle")))
+        sh = base.withColumn("__h", F.xxhash64(F.col("shingle")))
         mins = [
             F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh_{i}")
             for i in range(num_hashes)
@@ -144,9 +167,7 @@ def minhash_signatures(
         def p60(col: Column) -> Column:
             return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
-        sh = shingles(
-            docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-        ).withColumn("__h", p60(F.col("shingle")))
+        sh = base.withColumn("__h", p60(F.col("shingle")))
         mins = [
             F.min(
                 p60(F.concat_ws(":", F.lit(str(i)), F.col("__h").cast("string")))
@@ -187,8 +208,19 @@ def minhash_lsh_pairs(
     contributes m² candidates — at corpus scale a boilerplate-heavy
     source can put millions of docs in one bucket). The bucket cap is a
     recall guard only: it binds on pathological buckets far above any
-    honest near-dup cluster size."""
+    honest near-dup cluster size.
+
+    The capped shingle stream feeds BOTH the signature aggregate and the
+    candidate verification, so it is persisted (memory, spill to disk)
+    and computed exactly once — without that, the lineage recomputes the
+    shingling + df-cap for every consumer (signatures, the two verify
+    sides, the size aggregate): 4 scans of the corpus instead of 1.
+    Spark's cache manager keys on the canonicalized plan, so repeated
+    calls over the same input reuse one cache entry."""
     rows_per_band = num_hashes // bands
+    sh = shingles(
+        docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+    ).persist()
     sig = minhash_signatures(
         docs,
         num_hashes=num_hashes,
@@ -197,6 +229,7 @@ def minhash_lsh_pairs(
         text_col=text_col,
         max_shingle_df=max_shingle_df,
         hash_family=hash_family,
+        shingle_df=sh,
     )
     if hash_family == "md5":
         # portable mode: the raw ':'-joined band value IS the bucket key
@@ -223,12 +256,7 @@ def minhash_lsh_pairs(
         ),
     )
     if max_bucket_size is not None:
-        bw = Window.partitionBy("band_idx", "band_hash")
-        stacked = (
-            stacked.withColumn("__bsz", F.count("*").over(bw))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        stacked = _drop_hot_keys(stacked, ["band_idx", "band_hash"], max_bucket_size)
     left = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
     candidates = (
@@ -239,9 +267,9 @@ def minhash_lsh_pairs(
     )
     # Candidate-proportional verification: intersection sizes are computed
     # ONLY for LSH candidates (never all-pairs — that would undo the whole
-    # point of banding at scale). Same capped shingle universe as the
-    # signatures so the verified Jaccard matches the exact operator's.
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
+    # point of banding at scale). Same capped (and persisted) shingle
+    # stream as the signatures so the verified Jaccard matches the exact
+    # operator's and the corpus is not re-scanned.
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
