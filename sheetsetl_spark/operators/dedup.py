@@ -691,3 +691,46 @@ def fuzzy_name_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("name_a", "name_b", "distance")
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/Dolma preprocessing step):
+    split each document into fixed-width token chunks ("paragraphs" — the
+    fixtures have no newline structure), keep only the globally-FIRST
+    occurrence of every distinct chunk, and reassemble each document from
+    its surviving chunks in order.
+
+    First occurrence is the lexicographic minimum of (doc_id, chunk_idx)
+    — deterministic under any partitioning, computed as a MIN of a struct
+    over a window keyed on the chunk text. Two shuffles total at any
+    scale: one on chunk text (the winner window), one on doc id (the
+    reassembly); no self-join, no second corpus scan. Documents whose
+    every chunk first appeared elsewhere vanish from the output (fully
+    boilerplate docs), matching the oracle twin.
+
+    Output: (id, clean_text, n_kept_chunks).
+    """
+    from sheetsetl_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, stride=chunk_tokens, id_col=id_col, text_col=text_col
+    )
+    w = Window.partitionBy("chunk_text")
+    first = F.min(F.struct(id_col, "chunk_idx")).over(w)
+    kept = chunks.withColumn("__first", first).filter(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("chunk_idx") == F.col("__first.chunk_idx"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+        lambda x: x["chunk_text"],
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, " ").alias("clean_text"),
+        F.count("*").cast("int").alias("n_kept_chunks"),
+    )

@@ -262,3 +262,69 @@ def heavy_hitters(
         .filter(F.col("cnt") >= F.col("__total") * F.lit(min_frac))
         .select("token", "cnt", F.round(F.col("cnt") / F.col("__total"), 6).alias("frac"))
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents for a bag of query terms.
+
+    Okapi BM25 with the +1 idf smoothing:
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      tfnorm  = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+      score   = sum over query terms of round(idf * tfnorm, 6)
+
+    Scale shape: the token stream is FILTERED TO THE QUERY TERMS before
+    the (doc, term) aggregate, so the per-term stats shuffle is
+    proportional to query-term occurrences, not the corpus vocabulary;
+    N/avgdl are a one-row broadcast aggregate (avgdl via exact decimal
+    sum / count); per-term contributions are rounded then accumulated in
+    decimal so the final sum is order-independent and hash-stable.
+
+    Output: (id, score, n_matched) for the top-k by (score desc, id).
+    """
+    from pyspark.sql import Window
+
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    term_rows = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.array_contains(qlit, F.col("term")))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(tokens(text_col)).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = term_rows.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    dfc = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tfnorm, 6)
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.sum(contrib.cast("decimal(18,6)")).cast("double").alias("score"),
+            F.countDistinct("term").cast("int").alias("n_matched"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "score", "n_matched")
+    )

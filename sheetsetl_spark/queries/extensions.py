@@ -1825,3 +1825,88 @@ def c24_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py::fuzzy_name_pairs."""
     p = load_table(spark, sf_dir, "part")
     return dedup.fuzzy_name_pairs(p, text_col="p_name", max_distance=4)
+
+
+@query(
+    "c25_paragraph_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 10 AS INTEGER) AS chunk_idx,
+             ARRAY_TO_STRING(w[s:s+9], ' ') AS chunk_text
+      FROM toks, LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(1, GREATEST(LEN(w), 1), 10)) AS s) u
+      WHERE LEN(w[s:s+9]) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           STRING_AGG(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+           CAST(COUNT(*) AS INTEGER) AS n_kept_chunks
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def c25_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: paragraph-level exact dedup (CCNet/Dolma-style) — 10-token
+    chunks stand in for paragraphs (the fixture corpus has no newline
+    structure); only the globally-first occurrence of each distinct chunk
+    survives, documents are reassembled from their surviving chunks. Two
+    shuffles at any scale (chunk winner window + doc reassembly); the
+    oracle derives winners independently via ROW_NUMBER."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_paragraphs(docs, chunk_tokens=10)
+
+
+@query(
+    "c26_bm25_search",
+    oracle="""
+    WITH params AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    term_rows AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+             UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+      FROM term_rows WHERE term IN ('spark', 'shuffle', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS c,
+             tf.term
+      FROM tf JOIN dfc ON tf.term = dfc.term, params
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score,
+             CAST(COUNT(DISTINCT term) AS INTEGER) AS n_matched
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_matched FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def c26_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: BM25 ranked retrieval for the query bag {spark, shuffle,
+    vector} — the lexical half of a retrieval stack (C3 is the dense
+    half). Token stream filtered to query terms before any shuffle;
+    corpus stats (N, avgdl) are a one-row broadcast; per-term
+    contributions rounded then decimal-summed for order-independence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, ["spark", "shuffle", "vector"], k=10)
