@@ -187,3 +187,76 @@ def x1_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_parts"),
         (F.abs(approx - exact) <= 0.05 * exact).cast("int").alias("approx_within_tol"),
     )
+
+
+@query(
+    "b47b_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def b47b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47 (Spark 4 form): semi-structured props via the VARIANT type —
+    parse once with ``parse_json``, extract typed fields with
+    ``variant_get``. VARIANT keeps a binary-encoded tree, so repeated
+    extractions skip re-tokenizing the JSON text (the Spark-4-native
+    upgrade over per-path ``get_json_object``; at 100 TB the parse
+    happens once per row instead of once per path). The oracle extracts
+    the same path from the raw JSON text."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("__k").alias("sum_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "b58b_python_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id, CAST(s AS INTEGER) AS pos, w[s] AS token
+    FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEAST(LEN(w), 5))) AS s) u
+    """,
+)
+def b58b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58 (Spark 3.5+ API form): a genuine Python UDTF in a LATERAL
+    join — one input row expands to k output rows inside the plan.
+
+    This exists to cover the table-function API surface; it is the slow
+    path by design (row-at-a-time Python). Anything expressible with
+    explode/posexplode/inline (see b58_explode_lateral) should use those:
+    they stay in whole-stage codegen. The input here is pre-filtered to
+    1/50th of the corpus, the pattern for bounding Python-side cost."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class FirstTokens:
+        def eval(self, text: str, k: int):
+            for i, tok in enumerate(text.split(" ")[:k], start=1):
+                yield i, tok
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, pos, token FROM __udtf_docs, LATERAL first_tokens(text, 5)"
+    )
