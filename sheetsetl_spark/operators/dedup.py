@@ -349,9 +349,12 @@ def embedding_neardup_pairs(
             F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
     )
+    # Signature bits cost num_planes × dim multiply-adds per vector and
+    # feed three consumers (banding + both verify sides) — persist so the
+    # projection runs once instead of three times.
     sig = vectors.select(
         F.col(id_col).alias("vec_id"), vec.alias("v"), norm.alias("nrm"), bits.alias("bits")
-    )
+    ).persist()
     band_arr = F.array(
         *[F.substring("bits", b * rows_per_band + 1, rows_per_band) for b in range(bands)]
     )
@@ -381,9 +384,14 @@ def embedding_neardup_pairs(
         )
 
     sim = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    # No broadcast hint on the vector sides: at fixture scale AQE
+    # broadcasts them anyway, but at 10⁹ vectors the vector table is the
+    # BIG side (candidates ≪ corpus) and the hint would force an
+    # un-broadcastable build — let the planner pick shuffle-hash on the
+    # id key when the sides grow.
     return (
-        pairs.join(F.broadcast(ea), "vec_a")
-        .join(F.broadcast(eb), "vec_b")
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
