@@ -112,9 +112,12 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # sz_a/sz_b are per-DOCUMENT size tables — O(corpus) rows, so no
+    # broadcast hint: AQE broadcasts at small scale and shuffles on the
+    # id key when the corpus outgrows a build side.
     return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -281,9 +284,12 @@ def minhash_lsh_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # sz_a/sz_b are per-DOCUMENT size tables — O(corpus) rows, so no
+    # broadcast hint: AQE broadcasts at small scale and shuffles on the
+    # id key when the corpus outgrows a build side.
     return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -103,8 +103,12 @@ def tf_idf_top_terms(
     # action — that action cost a whole extra scan of the corpus before
     # the real job even started.
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    # No broadcast hint on df_counts: it is the FULL VOCABULARY (one row
+    # per distinct term) — auto-broadcast when small, but at corpus scale
+    # a forced broadcast of billions of distinct terms would OOM every
+    # executor; the term-keyed shuffle join is the plan that survives.
     scored = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
