@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import load_table
 from sheetsetl_spark.operators import dedup, similarity, text
-from sheetsetl_spark.queries import query
+from sheetsetl_spark.queries import dsum, query
 
 _JACCARD_THRESHOLD = 0.5
 # Boilerplate-shingle document-frequency cap shared by the Spark operators
@@ -1910,3 +1910,37 @@ def c26_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions rounded then decimal-summed for order-independence."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bm25_scores(docs, ["spark", "shuffle", "vector"], k=10)
+
+
+@query(
+    "x38_salted_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def x38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: skew-salted fact join (operators/skew.py) — the probe side
+    scatters across 8 salt sub-keys, the build side replicates 8×, the
+    hot key's rows land in 8 partitions instead of 1. The salt never
+    escapes, so the result is IDENTICAL to the plain equi-join — which is
+    exactly what the oracle runs. AQE's skew split covers sort-merge
+    joins after stats exist; this is the planned-skew fallback."""
+    from sheetsetl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        salted_join(li, o, ["l_orderkey"], how="inner", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+    )
