@@ -332,3 +332,79 @@ def bm25_scores(
         .filter(F.col("rn") <= k)
         .select(id_col, "score", "n_matched")
     )
+
+
+def count_min_sketch_estimates(
+    docs: DataFrame,
+    probe_tokens: list[str],
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch over the token stream, probed for known tokens.
+
+    The sketch is a (depth × width) count table — bounded memory no
+    matter the corpus size, which is the succession plan for
+    :func:`heavy_hitters` once the vocabulary itself stops fitting in a
+    shuffle. Build: each token increments one bucket per depth row
+    (bucket_i = md5-prefix hash of "i:token" mod width); estimate:
+    min over rows of the probed buckets — a biased-high estimator with
+    error ≤ 2N/width at confidence 1 - (1/2)^depth.
+
+    Hashing uses the engine-portable 60-bit md5-prefix family (same as
+    the c2d audit path), so a DuckDB twin rebuilds the SKETCH ITSELF
+    bit-for-bit and the whole approximate pipeline is hash-checkable.
+
+    Build cost: one corpus scan, one (depth, bucket)-keyed aggregate
+    whose output is ≤ depth × width rows regardless of input; probes
+    join against that bounded table. Output:
+    (token, exact_cnt, cms_est, overestimates) for probes present in the
+    corpus — overestimates is the CMS guarantee est >= exact, checked
+    per token in both engines.
+    """
+
+    def p60(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    buckets = F.array(
+        *[
+            F.pmod(p60(F.concat_ws(":", F.lit(str(i)), F.col("token"))), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+    cells = toks.select(F.posexplode(buckets).alias("depth", "bucket"))
+    sketch = cells.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+
+    probes = docs.sparkSession.createDataFrame(
+        [(t,) for t in probe_tokens], ["token"]
+    ).select(
+        "token",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        p60(F.concat_ws(":", F.lit(str(i)), F.col("token"))), F.lit(width)
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("depth", "bucket"),
+    )
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["depth", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = (
+        toks.filter(F.col("token").isin(probe_tokens))
+        .groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return exact.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).cast("int").alias("overestimates"),
+    )

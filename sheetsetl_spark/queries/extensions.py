@@ -1944,3 +1944,48 @@ def x38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
         )
     )
+
+
+_CMS_PROBES = ("table", "value", "row", "scan", "key")
+
+
+@query(
+    "c27_count_min_sketch",
+    oracle=f"""
+    WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    cells AS (
+      SELECT i AS depth,
+             ('0x' || SUBSTRING(MD5(CONCAT(CAST(i AS VARCHAR), ':', token)), 1, 15))::BIGINT
+               % 1024 AS bucket
+      FROM toks, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) d
+    ),
+    sketch AS (SELECT depth, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes(token) AS (VALUES {", ".join(f"('{t}')" for t in _CMS_PROBES)}),
+    pb AS (
+      SELECT token, i AS depth,
+             ('0x' || SUBSTRING(MD5(CONCAT(CAST(i AS VARCHAR), ':', token)), 1, 15))::BIGINT
+               % 1024 AS bucket
+      FROM probes, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) d
+    ),
+    est AS (
+      SELECT token, MIN(cnt) AS cms_est
+      FROM pb JOIN sketch USING (depth, bucket) GROUP BY token
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS exact_cnt FROM toks
+      WHERE token IN ({", ".join(f"'{t}'" for t in _CMS_PROBES)})
+      GROUP BY token
+    )
+    SELECT token, exact_cnt, cms_est,
+           CAST(cms_est >= exact_cnt AS INT) AS overestimates
+    FROM exact JOIN est USING (token)
+    """,
+)
+def c27_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: count-min sketch heavy-hitter estimates — the bounded-memory
+    successor to exact heavy hitters (c4i) for vocabularies that outgrow
+    a shuffle. Portable md5-prefix hashing means the DuckDB twin rebuilds
+    the sketch itself, so the approximate structure (not just its
+    outputs) is hash-checked. See operators/text.py::count_min_sketch_estimates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.count_min_sketch_estimates(docs, list(_CMS_PROBES))
