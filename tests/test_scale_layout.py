@@ -190,3 +190,39 @@ def test_text_source_lines(spark, tmp_path):
     assert sorted(r.value for r in lines.collect()) == ["line one", "line two", "solo"]
     whole = read_text(spark, str(p), whole_file=True)
     assert whole.count() == 2
+
+
+def test_tpch_q21_single_lineitem_shuffle(spark):
+    """Q21's EXISTS/NOT-EXISTS rewrite must touch lineitem through ONE
+    orderkey-keyed aggregation chain — the textbook correlated form would
+    scan and shuffle it three times. Allowed hash exchanges: the
+    lineitem–orders join inputs and the per-order aggregate (all on
+    l_orderkey), plus the final s_name aggregation."""
+    from sheetsetl_spark.queries import QUERIES
+
+    df = QUERIES["x36_tpch_q21_waiting_suppliers"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # one lineitem scan only — the whole point of the aggregation rewrite
+    assert plan.count("FileScan parquet") <= 4  # lineitem, orders, supplier (+1 slack)
+    scans = [seg.split("\n")[0] for seg in plan.split("FileScan parquet ")[1:]]
+    li_scans = [s for s in scans if "l_orderkey" in s]
+    assert len(li_scans) == 1, li_scans
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q2_window_reuses_aggregate_partitioning(spark):
+    """Q2's correlated-MIN-as-window must not add an exchange beyond the
+    cost aggregate's own l_partkey partitioning: the window's
+    partitionBy matches the groupBy key, so Catalyst plans window-over-
+    aggregate with no intervening shuffle of the cost table."""
+    from sheetsetl_spark.queries import QUERIES
+
+    df = QUERIES["x31_tpch_q2_min_cost_supplier"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    # exchanges: cost groupBy on (l_partkey, l_suppkey)... the window
+    # needs l_partkey-only partitioning -> at most 2 hash exchanges for
+    # the chain, plus the final orderBy's range exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
