@@ -1989,3 +1989,51 @@ def c27_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs) is hash-checked. See operators/text.py::count_min_sketch_estimates."""
     docs = load_table(spark, sf_dir, "documents")
     return text.count_min_sketch_estimates(docs, list(_CMS_PROBES))
+
+
+@query(
+    "x39_hll_sketch_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+             user_id
+      FROM events
+    )
+    SELECT week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(ABS(APPROX_COUNT_DISTINCT(user_id) - COUNT(DISTINCT user_id))
+                <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS merged_within_tol
+    FROM e GROUP BY week
+    """,
+)
+def x39_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39: mergeable HLL sketch rollup (Apache DataSketches via Spark
+    3.5's hll_sketch_agg / hll_union_agg) — daily user sketches are built
+    once, then UNIONED into weekly distincts without rescanning the raw
+    events. This is the incremental form sketches exist for: a 100 TB
+    event store keeps per-partition sketch bytes (fixed size) and any
+    rollup window is a cheap merge. The estimate is engine-specific, so
+    the hash-checked contract mirrors x1: (exact value, merged-estimate-
+    within-5% flag), each engine judging its own sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7).cast(
+        "long"
+    )
+    daily = ev.select(
+        F.to_date("ts").alias("day"), week.alias("week"), "user_id"
+    ).groupBy("day", "week").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = (
+        ev.select(week.alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return exact.join(merged, "week").select(
+        "week",
+        "exact_users",
+        (F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users"))
+        .cast("int")
+        .alias("merged_within_tol"),
+    )
