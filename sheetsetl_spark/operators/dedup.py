@@ -748,3 +748,91 @@ def dedup_paragraphs(
         F.array_join(ordered, " ").alias("clean_text"),
         F.count("*").cast("int").alias("n_kept_chunks"),
     )
+
+
+def incremental_neardup_filter(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Incremental near-dup: drop new-batch documents that near-duplicate
+    an EXISTING corpus (the daily-crawl-vs-history shape).
+
+    The scale property is the asymmetric band join: history↔history pairs
+    are never generated (history was already deduped when it was
+    ingested), so each increment costs O(new + collisions), not
+    O(corpus²). In production the corpus side's signatures are a stored
+    table maintained across ingests; here they are derived inline from
+    the corpus DataFrame. Shingle df-caps apply per side (each side's
+    boilerplate is capped against its own frequency profile).
+
+    Verification computes true cross-side Jaccard only for band
+    collisions, so the kept set equals the exact-Jaccard answer whenever
+    banding recall is 1 (the same contract as minhash_lsh_pairs).
+
+    Output: the new-batch rows that survive (id + text + any other
+    columns of ``new_docs``).
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(side: DataFrame, alias: str) -> DataFrame:
+        sig = minhash_signatures(
+            side, num_hashes=num_hashes, n=n, id_col=id_col,
+            text_col=text_col, max_shingle_df=max_shingle_df,
+        )
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        return sig.select(F.col(id_col).alias(alias), *band_cols).select(
+            F.col(alias),
+            F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+
+    candidates = (
+        banded(new_docs, "new_id")
+        .join(banded(corpus, "old_id"), ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = shingles(
+        new_docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+    ).persist()
+    sh_old = shingles(
+        corpus, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
+    ).persist()
+    inter = (
+        candidates.join(sh_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
+        .join(sh_old.select(F.col(id_col).alias("old_id"), "shingle"), ["old_id", "shingle"])
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new")).select(
+        F.col(id_col).alias("new_id"), "n_new"
+    )
+    sz_old = sh_old.groupBy(id_col).agg(F.count("*").alias("n_old")).select(
+        F.col(id_col).alias("old_id"), "n_old"
+    )
+    dups = (
+        inter.join(sz_new, "new_id")
+        .join(sz_old, "old_id")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("n_new") + F.col("n_old") - F.col("inter")), 6
+            )
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dups, id_col, "left_anti")

@@ -2037,3 +2037,59 @@ def x39_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("merged_within_tol"),
     )
+
+
+@query(
+    "c28_incremental_neardup",
+    oracle=f"""
+    WITH newb AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE source = 'src0'),
+    hist AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    shn0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM newb) t,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    shn AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM shn0) t
+      WHERE df <= {_SHINGLE_DF_CAP}
+    ),
+    sho0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM hist) t,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sho AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sho0) t
+      WHERE df <= {_SHINGLE_DF_CAP}
+    ),
+    pairs AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id, COUNT(*) AS inter
+      FROM shn n JOIN sho o USING (shingle) GROUP BY 1, 2
+    ),
+    szn AS (SELECT doc_id AS new_id, COUNT(*) AS n_new FROM shn GROUP BY 1),
+    szo AS (SELECT doc_id AS old_id, COUNT(*) AS n_old FROM sho GROUP BY 1),
+    dups AS (
+      SELECT DISTINCT new_id FROM pairs
+      JOIN szn USING (new_id) JOIN szo USING (old_id)
+      WHERE ROUND(inter / (n_new + n_old - inter), 6) >= {_JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, lang, n_chars FROM newb
+    WHERE doc_id NOT IN (SELECT new_id FROM dups)
+    """,
+)
+def c28_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: incremental near-dup — the daily-crawl shape: new batch
+    (source src0) deduped against the already-ingested history (every
+    other source) via the ASYMMETRIC band join; history↔history pairs are
+    never generated. Kept = new docs with no cross-side Jaccard >= 0.5
+    twin (oracle recomputes the exact cross-side answer; equality holds
+    at banding recall 1, same contract as c2b)."""
+    docs = load_table(spark, sf_dir, "documents")
+    newb = docs.filter(F.col("source") == "src0")
+    hist = docs.filter(F.col("source") != "src0")
+    kept = dedup.incremental_neardup_filter(
+        newb, hist, threshold=_JACCARD_THRESHOLD, max_shingle_df=_SHINGLE_DF_CAP
+    )
+    return kept.select("doc_id", "lang", "n_chars")
