@@ -2093,3 +2093,50 @@ def c28_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         newb, hist, threshold=_JACCARD_THRESHOLD, max_shingle_df=_SHINGLE_DF_CAP
     )
     return kept.select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "x40_exact_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price
+    FROM m
+    """,
+)
+def x40_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: Pearson correlation from EXACT decimal moments — F.corr's
+    streaming double accumulation is partitioning-dependent in the last
+    ulps, so the deterministic form aggregates the five moments in
+    decimal (associative, order-free) and applies the closed formula
+    once. Same single-shuffle cost as corr; bit-identical on any
+    cluster."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # Row products stay in double (exactly representable for the fixture
+    # scales: integer quantities, 2-decimal prices, all < 2^53 after
+    # scaling) and each product is cast to decimal BEFORE the sum — the
+    # accumulation, the only order-dependent step, is order-free.
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
