@@ -72,3 +72,24 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive content checksum of selected columns: every row
+    is canonically serialized ('|'-joined strings), hashed to a 60-bit
+    md5 prefix (the engine-portable family), and the hashes are SUMMED in
+    wide decimal — addition commutes, so the result is independent of row
+    order and partitioning, and two engines (or two pipeline runs)
+    producing the same content produce the same checksum.
+
+    The tool every migration/CDC pipeline needs: one scan + a one-row
+    aggregate, no sort, no collect, no shuffle beyond the final reduce.
+    Callers pick columns whose string forms are engine-stable (ints,
+    strings, dates, decimals — raw doubles format differently across
+    engines; round or cast them first)."""
+    row_str = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )

@@ -2140,3 +2140,32 @@ def x40_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@query(
+    "x41_table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(('0x' || SUBSTRING(MD5(
+                 CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+                                CAST(o_custkey AS VARCHAR),
+                                o_orderstatus,
+                                STRFTIME(o_orderdate, '%Y-%m-%d'))), 1, 15))::BIGINT
+               AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+)
+def x41_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: order-insensitive table checksum — the cross-engine content
+    fingerprint a migration or CDC pipeline uses to prove two copies hold
+    the same rows without sorting or transferring either side. Summed
+    60-bit md5 prefixes in wide decimal; both engines derive the
+    identical value from identical content. See
+    operators/quality.py::table_checksum."""
+    from sheetsetl_spark.operators.quality import table_checksum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    return table_checksum(o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_date"])
