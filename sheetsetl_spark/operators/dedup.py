@@ -95,11 +95,13 @@ def ngram_jaccard_pairs(
     candidate rows, so one hot shingle at corpus scale would dominate the
     whole job. Jaccard is then computed over the capped shingle universe
     (sizes and intersections both post-cap — self-consistent semantics
-    that the DuckDB oracle twin mirrors exactly). The capped stream is
-    persisted: it feeds both self-join sides plus the size aggregate."""
-    sh = shingles(
-        docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-    ).persist()
+    that the DuckDB oracle twin mirrors exactly). The RAW stream is
+    persisted and the cap is applied on top of the cache: the corpus is
+    scanned once (cache fill), the hot list is computed from the cache,
+    and each consumer's anti-join is a broadcast filter over cache
+    reads — strictly one corpus scan for the whole pipeline."""
+    raw = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
@@ -213,17 +215,18 @@ def minhash_lsh_pairs(
     recall guard only: it binds on pathological buckets far above any
     honest near-dup cluster size.
 
-    The capped shingle stream feeds BOTH the signature aggregate and the
-    candidate verification, so it is persisted (memory, spill to disk)
-    and computed exactly once — without that, the lineage recomputes the
-    shingling + df-cap for every consumer (signatures, the two verify
-    sides, the size aggregate): 4 scans of the corpus instead of 1.
-    Spark's cache manager keys on the canonicalized plan, so repeated
-    calls over the same input reuse one cache entry."""
+    The shingle stream feeds BOTH the signature aggregate and the
+    candidate verification, so the RAW stream is persisted (memory,
+    spill to disk) and the df-cap is an anti-join applied over cache
+    reads: one corpus scan fills the cache, the hot list itself comes
+    from the cache, and every consumer (signatures, the two verify
+    sides, the size aggregate) is a cache read + broadcast filter —
+    without this the lineage would rescan the corpus 4×. Spark's cache
+    manager keys on the canonicalized plan, so repeated calls over the
+    same input reuse one cache entry."""
     rows_per_band = num_hashes // bands
-    sh = shingles(
-        docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-    ).persist()
+    raw = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sig = minhash_signatures(
         docs,
         num_hashes=num_hashes,
@@ -780,11 +783,23 @@ def incremental_neardup_filter(
     columns of ``new_docs``).
     """
     rows_per_band = num_hashes // bands
+    # One persisted raw shingle stream per side: banding signatures AND
+    # verification read the cache; the df-cap is a broadcast anti-join
+    # over cache reads (single scan of each side, same policy as
+    # minhash_lsh_pairs).
+    raw_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col).persist()
+    raw_old = shingles(corpus, n=n, id_col=id_col, text_col=text_col).persist()
+    sh_new = (
+        _drop_hot_keys(raw_new, ["shingle"], max_shingle_df) if max_shingle_df else raw_new
+    )
+    sh_old = (
+        _drop_hot_keys(raw_old, ["shingle"], max_shingle_df) if max_shingle_df else raw_old
+    )
 
-    def banded(side: DataFrame, alias: str) -> DataFrame:
+    def banded(side: DataFrame, capped_sh: DataFrame, alias: str) -> DataFrame:
         sig = minhash_signatures(
             side, num_hashes=num_hashes, n=n, id_col=id_col,
-            text_col=text_col, max_shingle_df=max_shingle_df,
+            text_col=text_col, shingle_df=capped_sh,
         )
         band_cols = [
             F.xxhash64(
@@ -800,17 +815,11 @@ def incremental_neardup_filter(
         )
 
     candidates = (
-        banded(new_docs, "new_id")
-        .join(banded(corpus, "old_id"), ["band_idx", "band_hash"])
+        banded(new_docs, sh_new, "new_id")
+        .join(banded(corpus, sh_old, "old_id"), ["band_idx", "band_hash"])
         .select("new_id", "old_id")
         .distinct()
     )
-    sh_new = shingles(
-        new_docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-    ).persist()
-    sh_old = shingles(
-        corpus, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df
-    ).persist()
     inter = (
         candidates.join(sh_new.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
         .join(sh_old.select(F.col(id_col).alias("old_id"), "shingle"), ["old_id", "shingle"])
