@@ -95,7 +95,9 @@ def tf_idf_top_terms(
     from pyspark.sql import Window
 
     term_rows = docs.select(
-        id_col, F.explode(tokens(text_col)).alias("term"), F.size(tokens(text_col)).alias("doc_len")
+        id_col, tokens(text_col).alias("__toks")
+    ).select(
+        id_col, F.explode("__toks").alias("term"), F.size("__toks").alias("doc_len")
     )
     tf = term_rows.groupBy(id_col, "term", "doc_len").agg(F.count("*").alias("term_cnt"))
     df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
@@ -178,13 +180,17 @@ def chunk_documents(
     pre-training chunking step: window of ``chunk_tokens``, advancing
     ``stride`` tokens, so consecutive chunks overlap by
     chunk_tokens - stride). Pure array functions — sequence over start
-    offsets, slice per offset, one explode; no UDF, no shuffle."""
-    toks = tokens(text_col)
-    n = F.size(toks)
+    offsets, slice per offset, one explode; no UDF, no shuffle.
+
+    Tokenization is projected into a column BEFORE the transform: a
+    split() expression referenced inside the slice lambda re-splits the
+    document per chunk offset (O(tokens²/stride) string work per doc)."""
+    tokenized = docs.select("*", tokens(text_col).alias("__toks"))
+    n = F.size(F.col("__toks"))
     # start offsets 1, 1+stride, ... while start <= n (last partial chunk kept)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
-    exploded = docs.select(
+    chunks = F.transform(starts, lambda s: F.slice(F.col("__toks"), s, chunk_tokens))
+    exploded = tokenized.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
     ).filter(F.size("chunk_toks") > 0)

@@ -764,13 +764,16 @@ def c10_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (the boilerplate/looping-text quality signal); top-20 most
     repetitive documents. One explode + one groupBy."""
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize once into a column — split() inside the slice lambda would
+    # re-split the doc per shingle position (see operators/dedup.shingles)
+    toks = docs.select("doc_id", F.split("text", " ").alias("__w"))
     shingle_list = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "  i -> array_join(slice(split(text, ' '), i, 3), ' ')) "
+        "CASE WHEN size(__w) >= 3 THEN "
+        "transform(sequence(1, size(__w) - 2), "
+        "  i -> array_join(slice(__w, i, 3), ' ')) "
         "ELSE array() END"
     )
-    sh = docs.select("doc_id", F.explode(shingle_list).alias("s"))
+    sh = toks.select("doc_id", F.explode(shingle_list).alias("s"))
     per = sh.groupBy("doc_id").agg(
         F.count("*").alias("total_shingles"),
         F.countDistinct("s").alias("distinct_shingles"),
