@@ -268,6 +268,13 @@ def minhash_lsh_pairs(
         ),
     )
     if max_bucket_size is not None:
+        # The bucket-cap's hot-list broadcast subquery would otherwise
+        # re-run the whole signature aggregation (the most expensive
+        # stage) a second time just to count bucket sizes. The band
+        # table is O(docs × bands) short rows — persisting IT (not the
+        # signatures) is cheap at any scale and makes the hot-list job
+        # a cache read.
+        stacked = stacked.persist()
         stacked = _drop_hot_keys(stacked, ["band_idx", "band_hash"], max_bucket_size)
     left = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
     right = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
