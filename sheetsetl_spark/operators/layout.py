@@ -77,3 +77,38 @@ def deterministic_shards(
     )
     w = Window.partitionBy("shard_id").orderBy("__k", id_col)
     return sharded.withColumn("pos", F.row_number().over(w)).drop("__k")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    tag: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a uniform in [0,1) from
+    md5(tag:id) buckets every row into train/val/test by the configured
+    fractions. Pure per-row hashing — no shuffle, no sampling state, and
+    the assignment is a pure function of (id, tag): stable across
+    clusters, re-runs, and corpus re-partitioning, so eval rows can never
+    leak into train between pipeline versions (the property partition-
+    dependent randomSplit cannot give).
+
+    Adds a ``split`` column; fractions are train, val, remainder test.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(tag), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return df.withColumn(
+        "split",
+        F.when(u < train_frac, F.lit("train"))
+        .when(u < train_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

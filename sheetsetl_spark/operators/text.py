@@ -414,3 +414,168 @@ def count_min_sketch_estimates(
         "cms_est",
         (F.col("cms_est") >= F.col("exact_cnt")).cast("int").alias("overestimates"),
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 12.0,
+    min_stop_ratio: float = 0.05,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher/Dolma-style heuristic document filters (C4 curation tier):
+    per-document rule flags plus the aggregate pass verdict.
+
+    Rules (each an independent boolean so the curation report can show
+    which rule rejected a document): word count in [min, max]; mean word
+    length in [min, max]; stopword ratio >= threshold (real text contains
+    function words); distinct-token ratio >= threshold (repetition fuse,
+    the same signal as c10 at unigram granularity). Pure per-row
+    arithmetic over the token array — one scan, zero shuffles,
+    embarrassingly parallel at any corpus size."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    mean_len = F.round(F.length(F.regexp_replace(F.col(text_col), " ", "")) / n, 6)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = F.round(
+        F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({stop_list})))") / n, 6
+    )
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)) / n, 6)
+    word_count_ok = n.between(min_words, max_words)
+    mean_len_ok = mean_len.between(min_mean_len, max_mean_len)
+    stop_ok = stop_ratio >= min_stop_ratio
+    distinct_ok = distinct_ratio >= min_distinct_ratio
+    return docs.select(
+        F.col(id_col),
+        n.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        word_count_ok.cast("int").alias("word_count_ok"),
+        mean_len_ok.cast("int").alias("mean_len_ok"),
+        stop_ok.cast("int").alias("stopword_ok"),
+        distinct_ok.cast("int").alias("distinct_ok"),
+        (word_count_ok & mean_len_ok & stop_ok & distinct_ok).cast("int").alias("passes"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unigram language-model surprise score (C4 quality tier): train a
+    unigram model on the corpus itself, then score each document by its
+    mean per-token negative log-probability — the cheap stand-in for the
+    perplexity-filter step (CCNet's KenLM bucket) of a pre-training
+    pipeline; low surprise = repetitive/common text, high = rare tokens.
+
+    Determinism contract: each token type's -ln p is rounded to 6 dp
+    FIRST, then weighted by the doc's term count and accumulated in exact
+    DECIMAL, so the per-document sum is order-independent and matches the
+    DuckDB twin bit-for-bit under any partitioning.
+
+    Scale shape: (doc, term) counts shuffle once; the unigram model is
+    vocabulary-sized (map-side combine collapses the corpus), joined back
+    on term with no broadcast hint (AQE broadcasts while it fits); corpus
+    token total enters as a broadcast one-row aggregate — no driver-side
+    count action, no extra corpus scan (ReuseExchange folds the model and
+    total branches into the same partial-aggregate pass)."""
+    term_rows = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col, F.explode("__toks").alias("term"), F.size("__toks").alias("doc_len")
+    )
+    tf = term_rows.groupBy(id_col, "term", "doc_len").agg(F.count("*").alias("cnt"))
+    model = tf.groupBy("term").agg(F.sum("cnt").alias("g_cnt"))
+    total = model.agg(F.sum("g_cnt").alias("__total"))
+    neg_lp = F.round(-F.log(F.col("g_cnt") / F.col("__total")), 6)
+    contrib = (F.col("cnt") * neg_lp).cast("decimal(28,6)")
+    return (
+        tf.join(model, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, "doc_len")
+        .agg(F.sum(contrib).alias("__sum"))
+        .select(
+            id_col,
+            F.col("doc_len").cast("int").alias("n_tokens"),
+            F.round(F.col("__sum").cast("double") / F.col("doc_len"), 6).alias(
+                "avg_surprise"
+            ),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage (C4): build the top-``vocab_size``
+    corpus vocabulary (by frequency, ties broken by token), then report
+    each document's out-of-vocabulary token fraction — the signal that
+    decides whether a tokenizer's vocab fits a corpus before a training
+    run prices it in.
+
+    The vocabulary is selected with a distributed top-k (orderBy + limit
+    over the vocabulary-sized count table — never a one-partition window
+    over the corpus) and joined back as a broadcast membership list; the
+    per-document OOV count is a second aggregate over the token stream.
+    """
+    term_rows = docs.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        id_col, F.explode("__toks").alias("term"), F.size("__toks").alias("doc_len")
+    )
+    vocab = (
+        term_rows.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(vocab_size)
+        .select("term")
+    )
+    oov = (
+        term_rows.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_oov"))
+    )
+    base = term_rows.groupBy(id_col, "doc_len").agg(F.count("*").alias("__n"))
+    return (
+        base.join(oov, id_col, "left")
+        .select(
+            id_col,
+            F.col("doc_len").cast("int").alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("int").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0)) / F.col("doc_len"), 6
+            ).alias("oov_ratio"),
+        )
+    )
+
+
+def domain_mix_report(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus mix report (C4 curation): per-source document counts, token
+    totals, and corpus shares — the table a data-mixing decision reads
+    (and the input c19's weight computation starts from).
+
+    One shuffle to the sources-sized aggregate; shares come from a
+    broadcast one-row re-aggregate of that tiny table, so the corpus is
+    scanned exactly once."""
+    per = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__docs"), F.sum("n_tokens").alias("__toks")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("__docs"), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("__toks"), 6).alias("token_share"),
+    )

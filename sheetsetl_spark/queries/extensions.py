@@ -2172,3 +2172,163 @@ def x41_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
     )
     return table_checksum(o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_date"])
+
+
+@query(
+    "c29_gopher_quality_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+             LEN(REPLACE(text, ' ', '')) AS n_chars_nospace,
+             text
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             LEN(w) AS n_words,
+             ROUND(1.0 * n_chars_nospace / LEN(w), 6) AS mean_word_len,
+             ROUND(1.0 * LEN(LIST_FILTER(w, x -> x IN ('the','a','of','and','to','in'))) / LEN(w), 6) AS stopword_ratio,
+             ROUND(1.0 * LEN(LIST_DISTINCT(w)) / LEN(w), 6) AS distinct_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           mean_word_len, stopword_ratio, distinct_ratio,
+           CAST(n_words BETWEEN 30 AND 100000 AS INT) AS word_count_ok,
+           CAST(mean_word_len BETWEEN 3.0 AND 12.0 AS INT) AS mean_len_ok,
+           CAST(stopword_ratio >= 0.05 AS INT) AS stopword_ok,
+           CAST(distinct_ratio >= 0.3 AS INT) AS distinct_ok,
+           CAST(n_words BETWEEN 30 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 12.0
+                AND stopword_ratio >= 0.05
+                AND distinct_ratio >= 0.3 AS INT) AS passes
+    FROM per
+    """,
+)
+def c29_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: Gopher/Dolma-style heuristic curation rules — per-document
+    boolean flags (word count band, mean word length band, stopword
+    ratio, distinct-token ratio) plus the aggregate pass verdict. One
+    scan, zero shuffles (operators/text.py::gopher_quality_flags)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs)
+
+
+@query(
+    "c30_unigram_logprob",
+    oracle="""
+    WITH term_rows AS (
+      SELECT doc_id, LEN(w) AS doc_len, UNNEST(w) AS term
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+    ),
+    tf AS (
+      SELECT doc_id, term, doc_len, COUNT(*) AS cnt
+      FROM term_rows GROUP BY doc_id, term, doc_len
+    ),
+    model AS (SELECT term, SUM(cnt) AS g_cnt FROM tf GROUP BY term),
+    tot AS (SELECT SUM(g_cnt) AS total FROM model)
+    SELECT doc_id,
+           CAST(doc_len AS INT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(cnt * ROUND(-LN(1.0 * g_cnt / total), 6) AS DECIMAL(28,6))) AS DOUBLE) / doc_len, 6) AS avg_surprise
+    FROM tf JOIN model USING (term), tot
+    GROUP BY doc_id, doc_len
+    """,
+)
+def c30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: unigram-LM surprise score — the perplexity-filter stand-in
+    (CCNet/KenLM bucket shape): corpus-trained unigram model, per-doc
+    mean -ln p(token), decimal-accumulated for order-free hash parity
+    (operators/text.py::unigram_logprob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(docs)
+
+
+@query(
+    "c31_train_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+             ('0x' || SUBSTRING(MD5(CONCAT('split', ':', CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(w)) AS BIGINT) AS n_tokens
+    FROM s GROUP BY 1
+    """,
+)
+def c31_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31: deterministic hash-based train/val/test split — assignment is
+    a pure function of (doc_id, tag) so eval membership is stable across
+    clusters and re-runs, unlike partition-dependent randomSplit
+    (operators/layout.py::hash_split). Reports per-split doc and token
+    counts."""
+    from sheetsetl_spark.operators.layout import hash_split
+    from sheetsetl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", train_frac=0.8, val_frac=0.1, tag="split")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens("text"))).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "c32_domain_mix_report",
+    oracle="""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS d, SUM(n_tokens) AS t FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(1.0 * n_docs / d, 6) AS doc_share,
+           ROUND(1.0 * n_tokens / t, 6) AS token_share
+    FROM per, tot
+    """,
+)
+def c32_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32: corpus mix report — per-source docs/tokens and corpus shares,
+    the table a data-mixing decision (and c19's weights) starts from.
+    Single corpus scan (operators/text.py::domain_mix_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.domain_mix_report(docs)
+
+
+@query(
+    "c33_vocab_coverage",
+    oracle="""
+    WITH term_rows AS (
+      SELECT doc_id, LEN(w) AS doc_len, UNNEST(w) AS term
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS cnt FROM term_rows GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 100) v
+    ),
+    oov AS (
+      SELECT doc_id, COUNT(*) AS n_oov
+      FROM term_rows WHERE term NOT IN (SELECT term FROM vocab)
+      GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, doc_len FROM term_rows GROUP BY doc_id, doc_len)
+    SELECT b.doc_id,
+           CAST(b.doc_len AS INT) AS n_tokens,
+           CAST(COALESCE(o.n_oov, 0) AS INT) AS n_oov,
+           ROUND(1.0 * COALESCE(o.n_oov, 0) / b.doc_len, 6) AS oov_ratio
+    FROM base b LEFT JOIN oov o ON b.doc_id = o.doc_id
+    """,
+)
+def c33_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: tokenizer-vocabulary coverage — top-100 corpus vocabulary via
+    distributed top-k, per-document OOV fraction via broadcast membership
+    anti-join (operators/text.py::vocab_coverage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(docs, vocab_size=100)

@@ -799,3 +799,77 @@ def test_minhash_lsh_reuses_cached_shingle_stream(spark):
     # per consumer and the pipeline output is correct.
     assert len(pairs.columns) == 3
     spark.catalog.clearCache()
+
+
+def test_gopher_flags_zero_shuffle_and_rules(spark):
+    from sheetsetl_spark.operators.text import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a lazy dog near the river bank "
+                "and keeps running in the field for a while longer today"),  # passes
+            (2, "x y z"),  # too short
+            (3, " ".join(["word"] * 50)),  # no stopwords, repetitive
+        ],
+        "doc_id long, text string",
+    )
+    out = gopher_quality_flags(docs, min_words=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # pure per-row map — no shuffle
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["passes"] == 1
+    assert rows[2]["word_count_ok"] == 0 and rows[2]["passes"] == 0
+    assert rows[3]["stopword_ok"] == 0 and rows[3]["distinct_ok"] == 0
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from sheetsetl_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "rare1 rare2 rare3 rare4")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_surprise"] for r in unigram_logprob(docs).collect()}
+    assert out[2] > out[1]  # rare tokens are more surprising
+
+
+def test_vocab_coverage_oov_counts(spark):
+    from sheetsetl_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b zzz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    # vocab = {a, b}; doc 2 has one OOV token
+    assert out[1]["n_oov"] == 0
+    assert out[2]["n_oov"] == 1
+    plan = vocab_coverage(docs, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_hash_split_deterministic_and_partition_independent(spark):
+    from sheetsetl_spark.operators.layout import hash_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b  # pure function of id — partitioning-independent
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+
+
+def test_domain_mix_report_shares_sum_to_one(spark):
+    from sheetsetl_spark.operators.text import domain_mix_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "c d e", "s1"), (3, "f", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = domain_mix_report(docs).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["s1"]["n_tokens"] == 5 and by_src["s2"]["n_tokens"] == 1
