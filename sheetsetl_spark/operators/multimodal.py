@@ -363,3 +363,45 @@ def media_summary(features: DataFrame) -> DataFrame:
             6,
         ).alias("avg_f0"),
     )
+
+
+def synthesize_ppm_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 4,
+    height: int = 4,
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Deterministic P6-PPM media corpus derived from an id column: pixel
+    byte j of image ``id`` is ``(id*7 + j) % 256``. Gives every fixture
+    row a REAL decodable image payload so the full binary pipeline
+    (decode → resize → feature-extract) runs end-to-end — and, because
+    the pixels are closed-form, the whole pipeline stays expressible as a
+    SQL oracle. Emits MEDIA_SCHEMA rows (kind='image')."""
+    n_bytes = width * height * 3
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": [
+                        encode_ppm(
+                            width,
+                            height,
+                            bytes((int(i) * 7 + j) % 256 for j in range(n_bytes)),
+                        )
+                        for i in ids
+                    ],
+                    "meta": [
+                        {"width": width, "height": height, "sample_rate": None, "n_frames": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -2332,3 +2332,68 @@ def c33_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join (operators/text.py::vocab_coverage)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.vocab_coverage(docs, vocab_size=100)
+
+
+@query(
+    "c5b_image_pipeline",
+    # The whole binary pipeline is closed-form (synthesized pixel j of
+    # image id is (id*7+j)%256; nearest-neighbor 4x4 -> 2x2 keeps pixel
+    # indices {0,2,8,10}), so even the mapInPandas decode/resize path is
+    # hash-checked against SQL that recomputes the same arithmetic.
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, t1.pi, t2.c,
+             (d.doc_id * 7 + 3 * t1.pi + t2.c) % 256 AS b
+      FROM documents d,
+           (SELECT UNNEST([0, 2, 8, 10]) AS pi) t1,
+           (SELECT UNNEST([0, 1, 2]) AS c) t2
+    )
+    SELECT doc_id AS media_id,
+           2.0 AS width, 2.0 AS height,
+           ROUND(SUM(CASE WHEN c = 0 THEN b END) / 4.0 / 255.0, 6) AS mean_r,
+           ROUND(SUM(CASE WHEN c = 1 THEN b END) / 4.0 / 255.0, 6) AS mean_g,
+           ROUND(SUM(CASE WHEN c = 2 THEN b END) / 4.0 / 255.0, 6) AS mean_b,
+           CAST(MIN(b) AS DOUBLE) AS px_min,
+           CAST(MAX(b) AS DOUBLE) AS px_max,
+           4.0 AS n_px,
+           CAST(23 AS BIGINT) AS n_bytes
+    FROM px GROUP BY doc_id
+    """,
+)
+def c5b_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: the REAL binary media path end-to-end — synthesize a P6 PPM
+    per document (operators/multimodal.py::synthesize_ppm_media), resize
+    4x4 -> 2x2 with the genuine nearest-neighbor pixel resizer
+    (ppm_resizer), then feature-extract with the genuine PPM decoder
+    (ppm_bmp_decoder), all inside Arrow-batched mapInPandas. Payload
+    bytes never reach the driver and are projected away after decode."""
+    from sheetsetl_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_ppm_media(docs, "doc_id", width=4, height=4)
+    resized = mm.resize_images(media, 2, 2, resize_fn=mm.ppm_resizer)
+    feats = mm.extract_features(
+        resized.withColumn(
+            "meta",
+            F.struct(
+                F.col("width"),
+                F.col("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            ),
+        ).select("media_id", "kind", "payload", "meta"),
+        decode_fn=mm.ppm_bmp_decoder,
+    )
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).alias("width"),
+        F.element_at(f, 2).alias("height"),
+        F.round(F.element_at(f, 3), 6).alias("mean_r"),
+        F.round(F.element_at(f, 4), 6).alias("mean_g"),
+        F.round(F.element_at(f, 5), 6).alias("mean_b"),
+        F.element_at(f, 6).alias("px_min"),
+        F.element_at(f, 7).alias("px_max"),
+        F.element_at(f, 8).alias("n_px"),
+        "n_bytes",
+    )

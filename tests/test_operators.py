@@ -873,3 +873,18 @@ def test_domain_mix_report_shares_sum_to_one(spark):
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-6
     by_src = {r["source"]: r for r in rows}
     assert by_src["s1"]["n_tokens"] == 5 and by_src["s2"]["n_tokens"] == 1
+
+
+def test_synthesized_ppm_roundtrip(spark):
+    from sheetsetl_spark.operators import multimodal as mm
+
+    df = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+    media = mm.synthesize_ppm_media(df, "doc_id", width=4, height=4)
+    rows = media.collect()
+    assert len(rows) == 5
+    w, h, rgb = mm.parse_ppm(bytes(rows[0]["payload"]))
+    assert (w, h, len(rgb)) == (4, 4, 48)
+    # pixel byte j of image id is (id*7 + j) % 256
+    rid = {r["media_id"]: bytes(r["payload"]) for r in rows}
+    _, _, rgb3 = mm.parse_ppm(rid[3])
+    assert list(rgb3[:4]) == [(3 * 7 + j) % 256 for j in range(4)]
