@@ -260,3 +260,59 @@ def b58b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, pos, token FROM __udtf_docs, LATERAL first_tokens(text, 5)"
     )
+
+
+@query(
+    "b57b_grouped_map_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROUND((c.c_acctbal - m.sx / m.n)
+                 / SQRT((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS acctbal_z
+    FROM customer c JOIN m USING (c_mktsegment)
+    """,
+)
+def b57b_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57 grouped-MAP tier: per-group normalization via applyInPandas —
+    one output row per input row (the transform shape, complementing
+    b57's one-row-per-group aggregate shape). Group moments are
+    accumulated in exact decimal (the b24 recipe) so the per-row z-score
+    is order-independent and hash-checkable; the whole group fits one
+    Arrow batch by construction (segments are low-cardinality; for
+    high-cardinality keys this op shards naturally by group)."""
+
+    def zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        sx = float(
+            sum(Decimal(str(v)).quantize(_SIX, rounding=ROUND_HALF_UP) for v in pdf["c_acctbal"])
+        )
+        sxx = float(
+            sum(
+                (Decimal(str(v)) * Decimal(str(v))).quantize(
+                    Decimal("0.00000001"), rounding=ROUND_HALF_UP
+                )
+                for v in pdf["c_acctbal"]
+            )
+        )
+        mean = sx / n
+        std = math.sqrt((sxx - sx * sx / n) / (n - 1))
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "acctbal_z": ((pdf["c_acctbal"] - mean) / std).round(6),
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore_group, schema="c_custkey bigint, c_mktsegment string, acctbal_z double"
+    )
