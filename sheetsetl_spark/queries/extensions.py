@@ -2397,3 +2397,90 @@ def c5b_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(f, 8).alias("n_px"),
         "n_bytes",
     )
+
+
+@query(
+    "c34_curation_pipeline",
+    # End-to-end composition oracle: each stage replicates the oracle of
+    # the operator it reuses (c29 rules, c2's capped-Jaccard pairs, c31's
+    # md5 split), so the composed SQL is the composed semantics.
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w,
+               LEN(REPLACE(text, ' ', '')) AS nc
+        FROM documents) t
+      WHERE LEN(w) BETWEEN 30 AND 100000
+        AND 1.0 * nc / LEN(w) BETWEEN 3.0 AND 12.0
+        AND 1.0 * LEN(LIST_FILTER(w, x -> x IN ('the','a','of','and','to','in'))) / LEN(w) >= 0.05
+        AND 1.0 * LEN(LIST_DISTINCT(w)) / LEN(w) >= 0.3
+    ),
+    toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= {_SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {_JACCARD_THRESHOLD}
+    ),
+    kept AS (
+      SELECT f.doc_id, f.source, LEN(f.w) AS n_tokens,
+             ('0x' || SUBSTRING(MD5(CONCAT('split', ':', CAST(f.doc_id AS VARCHAR))), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM flags f
+      WHERE f.doc_id NOT IN (SELECT doc_id FROM dups)
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+           source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def c34_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34: the composed curation pipeline a pre-training corpus runs —
+    heuristic quality gate (c29) -> near-duplicate removal (keep the
+    smaller id of every confirmed Jaccard pair, c2's capped universe) ->
+    deterministic train/val/test split (c31) -> per-(split, source)
+    doc/token report. Every stage is the already-verified operator; this
+    entry proves they compose without re-shuffling: the quality gate and
+    split are map-side, dedup contributes its own candidate-bounded
+    stages, and the final report is one sources x splits aggregate."""
+    from sheetsetl_spark.operators.layout import hash_split
+    from sheetsetl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = text.gopher_quality_flags(docs).filter(F.col("passes") == 1).select("doc_id")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, n=3, max_shingle_df=_SHINGLE_DF_CAP
+    )
+    dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = (
+        docs.join(flags, "doc_id", "left_semi")
+        .join(dups, "doc_id", "left_anti")
+        .select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+    )
+    return (
+        hash_split(kept, "doc_id", train_frac=0.8, val_frac=0.1, tag="split")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
