@@ -71,6 +71,19 @@ def main() -> None:
         except Exception:
             pass  # warmup must never fail the bench
 
+    # Warm the bench-SF table scans too (file listing, parquet footers, OS
+    # page cache): the timed region should measure operator throughput at
+    # steady state, not whichever queries happen to touch each table first
+    # — that first-touch I/O varies with machine state run to run and
+    # polluted cross-round comparisons.
+    from sheetsetl_spark.catalog import TABLES, load_table
+
+    for table in TABLES:
+        try:
+            load_table(spark, sf_dir, table).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         start = time.perf_counter()
