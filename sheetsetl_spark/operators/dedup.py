@@ -146,6 +146,7 @@ def minhash_signatures(
     max_shingle_df: int | None = None,
     hash_family: str = "xxhash64",
     shingle_df: DataFrame | None = None,
+    with_size_col: bool = False,
 ) -> DataFrame:
     """MinHash signature per document, min-aggregated over the shingle
     stream — one groupBy, map-side partial mins.
@@ -160,7 +161,12 @@ def minhash_signatures(
     ``shingle_df``: pre-built (typically persisted) shingle stream to use
     instead of deriving one from ``docs`` — lets a pipeline that also
     needs the stream for verification (minhash_lsh_pairs) pay the
-    shingling + df-cap cost exactly once."""
+    shingling + df-cap cost exactly once.
+
+    ``with_size_col``: additionally emit ``n_sh`` (the per-document
+    distinct-shingle count) from the SAME groupBy — the Jaccard
+    denominator piggybacks on the signature aggregation instead of
+    costing its own shuffle over the stream."""
     base = shingle_df
     if base is None:
         base = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
@@ -187,6 +193,8 @@ def minhash_signatures(
         ]
     else:  # pragma: no cover - guarded upstream
         raise ValueError(f"unknown hash_family: {hash_family}")
+    if with_size_col:
+        mins = [*mins, F.count("*").alias("n_sh")]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -242,6 +250,7 @@ def minhash_lsh_pairs(
         max_shingle_df=max_shingle_df,
         hash_family=hash_family,
         shingle_df=sh,
+        with_size_col=True,
     )
     if hash_family == "md5":
         # portable mode: the raw ':'-joined band value IS the bucket key
@@ -260,9 +269,10 @@ def minhash_lsh_pairs(
             ).alias(f"band_{b}")
             for b in range(bands)
         ]
-    banded = sig.select(F.col(id_col), *band_cols)
+    banded = sig.select(F.col(id_col), "n_sh", *band_cols)
     stacked = banded.select(
         F.col(id_col),
+        "n_sh",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),
@@ -276,12 +286,19 @@ def minhash_lsh_pairs(
         # a cache read.
         stacked = stacked.persist()
         stacked = _drop_hot_keys(stacked, ["band_idx", "band_hash"], max_bucket_size)
-    left = stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
-    right = stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash")
+    left = stacked.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "band_idx", "band_hash"
+    )
+    right = stacked.select(
+        F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"), "band_idx", "band_hash"
+    )
+    # n_a/n_b (the Jaccard denominators) ride along with the band join —
+    # they came for free from the signature groupBy, so no separate size
+    # aggregate and no size join afterwards.
     candidates = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
     # Candidate-proportional verification: intersection sizes are computed
@@ -294,27 +311,16 @@ def minhash_lsh_pairs(
     inter = (
         candidates.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    # sz_a/sz_b are per-DOCUMENT size tables — O(corpus) rows, so no
-    # broadcast hint: AQE broadcasts at small scale and shuffles on the
-    # id key when the corpus outgrows a build side.
-    return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def embedding_neardup_pairs(
