@@ -44,6 +44,7 @@ class QueryResult:
     status: str  # ok | sql_error | cell_limit | sink_error
     rows: int | None = None
     error: str | None = None
+    size_pretty: str | None = None  # written output size (loader.py:247-249 parity)
 
 
 @dataclass
@@ -154,5 +155,18 @@ class SqlFolderPipeline:
         except Exception as exc:  # sink error -> skip file (loader.py:184-186)
             logger.exception("Sink error for %s", qf.name)
             return QueryResult(qf.name, "sink_error", rows=rows, error=str(exc))
-        logger.info("Finished loading file %s", qf.name)
-        return QueryResult(qf.name, "ok", rows=rows)
+        size_pretty = None
+        path_for = getattr(self.sink, "path_for", None)
+        if callable(path_for):
+            # A13 parity: the reference logs each query's spool size before
+            # upload (loader.py:247-249); local dir sinks report the written
+            # bytes the same way (driver-side stat of the output dir — no
+            # extra Spark job).
+            from sheetsetl_spark.sinks.base import dir_bytes, human_bytes
+
+            try:
+                size_pretty = human_bytes(dir_bytes(path_for(qf.name)))
+            except OSError:
+                size_pretty = None
+        logger.info("Finished loading file %s (%s)", qf.name, size_pretty or "size n/a")
+        return QueryResult(qf.name, "ok", rows=rows, size_pretty=size_pretty)

@@ -43,3 +43,30 @@ class Sink(Protocol):
     loader.py:159-179's (folder, name, mime) lookup)."""
 
     def write(self, df: DataFrame, name: str) -> None: ...
+
+
+def human_bytes(size: int) -> str:
+    """Human-readable byte size — behavioral parity with the reference's
+    ``convert_size`` (loader.py:61-75: 1024 base, 2-decimal round, B..YB
+    units), used by the pipeline report the way the reference logs each
+    query's spool size before upload (loader.py:247-249)."""
+    import math
+
+    if size == 0:
+        return "0B"
+    units = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+    i = int(math.floor(math.log(size, 1024)))
+    return f"{round(size / 1024 ** i, 2)} {units[i]}"
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes under a sink output path (file or directory)."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total

@@ -28,7 +28,10 @@ class CsvDirSink:
 
     def write(self, df: DataFrame, name: str) -> None:
         out = df.coalesce(self.coalesce) if self.coalesce else df
-        out.write.mode("overwrite").option("header", True).csv(os.path.join(self.root, name))
+        out.write.mode("overwrite").option("header", True).csv(self.path_for(name))
+
+    def path_for(self, name: str) -> str:
+        return os.path.join(self.root, name)
 
 
 class ParquetDirSink:

@@ -312,3 +312,33 @@ def test_curate_corpus_example(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "corpus"))
     assert out.count() == report["after_decontamination"]
     assert out.select("shard_id").distinct().count() <= 4
+
+
+def test_pipeline_reports_output_size(spark, tmp_path):
+    """A13 parity: ok results carry a human-readable written-output size
+    (the reference logs convert_size(spool bytes) per query,
+    loader.py:247-249)."""
+    from sheetsetl_spark.pipeline.runner import SqlFolderPipeline
+    from sheetsetl_spark.sinks.local import CsvDirSink
+
+    src = tmp_path / "sql"
+    src.mkdir()
+    (src / "tiny.sql").write_text("SELECT 1 AS a, 2 AS b")
+    sink_root = tmp_path / "out"
+    report = SqlFolderPipeline(
+        spark, str(src), CsvDirSink(str(sink_root), coalesce=1)
+    ).run()
+    (res,) = report.results
+    assert res.status == "ok"
+    assert res.size_pretty is not None and res.size_pretty.endswith("B")
+
+
+def test_human_bytes_matches_reference_shape():
+    from sheetsetl_spark.sinks.base import human_bytes
+
+    # matches the reference's convert_size exactly (loader.py:61-75):
+    # round(size/1024**i, 2) keeps the float repr, so '512.0 B'
+    assert human_bytes(0) == "0B"
+    assert human_bytes(512) == "512.0 B"
+    assert human_bytes(2048) == "2.0 KB"
+    assert human_bytes(5 * 1024**2 + 524288) == "5.5 MB"
