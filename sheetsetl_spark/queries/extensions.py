@@ -386,29 +386,41 @@ def c3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries_df, k=10)
 
 
-def _lsh_topk_oracle(k: int = 10, num_planes: int = 8, dim: int = 64) -> str:
+def _lsh_topk_oracle(k: int = 10, num_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
     """DuckDB twin of ``similarity.cosine_topk_lsh``: the same inlined
-    hyperplane signatures, bucket equi-join, and in-bucket exact cosine —
-    the approximate stage is seeded/deterministic, so the full ANN
-    pipeline is hash-checkable (recall<1 vs exact is irrelevant; the
-    oracle runs the identical algorithm)."""
+    hyperplane signatures, BANDED (band_idx, band_val) candidate join
+    (any-band-match OR-construction), and exact cosine over the distinct
+    candidates — the approximate stage is seeded/deterministic, so the
+    full ANN pipeline is hash-checkable (recall<1 vs exact is irrelevant;
+    the oracle runs the identical algorithm)."""
     from sheetsetl_spark.operators.similarity import hyperplanes
 
+    rpb = num_planes // bands
     bit_exprs = ", ".join(
         "CASE WHEN LIST_DOT_PRODUCT(["
         + ", ".join(repr(v) for v in row)
         + "]::DOUBLE[], v) > 0 THEN '1' ELSE '0' END"
         for row in hyperplanes(num_planes, dim)
     )
+    band_vals = ", ".join(str(b) for b in range(bands))
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sig AS (SELECT vec_id, v, CONCAT({bit_exprs}) AS bits FROM e),
-    q AS (SELECT vec_id AS query_id, v AS qv, bits AS qb FROM sig WHERE vec_id < 8),
+    bnd AS (SELECT UNNEST([{band_vals}]) AS b),
+    cstack AS (SELECT vec_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv FROM sig, bnd),
+    qstack AS (SELECT vec_id AS query_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv
+               FROM sig, bnd WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM cstack c JOIN qstack q ON c.b = q.b AND c.bv = q.bv AND c.vec_id <> q.query_id
+    ),
     scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             LIST_DOT_PRODUCT(qv, c.v)
-               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) AS sim
-      FROM sig c JOIN q ON c.bits = q.qb AND c.vec_id <> q.query_id
+      SELECT cand.query_id, cand.neighbor_id,
+             LIST_DOT_PRODUCT(qe.v, ce.v)
+               / (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v)) * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v))) AS sim
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
     ),
     ranked AS (
       SELECT query_id, neighbor_id, sim,
@@ -2483,4 +2495,90 @@ def c34_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
         )
+    )
+
+
+def _ann_recall_oracle(k: int = 10, num_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of c35: exact top-k and the seeded banded-LSH top-k
+    recomputed side by side, recall@k per query from their intersection."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    rpb = num_planes // bands
+    bit_exprs = ", ".join(
+        "CASE WHEN LIST_DOT_PRODUCT(["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[], v) > 0 THEN '1' ELSE '0' END"
+        for row in hyperplanes(num_planes, dim)
+    )
+    band_vals = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qv, c.v)
+                   / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v)))
+                 DESC, c.vec_id) AS nn_rank
+        FROM e c, q WHERE q.query_id <> c.vec_id) t
+      WHERE nn_rank <= {k}
+    ),
+    sig AS (SELECT vec_id, v, CONCAT({bit_exprs}) AS bits FROM e),
+    bnd AS (SELECT UNNEST([{band_vals}]) AS b),
+    cstack AS (SELECT vec_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv FROM sig, bnd),
+    qstack AS (SELECT vec_id AS query_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv
+               FROM sig, bnd WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT qk.query_id, c.vec_id AS neighbor_id
+      FROM cstack c JOIN qstack qk ON c.b = qk.b AND c.bv = qk.bv AND c.vec_id <> qk.query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qe.v, ce.v)
+                   / (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v)) * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v)))
+                 DESC, cand.neighbor_id) AS nn_rank
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ce ON ce.vec_id = cand.neighbor_id) t
+      WHERE nn_rank <= {k}
+    )
+    SELECT x.query_id,
+           COUNT(*) AS n_exact,
+           COUNT(a.neighbor_id) AS n_hit,
+           ROUND(1.0 * COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_k
+    FROM exact x
+    LEFT JOIN approx a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    """
+
+
+@query("c35_ann_recall", oracle=_ann_recall_oracle())
+def c35_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: ANN quality measurement — recall@10 of the LSH-bucketed
+    top-k (c3b) against the exact brute-force top-k (c3), per query. The
+    validation loop a production ANN deployment runs on a sampled query
+    set before trusting the approximate path at full scale; both sides
+    and the recall itself are deterministic, so even this measurement is
+    hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.cosine_topk_lsh(emb, queries_df, k=10).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid")) & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("a_nid").alias("n_hit"),
+        F.round(F.count("a_nid") / F.count("*"), 6).alias("recall_at_k"),
     )
