@@ -2498,9 +2498,17 @@ def c34_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_oracle(k: int = 10, num_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
-    """DuckDB twin of c35: exact top-k and the seeded banded-LSH top-k
-    recomputed side by side, recall@k per query from their intersection."""
+def _ann_recall_oracle(
+    k: int = 10,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of c35: exact top-k recomputed once, the seeded
+    banded-LSH and IVF top-k recomputed beside it, recall@k per
+    (method, query) from the intersections."""
     from sheetsetl_spark.operators.similarity import hyperplanes
 
     rpb = num_planes // bands
@@ -2529,28 +2537,69 @@ def _ann_recall_oracle(k: int = 10, num_planes: int = 16, bands: int = 4, dim: i
     cstack AS (SELECT vec_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv FROM sig, bnd),
     qstack AS (SELECT vec_id AS query_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv
                FROM sig, bnd WHERE vec_id < 8),
-    cand AS (
+    lsh_cand AS (
       SELECT DISTINCT qk.query_id, c.vec_id AS neighbor_id
       FROM cstack c JOIN qstack qk ON c.b = qk.b AND c.bv = qk.bv AND c.vec_id <> qk.query_id
     ),
-    approx AS (
+    lsh_topk AS (
       SELECT query_id, neighbor_id FROM (
         SELECT cand.query_id, cand.neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
                  LIST_DOT_PRODUCT(qe.v, ce.v)
                    / (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v)) * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v)))
                  DESC, cand.neighbor_id) AS nn_rank
-        FROM cand
+        FROM lsh_cand cand
         JOIN e qe ON qe.vec_id = cand.query_id
         JOIN e ce ON ce.vec_id = cand.neighbor_id) t
       WHERE nn_rank <= {k}
+    ),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {num_centroids}),
+    asg AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM e, cent) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM e, cent WHERE e.vec_id < 8) t
+      WHERE rn <= {nprobe}
+    ),
+    ivf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qv, a.v)
+                   / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v)))
+                 DESC, a.vec_id) AS nn_rank
+        FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+        WHERE p.query_id <> a.vec_id) t
+      WHERE nn_rank <= {k}
     )
-    SELECT x.query_id,
+    SELECT 'lsh' AS method, x.query_id,
            COUNT(*) AS n_exact,
            COUNT(a.neighbor_id) AS n_hit,
            ROUND(1.0 * COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_k
     FROM exact x
-    LEFT JOIN approx a
+    LEFT JOIN lsh_topk a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY x.query_id
+    UNION ALL
+    SELECT 'ivf' AS method, x.query_id,
+           COUNT(*) AS n_exact,
+           COUNT(a.neighbor_id) AS n_hit,
+           ROUND(1.0 * COUNT(a.neighbor_id) / COUNT(*), 6) AS recall_at_k
+    FROM exact x
+    LEFT JOIN ivf_topk a
       ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
     GROUP BY x.query_id
     """
@@ -2558,27 +2607,35 @@ def _ann_recall_oracle(k: int = 10, num_planes: int = 16, bands: int = 4, dim: i
 
 @query("c35_ann_recall", oracle=_ann_recall_oracle())
 def c35_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C35: ANN quality measurement — recall@10 of the LSH-bucketed
-    top-k (c3b) against the exact brute-force top-k (c3), per query. The
-    validation loop a production ANN deployment runs on a sampled query
-    set before trusting the approximate path at full scale; both sides
-    and the recall itself are deterministic, so even this measurement is
+    """C35: ANN quality measurement — recall@10 of BOTH approximate
+    paths (banded LSH c3b, IVF c3c) against the exact brute-force top-k
+    (c3), per (method, query). The validation loop a production ANN
+    deployment runs on a sampled query set before trusting an
+    approximate path at full scale; the exact side is computed once and
+    both measurements are deterministic, so even the recall table is
     hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     exact = similarity.cosine_topk(emb, queries_df, k=10).select(
         "query_id", "neighbor_id"
     )
-    approx = similarity.cosine_topk_lsh(emb, queries_df, k=10).select(
-        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
-    )
-    joined = exact.join(
-        approx,
-        (F.col("query_id") == F.col("a_qid")) & (F.col("neighbor_id") == F.col("a_nid")),
-        "left",
-    )
-    return joined.groupBy("query_id").agg(
-        F.count("*").alias("n_exact"),
-        F.count("a_nid").alias("n_hit"),
-        F.round(F.count("a_nid") / F.count("*"), 6).alias("recall_at_k"),
-    )
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        a = approx.select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+        joined = exact.join(
+            a,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        return joined.groupBy("query_id").agg(
+            F.count("*").alias("n_exact"),
+            F.count("a_nid").alias("n_hit"),
+            F.round(F.count("a_nid") / F.count("*"), 6).alias("recall_at_k"),
+        ).select(F.lit(method).alias("method"), "*")
+
+    lsh = recall_of(similarity.cosine_topk_lsh(emb, queries_df, k=10), "lsh")
+    ivf = recall_of(similarity.cosine_topk_ivf(emb, queries_df, k=10), "ivf")
+    return lsh.unionByName(ivf)
