@@ -2639,3 +2639,128 @@ def c35_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = recall_of(similarity.cosine_topk_lsh(emb, queries_df, k=10), "lsh")
     ivf = recall_of(similarity.cosine_topk_ivf(emb, queries_df, k=10), "ivf")
     return lsh.unionByName(ivf)
+
+
+@query(
+    "c36_quality_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND(CAST(0.4 AS DOUBLE) * CASE WHEN LENGTH(text) BETWEEN 100 AND 5000
+                                              THEN 1 ELSE 0 END
+                 + CAST(0.3 AS DOUBLE) * CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                                    t -> t IN ('the','a','of','and','to','in'))) > 0
+                                              THEN 1 ELSE 0 END
+                 + CAST(0.3 AS DOUBLE) * LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                     / LEN(STRING_SPLIT(text, ' ')), 6) AS quality,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             LENGTH(text) AS n_chars
+      FROM documents
+    ),
+    cuts AS (
+      SELECT [ROUND(QUANTILE_CONT(quality, 0.1), 6), ROUND(QUANTILE_CONT(quality, 0.2), 6),
+              ROUND(QUANTILE_CONT(quality, 0.3), 6), ROUND(QUANTILE_CONT(quality, 0.4), 6),
+              ROUND(QUANTILE_CONT(quality, 0.5), 6), ROUND(QUANTILE_CONT(quality, 0.6), 6),
+              ROUND(QUANTILE_CONT(quality, 0.7), 6), ROUND(QUANTILE_CONT(quality, 0.8), 6),
+              ROUND(QUANTILE_CONT(quality, 0.9), 6)] AS cs
+      FROM scored
+    ),
+    assigned AS (
+      SELECT s.*, 1 + LEN(LIST_FILTER(c.cs, x -> s.quality > x)) AS decile
+      FROM scored s, cuts c
+    )
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_quality,
+           ROUND(MAX(quality), 6) AS max_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / SUM(n_tokens), 6)
+             AS chars_per_token
+    FROM assigned GROUP BY decile
+    """,
+)
+def c36_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36: corpus quality-decile diagnostics — exact decile CUT POINTS
+    (the x3 percentile parity recipe) broadcast back over the corpus,
+    per-row decile assignment map-side, then a 10-row aggregate of
+    doc/token mass and score band per decile. The calibration table a
+    threshold decision (c20) reads: what would 'drop the bottom 2
+    deciles' remove?
+
+    Deliberately NOT a global NTILE window: that plans as a
+    one-partition sort of the whole corpus. Percentile cuts + broadcast
+    assignment is the shape that survives 100 TB (one aggregate to 9
+    numbers + one scan); under score ties decile populations can deviate
+    from exactly-N/10, which the report shows honestly in n_docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            0.4 * F.length("text").between(100, 5000).cast("int")
+            + 0.3
+            * F.expr(
+                "cast(size(filter(split(text, ' '), t -> t IN "
+                "('the','a','of','and','to','in'))) > 0 as int)"
+            )
+            + 0.3 * F.size(F.array_distinct(F.split("text", " "))) / F.size(F.split("text", " ")),
+            6,
+        ).alias("quality"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    cuts = scored.agg(
+        F.array(
+            *[F.round(F.percentile("quality", F.lit(p / 10)), 6) for p in range(1, 10)]
+        ).alias("cs")
+    )
+    assigned = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "decile",
+        F.lit(1) + F.size(F.filter("cs", lambda x: F.col("quality") > x)),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,6)")).cast("double")
+            / F.sum("n_tokens"),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "c37_doclen_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(FLOOR(LN(LEN(STRING_SPLIT(text, ' '))) / LN(2)) AS BIGINT) AS bucket,
+             LEN(STRING_SPLIT(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT bucket,
+           CAST(POWER(2, bucket) AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM t GROUP BY bucket
+    """,
+)
+def c37_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37: log2-bucketed document-length histogram — the curation view
+    of corpus shape (where the token mass sits by length band; the input
+    to a chunking/packing budget decision). One scan, one tiny
+    aggregate; the bucket is pure per-row arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = F.floor(F.log2(n)).cast("bigint")
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .select(
+            "bucket",
+            F.pow(F.lit(2), F.col("bucket")).cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
