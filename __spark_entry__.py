@@ -57,7 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-checked row.
     """
     seen = _last_verified_round()
-    names = sorted(QUERIES, key=lambda n: (seen.get(n, 0), n))
+    # Ties (same last-verified round, esp. never-verified) break by
+    # REGISTRATION order, so the longest-waiting entries reach the
+    # driver's per-round window before newly added ones.
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    names = sorted(QUERIES, key=lambda n: (seen.get(n, 0), reg_order[n]))
     return {n: QUERIES[n] for n in names}
 
 
