@@ -1,4 +1,5 @@
 from sheetsetl_spark.streaming.pipeline import (
+    DedupIngestForeachBatch,
     UpsertForeachBatch,
     dedup_stream,
     enrich_stream,
@@ -10,6 +11,7 @@ from sheetsetl_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "DedupIngestForeachBatch",
     "read_event_stream",
     "windowed_counts",
     "sessionized_counts",

@@ -197,3 +197,68 @@ class UpsertForeachBatch:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         self.batches_seen.append(batch_id)
         self.sink.write(batch_df, self.name)
+
+class DedupIngestForeachBatch:
+    """Streaming corpus ingest with incremental near-dup filtering — the
+    daily-crawl loop as a foreachBatch sink: every micro-batch is deduped
+    against the ACCUMULATED history (operators/dedup.py::
+    incremental_neardup_filter, asymmetric band join: history↔history
+    pairs are never generated), survivors are appended to the history
+    parquet, and the history feeds the next batch's filter.
+
+    At scale the history side's signatures would be a maintained table;
+    here they derive from the history parquet per batch — the same
+    asymmetry, O(new + collisions) per ingest either way. Batch ids are
+    recorded so a retried micro-batch (foreachBatch may replay after
+    failure) is append-idempotent: a replayed id overwrites its own
+    partition instead of duplicating it."""
+
+    def __init__(
+        self,
+        history_dir: str,
+        threshold: float = 0.5,
+        num_hashes: int = 32,
+        bands: int = 8,
+        n: int = 3,
+        max_shingle_df: int | None = 1000,
+    ):
+        self.history_dir = history_dir
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.max_shingle_df = max_shingle_df
+        self.batches_seen: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators.dedup import incremental_neardup_filter
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+        new_docs = batch_df
+        if os.path.isdir(self.history_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.history_dir) for f in fs
+        ):
+            history = spark.read.parquet(self.history_dir).drop("__batch_id")
+            # batch-internal dups fall out too: the union of history and
+            # the batch's own earlier rows is the corpus side per doc
+            new_docs = incremental_neardup_filter(
+                batch_df,
+                history,
+                threshold=self.threshold,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                n=self.n,
+                max_shingle_df=self.max_shingle_df,
+            )
+        (
+            new_docs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.history_dir)
+        )
