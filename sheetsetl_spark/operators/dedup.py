@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """C2: near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -105,8 +106,15 @@ def ngram_jaccard_pairs(
     persisted and the cap is applied on top of the cache: the corpus is
     scanned once (cache fill), the hot list is computed from the cache,
     and each consumer's anti-join is a broadcast filter over cache
-    reads — strictly one corpus scan for the whole pipeline."""
-    raw = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    reads — strictly one corpus scan for the whole pipeline.
+
+    ``persist=False`` skips caching (recompute per consumer): for
+    repeated small-input invocations — a foreachBatch sink calling this
+    once per micro-batch — per-call persists would accumulate in the
+    CacheManager for the session lifetime."""
+    raw = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if persist:
+        raw = raw.persist()
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
@@ -238,6 +246,8 @@ def minhash_lsh_pairs(
     without this the lineage would rescan the corpus 4×. Spark's cache
     manager keys on the canonicalized plan, so repeated calls over the
     same input reuse one cache entry."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows_per_band = num_hashes // bands
     raw = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
@@ -283,7 +293,10 @@ def minhash_lsh_pairs(
         # stage) a second time just to count bucket sizes. The band
         # table is O(docs × bands) short rows — persisting IT (not the
         # signatures) is cheap at any scale and makes the hot-list job
-        # a cache read.
+        # a cache read. Contract: cached entries live until the caller
+        # clears them (the returned pair DF stays lazy, so this operator
+        # cannot unpersist safely itself); long-lived sessions invoking
+        # repeatedly should spark.catalog.clearCache() between runs.
         stacked = stacked.persist()
         stacked = _drop_hot_keys(stacked, ["band_idx", "band_hash"], max_bucket_size)
     left = stacked.select(
@@ -349,6 +362,8 @@ def embedding_neardup_pairs(
     """
     from sheetsetl_spark.operators.similarity import hyperplanes
 
+    if num_planes % bands:
+        raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rows_per_band = num_planes // bands
     planes = hyperplanes(num_planes, dim)
     plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
@@ -782,6 +797,7 @@ def incremental_neardup_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
+    persist: bool = True,
 ) -> DataFrame:
     """Incremental near-dup: drop new-batch documents that near-duplicate
     an EXISTING corpus (the daily-crawl-vs-history shape).
@@ -806,8 +822,11 @@ def incremental_neardup_filter(
     # verification read the cache; the df-cap is a broadcast anti-join
     # over cache reads (single scan of each side, same policy as
     # minhash_lsh_pairs).
-    raw_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col).persist()
-    raw_old = shingles(corpus, n=n, id_col=id_col, text_col=text_col).persist()
+    raw_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
+    raw_old = shingles(corpus, n=n, id_col=id_col, text_col=text_col)
+    if persist:  # see ngram_jaccard_pairs: streaming callers pass False
+        raw_new = raw_new.persist()
+        raw_old = raw_old.persist()
     sh_new = (
         _drop_hot_keys(raw_new, ["shingle"], max_shingle_df) if max_shingle_df else raw_new
     )

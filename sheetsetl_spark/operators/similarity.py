@@ -171,6 +171,8 @@ def cosine_topk_lsh(
     on the distinct candidate set. Approximate (recall measured by
     c35_ann_recall); deterministic given the seeded planes, so the full
     pipeline is still hash-checked against its DuckDB twin."""
+    if num_planes % bands:
+        raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     planes = _hyperplanes(num_planes, dim)
     plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
     rpb = num_planes // bands

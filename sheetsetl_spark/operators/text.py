@@ -45,10 +45,21 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_stats: bool = False,
+) -> DataFrame:
     """Deterministic quality score: length band + stopword presence +
     lexical diversity (distinct/total tokens). The standard pre-training
-    filter shape — pure per-row arithmetic, embarrassingly parallel."""
+    filter shape — pure per-row arithmetic, embarrassingly parallel.
+
+    ``with_stats`` additionally emits (n_tokens, n_chars) from the same
+    projection — consumers that need the score AND size stats (the c36
+    decile calibration) read them in one scan instead of re-deriving the
+    formula (single source: a drifted copy would bin documents against a
+    different score than the one c20 filters on)."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     diversity = F.size(F.array_distinct(toks)) / n_tok
@@ -58,7 +69,13 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     ).cast("int")
     length_ok = (F.length(text_col).between(100, 5000)).cast("int")
     score = F.round(0.4 * length_ok + 0.3 * has_stop + 0.3 * diversity, 6)
-    return docs.select(id_col, F.col("lang"), score.alias("quality"))
+    cols = [F.col(id_col), F.col("lang"), score.alias("quality")]
+    if with_stats:
+        cols += [
+            n_tok.alias("n_tokens"),
+            F.length(text_col).alias("n_chars"),
+        ]
+    return docs.select(*cols)
 
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -2693,20 +2693,11 @@ def c36_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers + one scan); under score ties decile populations can deviate
     from exactly-N/10, which the report shows honestly in n_docs."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        F.round(
-            0.4 * F.length("text").between(100, 5000).cast("int")
-            + 0.3
-            * F.expr(
-                "cast(size(filter(split(text, ' '), t -> t IN "
-                "('the','a','of','and','to','in'))) > 0 as int)"
-            )
-            + 0.3 * F.size(F.array_distinct(F.split("text", " "))) / F.size(F.split("text", " ")),
-            6,
-        ).alias("quality"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+    # single source: the SAME quality_score c4b/c20 use, plus size stats
+    # from the same scan (a drifted inline copy could bin documents
+    # against a different score than the one c20 filters on)
+    scored = text.quality_score(docs, with_stats=True).select(
+        "doc_id", "quality", "n_tokens", "n_chars"
     )
     cuts = scored.agg(
         F.array(

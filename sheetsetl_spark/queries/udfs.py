@@ -294,7 +294,11 @@ def b57b_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sxx = float(
             sum(
-                (Decimal(str(v)) * Decimal(str(v))).quantize(
+                # square in DOUBLE first (v * v), then quantize — the
+                # oracle computes c_acctbal*c_acctbal in double before
+                # casting to DECIMAL(24,8), so exact-decimal squaring
+                # would differ in the 8th decimal on ~13% of fixture rows
+                Decimal(str(v * v)).quantize(
                     Decimal("0.00000001"), rounding=ROUND_HALF_UP
                 )
                 for v in pdf["c_acctbal"]

@@ -13,7 +13,18 @@ import os
 from pyspark.sql import DataFrame
 
 
-class CsvDirSink:
+class _DirSinkPathMixin:
+    """Shared output-path contract: one directory per output name, under
+    ``self.root`` — the hook the pipeline's A13 size reporting duck-types
+    on (runner._run_one)."""
+
+    root: str
+
+    def path_for(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+
+class CsvDirSink(_DirSinkPathMixin):
     """Distributed CSV writer: one directory per output name.
 
     The reference stringifies every value into a single client-side CSV
@@ -30,11 +41,8 @@ class CsvDirSink:
         out = df.coalesce(self.coalesce) if self.coalesce else df
         out.write.mode("overwrite").option("header", True).csv(self.path_for(name))
 
-    def path_for(self, name: str) -> str:
-        return os.path.join(self.root, name)
 
-
-class ParquetDirSink:
+class ParquetDirSink(_DirSinkPathMixin):
     """Parquet-per-name sink — the engine-native interchange format.
 
     ``partition_by`` enables hive-style directory partitioning so
@@ -71,7 +79,7 @@ class TempViewSink:
         df.createOrReplaceTempView(name)
 
 
-class JsonDirSink:
+class JsonDirSink(_DirSinkPathMixin):
     """JSON-lines-per-name sink (interchange with downstream tooling)."""
 
     def __init__(self, root: str, coalesce: int | None = None):
@@ -83,7 +91,7 @@ class JsonDirSink:
         out.write.mode("overwrite").json(os.path.join(self.root, name))
 
 
-class OrcDirSink:
+class OrcDirSink(_DirSinkPathMixin):
     """ORC-per-name sink — columnar interchange with Hive/Trino stacks
     (same pushdown/stats story as parquet; Spark's ORC writer is
     built in, no extra packages)."""

@@ -201,17 +201,27 @@ class UpsertForeachBatch:
 class DedupIngestForeachBatch:
     """Streaming corpus ingest with incremental near-dup filtering — the
     daily-crawl loop as a foreachBatch sink: every micro-batch is deduped
-    against the ACCUMULATED history (operators/dedup.py::
-    incremental_neardup_filter, asymmetric band join: history↔history
-    pairs are never generated), survivors are appended to the history
-    parquet, and the history feeds the next batch's filter.
+    within itself (smaller doc id wins) and against the ACCUMULATED
+    history (operators/dedup.py::incremental_neardup_filter, asymmetric
+    band join: history↔history pairs are never generated), survivors are
+    appended to the history parquet, and the history feeds the next
+    batch's filter.
+
+    Replay safety: foreachBatch may re-run a micro-batch after a failure,
+    and by then the batch's own rows are already IN history — so the
+    history side always EXCLUDES the current batch id before filtering.
+    The filter is deterministic, so a replay reproduces the original
+    survivor set and dynamic partition overwrite rewrites the partition
+    with identical rows (append-idempotent, no self-dedup data loss).
+
+    Cache safety: the filters run with persist=False — a long-running
+    stream invoking a persisting operator once per micro-batch would pin
+    an ever-growing set of shingle-stream caches; micro-batches are small
+    enough that recomputation is the right trade.
 
     At scale the history side's signatures would be a maintained table;
     here they derive from the history parquet per batch — the same
-    asymmetry, O(new + collisions) per ingest either way. Batch ids are
-    recorded so a retried micro-batch (foreachBatch may replay after
-    failure) is append-idempotent: a replayed id overwrites its own
-    partition instead of duplicating it."""
+    asymmetry, O(new + collisions) per ingest either way."""
 
     def __init__(
         self,
@@ -221,6 +231,7 @@ class DedupIngestForeachBatch:
         bands: int = 8,
         n: int = 3,
         max_shingle_df: int | None = 1000,
+        id_col: str = "doc_id",
     ):
         self.history_dir = history_dir
         self.threshold = threshold
@@ -228,6 +239,7 @@ class DedupIngestForeachBatch:
         self.bands = bands
         self.n = n
         self.max_shingle_df = max_shingle_df
+        self.id_col = id_col
         self.batches_seen: list[int] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -235,25 +247,51 @@ class DedupIngestForeachBatch:
 
         from pyspark.sql import functions as F
 
-        from sheetsetl_spark.operators.dedup import incremental_neardup_filter
+        from sheetsetl_spark.operators.dedup import (
+            incremental_neardup_filter,
+            ngram_jaccard_pairs,
+        )
 
         self.batches_seen.append(batch_id)
         spark = batch_df.sparkSession
-        new_docs = batch_df
+
+        # batch-internal near-dups: smaller id wins (same priority rule as
+        # semantic_dedup); new-vs-new pairs are NOT generated by the
+        # asymmetric history filter, so they are handled here
+        intra = ngram_jaccard_pairs(
+            batch_df,
+            threshold=self.threshold,
+            n=self.n,
+            id_col=self.id_col,
+            max_shingle_df=self.max_shingle_df,
+            persist=False,
+        )
+        new_docs = batch_df.join(
+            intra.select(F.col("doc_b").alias(self.id_col)).distinct(),
+            self.id_col,
+            "left_anti",
+        )
+
         if os.path.isdir(self.history_dir) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(self.history_dir) for f in fs
         ):
-            history = spark.read.parquet(self.history_dir).drop("__batch_id")
-            # batch-internal dups fall out too: the union of history and
-            # the batch's own earlier rows is the corpus side per doc
+            history = (
+                spark.read.parquet(self.history_dir)
+                # replayed batch: its own rows are already in history —
+                # exclude them or every doc self-matches and is dropped
+                .filter(F.col("__batch_id") != batch_id)
+                .drop("__batch_id")
+            )
             new_docs = incremental_neardup_filter(
-                batch_df,
+                new_docs,
                 history,
                 threshold=self.threshold,
                 num_hashes=self.num_hashes,
                 bands=self.bands,
                 n=self.n,
+                id_col=self.id_col,
                 max_shingle_df=self.max_shingle_df,
+                persist=False,
             )
         (
             new_docs.withColumn("__batch_id", F.lit(batch_id))

@@ -198,17 +198,10 @@ def test_dedup_ingest_filters_cross_batch_near_dups(spark, tmp_path):
     b2 = spark.createDataFrame(
         [(2, base + " extra"), (3, novel)], "doc_id long, text string"
     )
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
     hist = str(tmp_path / "history")
     ingest = DedupIngestForeachBatch(hist, threshold=0.5)
-
-    b1.coalesce(1).write.parquet(str(in_dir / "f0"))
-    stream = spark.readStream.schema("doc_id long, text string").option(
-        "maxFilesPerTrigger", 1
-    ).parquet(str(in_dir / "f*" / "*.parquet"))
-    # drive two micro-batches by invoking the sink directly (foreachBatch
-    # semantics) — batch replay idempotence included
+    # drive micro-batches by invoking the sink directly (exactly what
+    # foreachBatch does per trigger) — batch replay idempotence included
     ingest(b1, 0)
     ingest(b2, 1)
     ingest(b2, 1)  # replayed micro-batch must not duplicate history
@@ -220,3 +213,38 @@ def test_dedup_ingest_filters_cross_batch_near_dups(spark, tmp_path):
     assert got == {1, 3}  # doc 2 dropped as near-dup of doc 1
     n_rows = spark.read.parquet(hist).count()
     assert n_rows == 2  # replay did not double-append
+
+def test_dedup_ingest_replay_with_short_doc_loses_nothing(spark, tmp_path):
+    """Regression: a replayed micro-batch containing a zero-shingle doc
+    (<n tokens) must not delete its batch-mates from history. The sink
+    excludes the batch's own partition from the history side, so replay
+    reproduces the original survivor set instead of self-matching."""
+    from sheetsetl_spark.streaming import DedupIngestForeachBatch
+
+    hist = str(tmp_path / "history")
+    ingest = DedupIngestForeachBatch(hist, threshold=0.5)
+    b = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, "hi")],
+        "doc_id long, text string",
+    )
+    ingest(b, 0)
+    first = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    ingest(b, 0)  # replay after simulated checkpoint failure
+    after = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert first == after == {1, 2}
+
+
+def test_dedup_ingest_drops_intra_batch_near_dups(spark, tmp_path):
+    """Near-dup pairs arriving in the SAME micro-batch: smaller id wins."""
+    from sheetsetl_spark.streaming import DedupIngestForeachBatch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = str(tmp_path / "history")
+    ingest = DedupIngestForeachBatch(hist, threshold=0.5)
+    b = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (9, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    ingest(b, 0)
+    got = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert got == {1, 9}
