@@ -1,5 +1,6 @@
 from sheetsetl_spark.streaming.pipeline import (
     DedupIngestForeachBatch,
+    SignatureDedupIngestForeachBatch,
     UpsertForeachBatch,
     dedup_stream,
     enrich_stream,
@@ -12,6 +13,7 @@ from sheetsetl_spark.streaming.pipeline import (
 
 __all__ = [
     "DedupIngestForeachBatch",
+    "SignatureDedupIngestForeachBatch",
     "read_event_stream",
     "windowed_counts",
     "sessionized_counts",

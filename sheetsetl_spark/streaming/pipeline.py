@@ -300,3 +300,108 @@ class DedupIngestForeachBatch:
             .partitionBy("__batch_id")
             .parquet(self.history_dir)
         )
+
+class SignatureDedupIngestForeachBatch:
+    """The index-maintained variant of :class:`DedupIngestForeachBatch`:
+    alongside the history parquet it maintains the minhash BAND TABLE
+    (operators/dedup.py::minhash_band_table) and filters each new batch
+    by estimated Jaccard against that index alone — per-ingest cost is
+    O(new + collisions) with NO rescan of history text, the shape that
+    holds when history is 100 TB and the daily batch is a fraction of a
+    percent of it.
+
+    Explicitly approximate (minhash agreement estimates Jaccard to
+    ~sqrt(J(1-J)/num_hashes)); use DedupIngestForeachBatch when exact
+    verification is worth re-scanning history. Same replay contract:
+    both the history partition and the index partition are keyed by
+    batch id and excluded from the filter on replay, then rewritten via
+    dynamic partition overwrite."""
+
+    def __init__(
+        self,
+        history_dir: str,
+        index_dir: str,
+        threshold: float = 0.5,
+        num_hashes: int = 32,
+        bands: int = 8,
+        n: int = 3,
+        max_shingle_df: int | None = 1000,
+        id_col: str = "doc_id",
+    ):
+        self.history_dir = history_dir
+        self.index_dir = index_dir
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.max_shingle_df = max_shingle_df
+        self.id_col = id_col
+        self.batches_seen: list[int] = []
+
+    def _has_parquet(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators.dedup import (
+            incremental_neardup_filter_sig,
+            minhash_band_table,
+            ngram_jaccard_pairs,
+        )
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+
+        # intra-batch near-dups: smaller id wins (exact Jaccard — the
+        # batch is small, so the shingle join is cheap)
+        intra = ngram_jaccard_pairs(
+            batch_df, threshold=self.threshold, n=self.n, id_col=self.id_col,
+            max_shingle_df=self.max_shingle_df, persist=False,
+        )
+        new_docs = batch_df.join(
+            intra.select(F.col("doc_b").alias(self.id_col)).distinct(),
+            self.id_col, "left_anti",
+        )
+
+        if self._has_parquet(self.index_dir):
+            index = (
+                spark.read.parquet(self.index_dir)
+                .filter(F.col("__batch_id") != batch_id)  # replay safety
+                .drop("__batch_id")
+            )
+            new_docs = incremental_neardup_filter_sig(
+                new_docs, index,
+                threshold=self.threshold, num_hashes=self.num_hashes,
+                bands=self.bands, n=self.n, id_col=self.id_col,
+                max_shingle_df=self.max_shingle_df,
+            )
+
+        (
+            new_docs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.history_dir)
+        )
+        # index the SURVIVORS (read back from the just-written partition
+        # so the index derives from exactly what history now holds)
+        survivors = spark.read.parquet(self.history_dir).filter(
+            F.col("__batch_id") == batch_id
+        ).drop("__batch_id")
+        (
+            minhash_band_table(
+                survivors, num_hashes=self.num_hashes, bands=self.bands,
+                n=self.n, id_col=self.id_col,
+                max_shingle_df=self.max_shingle_df,
+            )
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.index_dir)
+        )

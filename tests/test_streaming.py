@@ -248,3 +248,32 @@ def test_dedup_ingest_drops_intra_batch_near_dups(spark, tmp_path):
     ingest(b, 0)
     got = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
     assert got == {1, 9}
+
+def test_signature_dedup_ingest_maintains_index(spark, tmp_path):
+    """Index-maintained ingest: cross-batch near-dups are dropped using
+    ONLY the stored band table (no history text rescan); the index grows
+    with survivors; replay is idempotent for history and index."""
+    from sheetsetl_spark.streaming import SignatureDedupIngestForeachBatch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten"
+    hist = str(tmp_path / "history")
+    idx = str(tmp_path / "index")
+    ingest = SignatureDedupIngestForeachBatch(hist, idx, threshold=0.5)
+
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, base + " extra"), (3, novel)], "doc_id long, text string"
+    )
+    ingest(b1, 0)
+    ingest(b2, 1)
+    got = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert got == {1, 3}  # doc 2 estimated-near-dups doc 1 via the index
+    # index holds bands for exactly the survivors: 8 bands per doc
+    idx_df = spark.read.parquet(idx)
+    assert {r["doc_id"] for r in idx_df.select("doc_id").collect()} == {1, 3}
+    assert idx_df.count() == 2 * 8
+    # replay: history and index unchanged
+    ingest(b2, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 3}
+    assert spark.read.parquet(idx).count() == 2 * 8
