@@ -893,6 +893,7 @@ def minhash_band_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The maintained dedup INDEX for incremental ingest: per document,
     the full minhash signature (as an array) plus the band hashes, in
@@ -908,14 +909,27 @@ def minhash_band_table(
     sig = minhash_signatures(
         docs, num_hashes=num_hashes, n=n, id_col=id_col,
         text_col=text_col, max_shingle_df=max_shingle_df,
+        hash_family=hash_family,
     )
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    if hash_family == "md5":
+        # portable mode: raw ':'-joined band values ARE the bucket keys
+        # (band hashing is only a width optimization) so a DuckDB twin
+        # can rebuild the index verbatim — same trick as minhash_lsh_pairs
+        band_cols = [
+            F.concat_ws(
+                ":", *[F.col(f"mh_{b * rows_per_band + j}").cast("string")
+                       for j in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + j}") for j in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = sig.select(F.col(id_col), sig_arr.alias("sig"), *band_cols)
     return banded.select(
         F.col(id_col),
@@ -936,6 +950,7 @@ def incremental_neardup_filter_sig(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental near-dup against a MAINTAINED signature index: drop
     new-batch documents whose estimated Jaccard to any indexed document
@@ -956,6 +971,7 @@ def incremental_neardup_filter_sig(
     new_bands = minhash_band_table(
         new_docs, num_hashes=num_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col, max_shingle_df=max_shingle_df,
+        hash_family=hash_family,
     )
     old = band_table.select(
         F.col(id_col).alias("old_id"),

@@ -2755,3 +2755,107 @@ def c37_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+def _sig_incremental_oracle(
+    threshold: float, num_hashes: int = 16, bands: int = 4, n: int = 3, df_cap: int = 1000
+) -> str:
+    """DuckDB twin of ``incremental_neardup_filter_sig(hash_family='md5')``:
+    rebuilds the md5-prefix minhash SIGNATURES for both sides, the
+    ':'-joined band index, the asymmetric candidate join, and the
+    minhash-agreement Jaccard estimate — the entire index-maintained
+    filter is hash-checked, including its approximation."""
+    rpb = num_hashes // bands
+    sig_cte = f"""
+      SELECT doc_id, i,
+             MIN(('0x' || SUBSTRING(MD5(CONCAT(CAST(i AS VARCHAR), ':', CAST(h AS VARCHAR))),
+                              1, 15))::BIGINT) AS mh
+      FROM hh, (SELECT UNNEST(GENERATE_SERIES(0, {num_hashes - 1})) AS i) fs
+      GROUP BY 1, 2
+    """
+    return f"""
+    WITH newb AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE source = 'src0'),
+    hist AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    shn0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+{n - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM newb) t,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS i) u
+    ),
+    shn AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM shn0) t
+      WHERE df <= {df_cap}
+    ),
+    sho0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+{n - 1}], ' ') AS shingle
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM hist) t,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - {n - 1})) AS i) u
+    ),
+    sho AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sho0) t
+      WHERE df <= {df_cap}
+    ),
+    famn AS (
+      {sig_cte.replace("hh", "(SELECT doc_id, ('0x' || SUBSTRING(MD5(shingle), 1, 15))::BIGINT AS h FROM shn) hh_t")}
+    ),
+    famo AS (
+      {sig_cte.replace("hh", "(SELECT doc_id, ('0x' || SUBSTRING(MD5(shingle), 1, 15))::BIGINT AS h FROM sho) hh_t")}
+    ),
+    bandn AS (
+      SELECT doc_id, i // {rpb} AS band_idx,
+             STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY i) AS band_val
+      FROM famn GROUP BY 1, 2
+    ),
+    bando AS (
+      SELECT doc_id, i // {rpb} AS band_idx,
+             STRING_AGG(CAST(mh AS VARCHAR), ':' ORDER BY i) AS band_val
+      FROM famo GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+      FROM bandn nb JOIN bando ob
+        ON nb.band_idx = ob.band_idx AND nb.band_val = ob.band_val
+    ),
+    agree AS (
+      SELECT c.new_id, c.old_id,
+             1.0 * SUM(CASE WHEN fn.mh = fo.mh THEN 1 ELSE 0 END) / {num_hashes} AS est_j
+      FROM cand c
+      JOIN famn fn ON fn.doc_id = c.new_id
+      JOIN famo fo ON fo.doc_id = c.old_id AND fo.i = fn.i
+      GROUP BY 1, 2
+    ),
+    dups AS (SELECT DISTINCT new_id FROM agree WHERE est_j >= {threshold})
+    SELECT doc_id, lang, n_chars FROM newb
+    WHERE doc_id NOT IN (SELECT new_id FROM dups)
+    """
+
+
+@query(
+    "c38_incremental_neardup_sig",
+    oracle=_sig_incremental_oracle(threshold=_JACCARD_THRESHOLD),
+)
+def c38_incremental_neardup_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: the INDEX-MAINTAINED incremental dedup path (c28's exact twin
+    verifies against history shingles; this one verifies by minhash
+    agreement from the stored signature index alone — O(new+collisions)
+    per ingest, no history rescan). Runs in the engine-portable md5
+    hash family so the whole filter, approximation included, is
+    hash-checked against a DuckDB twin that rebuilds the index verbatim.
+    See operators/dedup.py::incremental_neardup_filter_sig and
+    streaming/pipeline.py::SignatureDedupIngestForeachBatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    newb = docs.filter(F.col("source") == "src0").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    hist = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    index = dedup.minhash_band_table(
+        hist, num_hashes=16, bands=4, n=3,
+        max_shingle_df=_SHINGLE_DF_CAP, hash_family="md5",
+    )
+    survivors = dedup.incremental_neardup_filter_sig(
+        newb, index, threshold=_JACCARD_THRESHOLD,
+        num_hashes=16, bands=4, n=3,
+        max_shingle_df=_SHINGLE_DF_CAP, hash_family="md5",
+    )
+    return survivors.select("doc_id", "lang", "n_chars")
