@@ -231,3 +231,33 @@ def test_zorder_value_is_injective_and_orders_quadrants(spark, a, b, c, d):
     half = 2**15
     if a < half and b < half and c >= half and d >= half:
         assert row.z1 < row.z2
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=5
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shingles_match_python_reference(spark, texts, n):
+    """The tokenize-once shingle expression (projected token array +
+    transform/slice) equals a plain-Python reference on arbitrary
+    space-delimited text — pins the round-3 rewrite that removed the
+    per-position re-split (empty tokens from consecutive spaces
+    included, exactly as split(text, ' ') produces them)."""
+    from sheetsetl_spark.operators.dedup import shingles
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in shingles(df, n=n).collect()
+    }
+    want = set()
+    for i, t in rows:
+        w = t.split(" ")
+        if len(w) >= n:
+            for s in {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}:
+                want.add((i, s))
+    assert got == want
