@@ -951,10 +951,21 @@ def incremental_neardup_filter_sig(
     text_col: str = "text",
     max_shingle_df: int | None = 1000,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup against a MAINTAINED signature index: drop
     new-batch documents whose estimated Jaccard to any indexed document
     reaches ``threshold``.
+
+    ``max_bucket_size`` caps degenerate (band_idx, band_hash) buckets in
+    the STORED index before the candidate join — without it, a hot bucket
+    (e.g. millions of short near-identical docs sharing a band value in a
+    100 TB history) turns the join quadratic in that bucket's size,
+    undercutting the O(new + collisions) claim. Index rows in an over-cap
+    bucket are excluded from candidate generation for this call (their
+    docs simply can't be matched via that band), the same trade
+    ``minhash_lsh_pairs`` makes. Default ``None`` preserves exact parity
+    with the c38 oracle twin.
 
     Contrast with :func:`incremental_neardup_filter` (exact verification,
     re-derives the history shingle stream every call): here the history
@@ -968,6 +979,10 @@ def incremental_neardup_filter_sig(
     ~sqrt(J(1-J)/num_hashes); raise num_hashes to tighten.
 
     Returns the surviving new-batch rows."""
+    if max_bucket_size is not None:
+        band_table = _drop_hot_keys(
+            band_table, ["band_idx", "band_hash"], max_bucket_size
+        )
     new_bands = minhash_band_table(
         new_docs, num_hashes=num_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col, max_shingle_df=max_shingle_df,

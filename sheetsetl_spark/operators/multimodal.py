@@ -56,6 +56,28 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _cap_arrow_batch(spark, target_rows_per_batch: int) -> None:
+    """Lower (never raise) the session-wide Arrow record-batch cap.
+
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is read at EXECUTION
+    time, not at DataFrame construction, so a set-then-restore wrapper
+    around a lazy mapInPandas would silently undo itself before the job
+    ever runs. The contract is therefore monotone: media operators only
+    ever LOWER the session cap (bounding executor memory for wide binary
+    rows — the unsafe direction is batches too large, never too small); a
+    later narrow-row operator at worst runs with smaller batches.
+    ``build_session`` pins the engine baseline explicitly so the starting
+    point is known."""
+    try:
+        cur = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+    except Exception:
+        cur = 10000
+    if target_rows_per_batch < cur:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch)
+        )
+
+
 def deterministic_fake_decoder(payload: bytes, kind: str) -> list[float]:
     """Stand-in for image/audio decoding: 8 stable pseudo-features from
     the byte stream (so the distributed plumbing is fully testable)."""
@@ -233,7 +255,7 @@ def extract_features(
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    _cap_arrow_batch(spark, target_rows_per_batch)
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
@@ -296,7 +318,7 @@ def resize_images(
             yield out
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    _cap_arrow_batch(spark, target_rows_per_batch)
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
@@ -348,7 +370,7 @@ def sample_frames(
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    _cap_arrow_batch(spark, target_rows_per_batch)
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
@@ -403,5 +425,5 @@ def synthesize_ppm_media(
             )
 
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
+    _cap_arrow_batch(spark, target_rows_per_batch)
     return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -289,6 +289,14 @@ def b57b_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "c_mktsegment": pd.Series([], dtype="object"),
+                    "acctbal_z": pd.Series([], dtype="float64"),
+                }
+            )
         sx = float(
             sum(Decimal(str(v)).quantize(_SIX, rounding=ROUND_HALF_UP) for v in pdf["c_acctbal"])
         )
@@ -305,12 +313,20 @@ def b57b_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         mean = sx / n
-        std = math.sqrt((sxx - sx * sx / n) / (n - 1))
+        # Degenerate groups (singleton: n-1 == 0; constant: variance 0)
+        # get NULL z-scores — SQL's x/0.0 and SQRT of a 0/0 both yield
+        # NULL-ish non-answers, and NULL is the hash-stable rendering.
+        var = (sxx - sx * sx / n) / (n - 1) if n > 1 else 0.0
+        std = math.sqrt(var) if var > 0.0 else 0.0
+        if std > 0.0 and math.isfinite(std):
+            z = ((pdf["c_acctbal"] - mean) / std).round(6)
+        else:
+            z = pd.Series([None] * n, dtype="object")
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
                 "c_mktsegment": pdf["c_mktsegment"],
-                "acctbal_z": ((pdf["c_acctbal"] - mean) / std).round(6),
+                "acctbal_z": z,
             }
         )
 

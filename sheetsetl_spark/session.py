@@ -58,6 +58,12 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         # Arrow for any pandas_udf / toPandas path (vectorized transfer).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Explicit Arrow batch-size baseline (Spark's own default). Media
+        # operators may LOWER this session-wide for wide binary rows
+        # (operators/multimodal.py::_cap_arrow_batch) — monotone by
+        # contract, because the conf is read at execution time and a
+        # set-then-restore around a lazy plan would undo itself.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

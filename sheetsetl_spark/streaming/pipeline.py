@@ -315,7 +315,16 @@ class SignatureDedupIngestForeachBatch:
     verification is worth re-scanning history. Same replay contract:
     both the history partition and the index partition are keyed by
     batch id and excluded from the filter on replay, then rewritten via
-    dynamic partition overwrite."""
+    dynamic partition overwrite.
+
+    Known drift vs the one-shot c38 oracle twin: ``max_shingle_df`` is
+    applied PER BATCH when each batch's signatures are built, while the
+    oracle caps document frequency over the whole history at once — a
+    boilerplate shingle spread thinly across many batches may never hit
+    the per-batch cap here. The per-batch cap is the only one computable
+    without rescanning history (the whole point of the index); set
+    ``max_bucket_size`` so any resulting hot band buckets are capped at
+    join time instead."""
 
     def __init__(
         self,
@@ -327,6 +336,7 @@ class SignatureDedupIngestForeachBatch:
         n: int = 3,
         max_shingle_df: int | None = 1000,
         id_col: str = "doc_id",
+        max_bucket_size: int | None = None,
     ):
         self.history_dir = history_dir
         self.index_dir = index_dir
@@ -336,6 +346,7 @@ class SignatureDedupIngestForeachBatch:
         self.n = n
         self.max_shingle_df = max_shingle_df
         self.id_col = id_col
+        self.max_bucket_size = max_bucket_size
         self.batches_seen: list[int] = []
 
     def _has_parquet(self, path: str) -> bool:
@@ -379,6 +390,7 @@ class SignatureDedupIngestForeachBatch:
                 threshold=self.threshold, num_hashes=self.num_hashes,
                 bands=self.bands, n=self.n, id_col=self.id_col,
                 max_shingle_df=self.max_shingle_df,
+                max_bucket_size=self.max_bucket_size,
             )
 
         (
@@ -388,6 +400,11 @@ class SignatureDedupIngestForeachBatch:
             .partitionBy("__batch_id")
             .parquet(self.history_dir)
         )
+        if not self._has_parquet(self.history_dir):
+            # An empty FIRST micro-batch writes no parquet data files, so
+            # the survivors read-back below would fail schema inference —
+            # and there is nothing to index anyway.
+            return
         # index the SURVIVORS (read back from the just-written partition
         # so the index derives from exactly what history now holds)
         survivors = spark.read.parquet(self.history_dir).filter(

@@ -888,3 +888,66 @@ def test_synthesized_ppm_roundtrip(spark):
     rid = {r["media_id"]: bytes(r["payload"]) for r in rows}
     _, _, rgb3 = mm.parse_ppm(rid[3])
     assert list(rgb3[:4]) == [(3 * 7 + j) % 256 for j in range(4)]
+
+
+def test_incremental_sig_filter_hot_bucket_cap(spark):
+    """ADVICE r3: `max_bucket_size` caps degenerate (band_idx, band_hash)
+    buckets in the stored index before the candidate join. With a hot
+    bucket (many identical indexed docs) and a cap below its size, the
+    bucket is excluded and the near-dup survives; default None keeps the
+    original (drop) behavior."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame(
+        [(i, base) for i in range(10)], "doc_id long, text string"
+    )
+    index = dedup.minhash_band_table(history)
+    new = spark.createDataFrame([(99, base + " extra")], "doc_id long, text string")
+
+    dropped = dedup.incremental_neardup_filter_sig(new, index, threshold=0.5)
+    assert dropped.count() == 0  # default: near-dup of the indexed docs
+
+    capped = dedup.incremental_neardup_filter_sig(
+        new, index, threshold=0.5, max_bucket_size=5
+    )
+    # every bucket holds all 10 identical docs -> all over cap -> no
+    # candidates -> the new doc survives (the documented trade)
+    assert [r["doc_id"] for r in capped.collect()] == [99]
+
+
+def test_cap_arrow_batch_monotone(spark):
+    """ADVICE r3: media operators only LOWER the session Arrow batch cap,
+    never raise it (the conf is read at execution time, so raising could
+    blow past a bound another operator needed)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "10000")
+        multimodal._cap_arrow_batch(spark, 64)
+        assert spark.conf.get(key) == "64"
+        multimodal._cap_arrow_batch(spark, 5000)  # raise attempt: no-op
+        assert spark.conf.get(key) == "64"
+        multimodal._cap_arrow_batch(spark, 32)  # further lowering: applies
+        assert spark.conf.get(key) == "32"
+    finally:
+        spark.conf.set(key, prior)
+
+
+def test_grouped_map_zscore_degenerate_groups(spark, tmp_path):
+    """ADVICE r3: singleton and zero-variance groups must yield NULL
+    z-scores instead of ZeroDivisionError / inf."""
+    from sheetsetl_spark.queries import QUERIES
+
+    rows = [
+        (1, "SOLO", 10.0),           # singleton group: n-1 == 0
+        (2, "FLAT", 5.0), (3, "FLAT", 5.0),  # zero variance
+        (4, "OK", 1.0), (5, "OK", 2.0), (6, "OK", 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        r["c_custkey"]: r["acctbal_z"]
+        for r in QUERIES["b57b_grouped_map_zscore"](spark, str(tmp_path)).collect()
+    }
+    assert out[1] is None and out[2] is None and out[3] is None
+    assert out[4] == -1.0 and out[5] == 0.0 and out[6] == 1.0

@@ -277,3 +277,22 @@ def test_signature_dedup_ingest_maintains_index(spark, tmp_path):
     ingest(b2, 1)
     assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 3}
     assert spark.read.parquet(idx).count() == 2 * 8
+
+
+def test_signature_dedup_ingest_empty_first_batch(spark, tmp_path):
+    """ADVICE r3 regression: an EMPTY first micro-batch writes no parquet
+    data files, so the survivors read-back must be skipped (not crash on
+    schema inference); a later real batch then proceeds normally."""
+    from sheetsetl_spark.streaming import SignatureDedupIngestForeachBatch
+
+    hist = str(tmp_path / "history")
+    idx = str(tmp_path / "index")
+    ingest = SignatureDedupIngestForeachBatch(hist, idx, threshold=0.5)
+    ingest(spark.createDataFrame([], "doc_id long, text string"), 0)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    ingest(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1}
+    assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1}
