@@ -15,8 +15,16 @@ This package rebuilds both capability layers Spark-first:
 """
 
 from sheetsetl_spark.session import build_session
+from sheetsetl_spark.cache import cache_scope, scoped_persist
 from sheetsetl_spark.catalog import TABLES, load_table, register_views
 
-__all__ = ["build_session", "TABLES", "load_table", "register_views"]
+__all__ = [
+    "build_session",
+    "cache_scope",
+    "scoped_persist",
+    "TABLES",
+    "load_table",
+    "register_views",
+]
 
 __version__ = "0.1.0"

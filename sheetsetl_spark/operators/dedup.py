@@ -13,6 +13,8 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
+
+from sheetsetl_spark.cache import scoped_persist
 from pyspark.sql import functions as F
 
 
@@ -114,7 +116,7 @@ def ngram_jaccard_pairs(
     CacheManager for the session lifetime."""
     raw = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     if persist:
-        raw = raw.persist()
+        raw = scoped_persist(raw)
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
@@ -249,7 +251,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows_per_band = num_hashes // bands
-    raw = shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    raw = scoped_persist(shingles(docs, n=n, id_col=id_col, text_col=text_col))
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sig = minhash_signatures(
         docs,
@@ -293,11 +295,12 @@ def minhash_lsh_pairs(
         # stage) a second time just to count bucket sizes. The band
         # table is O(docs × bands) short rows — persisting IT (not the
         # signatures) is cheap at any scale and makes the hot-list job
-        # a cache read. Contract: cached entries live until the caller
-        # clears them (the returned pair DF stays lazy, so this operator
-        # cannot unpersist safely itself); long-lived sessions invoking
-        # repeatedly should spark.catalog.clearCache() between runs.
-        stacked = stacked.persist()
+        # a cache read. Lifecycle: the returned pair DF stays lazy, so
+        # this operator cannot unpersist safely itself — wrap call +
+        # consumption in ``sheetsetl_spark.cache.cache_scope()`` to bound
+        # the entries' lifetime (outside a scope they live until cleared,
+        # deduped by Spark's plan-keyed cache manager).
+        stacked = scoped_persist(stacked)
         stacked = _drop_hot_keys(stacked, ["band_idx", "band_hash"], max_bucket_size)
     left = stacked.select(
         F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "band_idx", "band_hash"
@@ -395,9 +398,9 @@ def embedding_neardup_pairs(
     # Signature bits cost num_planes × dim multiply-adds per vector and
     # feed three consumers (banding + both verify sides) — persist so the
     # projection runs once instead of three times.
-    sig = vectors.select(
+    sig = scoped_persist(vectors.select(
         F.col(id_col).alias("vec_id"), vec.alias("v"), norm.alias("nrm"), bits.alias("bits")
-    ).persist()
+    ))
     band_arr = F.array(
         *[F.substring("bits", b * rows_per_band + 1, rows_per_band) for b in range(bands)]
     )
@@ -825,8 +828,8 @@ def incremental_neardup_filter(
     raw_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
     raw_old = shingles(corpus, n=n, id_col=id_col, text_col=text_col)
     if persist:  # see ngram_jaccard_pairs: streaming callers pass False
-        raw_new = raw_new.persist()
-        raw_old = raw_old.persist()
+        raw_new = scoped_persist(raw_new)
+        raw_old = scoped_persist(raw_old)
     sh_new = (
         _drop_hot_keys(raw_new, ["shingle"], max_shingle_df) if max_shingle_df else raw_new
     )

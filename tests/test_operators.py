@@ -951,3 +951,33 @@ def test_grouped_map_zscore_degenerate_groups(spark, tmp_path):
     }
     assert out[1] is None and out[2] is None and out[3] is None
     assert out[4] == -1.0 and out[5] == 0.0 and out[6] == 1.0
+
+
+def test_cache_scope_bounds_operator_caches(spark):
+    """VERDICT r3 item 3: repeated persisting-operator calls inside
+    ``cache_scope`` must not grow the session cache — every intermediate
+    the operator persisted is unpersisted at scope exit. Outside a scope
+    the old contract (entry lives until cleared) still applies."""
+    from sheetsetl_spark.cache import cache_scope
+    from sheetsetl_spark.operators.dedup import minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i} eta theta iota")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    for _ in range(3):
+        with cache_scope() as tracked:
+            pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=100)
+            pairs.count()  # consume INSIDE the scope (cache is live here)
+            assert len(tracked) >= 2  # shingle stream + band table
+            assert not cm.isEmpty()
+        assert cm.isEmpty(), "scope exit must release every operator cache"
+
+    # outside any scope: unchanged legacy behavior (entry persists)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs.count()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
