@@ -103,10 +103,27 @@ def date_format_mysql(col: Column | str, mysql_pattern: str) -> Column:
 
 
 _LIMIT_OFFSET_RE = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
+# First-argument pattern shared by the function rewrites: comma-free text,
+# optionally containing ONE level of balanced parens (covers CAST(x AS
+# DATE), TRIM(x) — conservative by design; deeper nesting passes through).
+_ARG = r"((?:[^,()\x00]|\x00\d+\x00|\([^()]*\))+?)"
 # String literals appear as \x00<slot>\x00 masks by the time these run.
 _DATE_FORMAT_RE = re.compile(
-    r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(([^,]+),\s*\x00(\d+)\x00\s*\)", re.IGNORECASE
+    r"\b(DATE_FORMAT|STR_TO_DATE)\s*\(" + _ARG + r",\s*\x00(\d+)\x00\s*\)",
+    re.IGNORECASE,
 )
+# DATE_ADD(x, INTERVAL n unit) and friends -> Spark datetime +/- interval
+# arithmetic. MySQL interval units Spark's literal syntax also accepts.
+_INTERVAL_FN_RE = re.compile(
+    r"\b(DATE_ADD|ADDDATE|DATE_SUB|SUBDATE)\s*\(" + _ARG + r",\s*"
+    r"INTERVAL\s+(-?\d+)\s+(YEAR|QUARTER|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\s*\)",
+    re.IGNORECASE,
+)
+# MySQL RAND(seed) seeds a per-ROW generator whose sequence depends on
+# server-side evaluation order — no Spark rewrite can reproduce it.
+_SEEDED_RAND_RE = re.compile(r"\bRAND\s*\(\s*[^)\s]", re.IGNORECASE)
+# @user_vars / @@system_vars hold server session state; Spark has none.
+_USER_VAR_RE = re.compile(r"@{1,2}\w+")
 _GROUP_CONCAT_RE = re.compile(
     r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?([^()]+?)(?:\s+SEPARATOR\s+\x00(\d+)\x00)?\s*\)",
     re.IGNORECASE,
@@ -134,6 +151,15 @@ def _unmask(sql: str, slots: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: slots[int(m.group(1))], sql)
 
 
+class UnsupportedMySQLConstruct(ValueError):
+    """A MySQL construct whose semantics cannot be reproduced on Spark.
+
+    Raised (instead of silently passing broken syntax through to the
+    Spark parser) so the pipeline's per-file error isolation records a
+    CLEAR reason; the file is skipped, the run continues — exactly the
+    reference's per-file SQL-error contract (loader.py:232-234)."""
+
+
 def mysql_to_spark_sql(sql: str) -> str:
     """Best-effort MySQL -> Spark SQL text translation for the syntax
     deltas Spark doesn't accept natively. Conservative: rewrites only
@@ -145,9 +171,40 @@ def mysql_to_spark_sql(sql: str) -> str:
     - ``DATE_FORMAT(x, '%Y..')``  -> Java pattern equivalent
     - ``STR_TO_DATE(x, '%Y..')``  -> ``TO_TIMESTAMP(x, 'yyyy..')``
     - ``GROUP_CONCAT(x [SEPARATOR s])`` -> sorted concat_ws/collect_list
+    - ``DATE_ADD/ADDDATE/DATE_SUB/SUBDATE(x, INTERVAL n unit)``
+                                  -> ``(x + INTERVAL n unit)`` / ``-``
+
+    Rejected with :class:`UnsupportedMySQLConstruct` (no faithful Spark
+    semantics exist; a clear error beats a silently-different answer):
+
+    - ``RAND(seed)`` — MySQL seeds a per-row sequence tied to server
+      evaluation order; Spark's ``rand(seed)`` is per-partition and
+      row-order-dependent, so results would differ silently.
+    - ``@var`` / ``@@sysvar`` — server session state Spark doesn't have.
     """
     sql, slots = _mask_literals(sql)
+    if _SEEDED_RAND_RE.search(sql):
+        raise UnsupportedMySQLConstruct(
+            "RAND(seed) has per-row server-side sequence semantics that "
+            "Spark cannot reproduce; use unseeded RAND() or precompute a "
+            "deterministic hash column (e.g. xxhash64) instead"
+        )
+    var = _USER_VAR_RE.search(sql)
+    if var:
+        raise UnsupportedMySQLConstruct(
+            f"user/system variable {var.group(0)!r} references MySQL "
+            "server session state; inline the value into the query"
+        )
     sql = _LIMIT_OFFSET_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+
+    def _iv(m: re.Match) -> str:
+        fn, arg, n, unit = (
+            m.group(1).upper(), m.group(2).strip(), m.group(3), m.group(4).upper()
+        )
+        op = "-" if fn in ("DATE_SUB", "SUBDATE") else "+"
+        return f"({arg} {op} INTERVAL {n} {unit})"
+
+    sql = _INTERVAL_FN_RE.sub(_iv, sql)
 
     def _fmt(m: re.Match) -> str:
         fn, arg = m.group(1).upper(), m.group(2).strip()

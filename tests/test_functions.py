@@ -127,3 +127,52 @@ def test_translator_masks_literals_and_comments():
     out = mysql_to_spark_sql(s3)
     assert out.startswith("SELECT DATE_FORMAT(d, 'yyyy-MM')")
     assert "'DATE_FORMAT(d, ''%d'')'" in out
+
+
+def test_translator_interval_arithmetic(spark):
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    out = mysql_to_spark_sql(
+        "SELECT DATE_ADD(o_orderdate, INTERVAL 3 MONTH) AS a, "
+        "DATE_SUB(o_orderdate, INTERVAL 7 DAY) AS b, "
+        "ADDDATE(o_orderdate, INTERVAL 1 YEAR) AS c FROM orders LIMIT 1"
+    )
+    assert "(o_orderdate + INTERVAL 3 MONTH)" in out
+    assert "(o_orderdate - INTERVAL 7 DAY)" in out
+    assert "(o_orderdate + INTERVAL 1 YEAR)" in out
+    spark.sql(f"SELECT 1 WHERE EXISTS (SELECT * FROM VALUES (1))")  # session alive
+    row = spark.sql(
+        "SELECT (TIMESTAMP '1995-01-01' + INTERVAL 3 MONTH) AS t"
+    ).collect()[0]
+    assert str(row["t"]).startswith("1995-04-01")
+
+
+def test_translator_rejects_seeded_rand_and_user_vars():
+    import pytest as _pytest
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_to_spark_sql,
+    )
+
+    with _pytest.raises(UnsupportedMySQLConstruct, match="RAND"):
+        mysql_to_spark_sql("SELECT RAND(42) FROM orders")
+    with _pytest.raises(UnsupportedMySQLConstruct, match="variable"):
+        mysql_to_spark_sql("SELECT @total := @total + o_totalprice FROM orders")
+    with _pytest.raises(UnsupportedMySQLConstruct, match="variable"):
+        mysql_to_spark_sql("SELECT @@session.sql_mode")
+    # unseeded RAND() and literals containing the patterns pass through
+    assert mysql_to_spark_sql("SELECT RAND() AS r") == "SELECT RAND() AS r"
+    s = "SELECT 'use RAND(7) or @x' AS note"
+    assert mysql_to_spark_sql(s) == s
+
+
+def test_translator_nested_first_arg():
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    out = mysql_to_spark_sql(
+        "SELECT DATE_FORMAT(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d, "
+        "DATE_ADD(STR_TO_DATE('1995-01-01', '%Y-%m-%d'), INTERVAL 3 MONTH) AS m"
+    )
+    assert "DATE_FORMAT(CAST(o_orderdate AS DATE), 'yyyy-MM-dd')" in out
+    assert "(TO_TIMESTAMP('1995-01-01', 'yyyy-MM-dd') + INTERVAL 3 MONTH)" in out
