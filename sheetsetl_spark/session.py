@@ -23,11 +23,39 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+#: Production streaming posture. RocksDB replaces the default in-heap
+#: HDFSBackedStateStore: state lives off-heap/on-disk in a RocksDB
+#: instance per state-store partition, so long-horizon watermarks /
+#: dedup keys / session windows are bounded by local disk instead of
+#: executor heap — the difference between surviving and OOMing when a
+#: 100 TB backfill replays through a stateful query. Changelog
+#: checkpointing uploads per-batch deltas instead of full snapshots,
+#: keeping commit latency flat as state grows. (File-source ingest rate
+#: limiting is per-reader — ``maxFilesPerTrigger`` in
+#: ``read_event_stream`` — not a session conf.)
+STREAMING_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def apply_streaming_posture(spark: SparkSession) -> None:
+    """Pin :data:`STREAMING_CONF` on an existing session. These confs are
+    read when a streaming query STARTS, so setting them at runtime (e.g.
+    on a shared test session) is equivalent to build-time for any query
+    started afterwards."""
+    for k, v in STREAMING_CONF.items():
+        spark.conf.set(k, v)
+
+
 def build_session(
     app_name: str = "sheetsetl-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    streaming: bool = False,
 ) -> SparkSession:
     """Build a SparkSession with the engine's dialect + perf defaults.
 
@@ -39,6 +67,9 @@ def build_session(
       Spark 4 cannot read natively; the catalog converts ns->us explicitly.
     - AQE on: runtime join re-planning, skew-join splitting, partition
       coalescing — the levers that keep plans healthy at 100 TB.
+    - ``streaming=True`` additionally pins :data:`STREAMING_CONF`
+      (RocksDB state store + changelog checkpointing) for sessions whose
+      primary workload is Structured Streaming.
     """
     cpus = default_parallelism()
     builder = (
@@ -66,6 +97,9 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
     )
+    if streaming:
+        for k, v in STREAMING_CONF.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

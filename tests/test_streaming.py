@@ -296,3 +296,83 @@ def test_signature_dedup_ingest_empty_first_batch(spark, tmp_path):
     ingest(b1, 1)
     assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1}
     assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1}
+
+
+def test_rocksdb_state_store_posture(spark, event_input, tmp_path):
+    """VERDICT r3 item 6: the pinned streaming posture (RocksDB state
+    store + changelog checkpointing) actually drives a stateful query —
+    progress metrics prove RocksDB held the dedup state, and results
+    match the heap-store run."""
+    from sheetsetl_spark.session import apply_streaming_posture
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    apply_streaming_posture(spark)
+    try:
+        stream = dedup_stream(read_event_stream(spark, event_input))
+        handle = (
+            stream.select("event_id")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .format("memory")
+            .queryName("rocksdb_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination(120)
+        with_state = [p for p in handle.recentProgress if p.get("stateOperators")]
+        assert with_state, "no stateful progress recorded"
+        custom = with_state[-1]["stateOperators"][0].get("customMetrics", {})
+        assert any("rocksdb" in k.lower() for k in custom), (
+            f"state store was not RocksDB; metrics: {sorted(custom)[:5]}"
+        )
+        ev = load_table(spark, SF_SMALL, "events")
+        assert (
+            spark.table("rocksdb_out").count()
+            == ev.select("event_id").distinct().count()
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def test_sustained_ingest_bounded_state(spark, tmp_path):
+    """VERDICT r3 item 6: across >=20 micro-batches the signature-dedup
+    index grows with SURVIVORS only — near-dups contribute zero rows to
+    history or index, so state is O(unique corpus), not O(rows ingested);
+    a mid-stream replay leaves both stores unchanged."""
+    from sheetsetl_spark.streaming import SignatureDedupIngestForeachBatch
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = str(tmp_path / "history")
+    idx = str(tmp_path / "index")
+    ingest = SignatureDedupIngestForeachBatch(
+        hist, idx, threshold=0.5, max_bucket_size=64
+    )
+    n_batches = 20
+    for b in range(n_batches):
+        rows = [(1000 + b, f"novel " + " ".join(f"w{b}x{j}" for j in range(9)))]
+        if b == 0:
+            rows.append((1, base))
+        else:
+            rows.append((2000 + b, base + f" tail{b}"))  # near-dup of doc 1
+        ingest(spark.createDataFrame(rows, "doc_id long, text string"), b)
+
+    survivors = n_batches + 1  # 20 novel + the base doc; every dup dropped
+    assert spark.read.parquet(hist).count() == survivors
+    idx_rows = spark.read.parquet(idx).count()
+    assert idx_rows == survivors * 8  # bands per surviving doc, nothing else
+    # replay a middle batch: state must not grow (idempotent partitions)
+    replay = spark.createDataFrame(
+        [(1000 + 7, "novel " + " ".join(f"w7x{j}" for j in range(9))),
+         (2000 + 7, base + " tail7")],
+        "doc_id long, text string",
+    )
+    ingest(replay, 7)
+    assert spark.read.parquet(hist).count() == survivors
+    assert spark.read.parquet(idx).count() == idx_rows
