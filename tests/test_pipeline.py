@@ -406,3 +406,91 @@ def test_analyst_corpus_mysql_dialect_matches_oracle(spark, tmp_path):
     assert [r.status for r in report.results] == ["ok"] * len(_ANALYST_ORACLES)
     for name, oracle in _ANALYST_ORACLES.items():
         compare(spark.read.parquet(sink.path_for(name)), oracle, SF_SMALL)
+
+
+class _RacingDrive(FakeDrive):
+    """A racing writer claims ``race_name`` right AFTER the sink's folder
+    listing completes (between list and create) — the classic
+    list-then-create race."""
+
+    def __init__(self, race_name):
+        super().__init__()
+        self.race_name = race_name
+        self._raced = False
+
+    def list_files(self, folder_id, page_token=None):
+        page, nxt = super().list_files(folder_id, page_token)
+        if not self._raced and nxt is None:
+            from sheetsetl_spark.sinks.sheets import SPREADSHEET_MIME
+
+            self._raced = True
+            rid = "race1"
+            self.files[rid] = {
+                "id": rid, "name": self.race_name,
+                "mimeType": SPREADSHEET_MIME, "parents": [folder_id],
+            }
+            self.payloads[rid] = b"racer"
+        return page, nxt
+
+
+def test_sheets_sink_create_race(spark):
+    """VERDICT r3 item 7: a name claimed between list and create yields a
+    duplicate sheet — the reference's own race behavior (its list at
+    loader.py:160-167 is equally unguarded) — and the NEXT upsert
+    converges: it updates one existing sheet in place, never a third."""
+    from sheetsetl_spark.sinks.sheets import SPREADSHEET_MIME
+
+    register_views(spark, SF_SMALL, ("region",))
+    df = spark.table("region")
+    drive = _RacingDrive("regions")
+    sink = GoogleSheetsSink("folder1", client=drive)
+    sink.write(df, "regions")  # racer wins the name mid-write
+    sheets = [f for f in drive.files.values() if f["mimeType"] == SPREADSHEET_MIME]
+    assert len(sheets) == 2  # duplicate created, upload completed anyway
+
+    sink.write(df.limit(3), "regions")  # upsert now finds matches: update
+    sheets = [f for f in drive.files.values() if f["mimeType"] == SPREADSHEET_MIME]
+    assert len(sheets) == 2  # no third file
+    updated = [p for p in drive.payloads.values() if p != b"racer"]
+    assert any(len(p.decode().splitlines()) == 4 for p in updated)  # header+3
+
+
+class _NameFailDrive(FakeDrive):
+    """Transport outage scoped to one output name (every upload attempt
+    for it fails)."""
+
+    def __init__(self, fail_name):
+        super().__init__()
+        self.fail_name = fail_name
+
+    def start_upload(self, metadata, file_id=None):
+        from sheetsetl_spark.sinks.sheets import TransientUploadError
+
+        if metadata.get("name") == self.fail_name:
+            raise TransientUploadError(f"injected outage for {self.fail_name}")
+        return super().start_upload(metadata, file_id)
+
+
+def test_pipeline_sheets_sink_per_file_isolation(spark, tmp_path):
+    """VERDICT r3 item 7: a Sheets transport failure aborts ONLY that
+    output — the other files still upload (loader.py:184-186 contract,
+    'continue' after the except)."""
+    d = tmp_path / "iso_sql"
+    d.mkdir()
+    (d / "a.sql").write_text("SELECT r_regionkey, r_name FROM region")
+    (d / "bad.sql").write_text("SELECT r_name FROM region")
+    (d / "c.sql").write_text("SELECT COUNT(*) AS n FROM region")
+    drive = _NameFailDrive("bad")
+    report = SqlFolderPipeline(
+        spark,
+        str(d),
+        GoogleSheetsSink("folder1", client=drive),
+        setup=lambda s: register_views(s, SF_SMALL, ("region",)),
+    ).run()
+    by_name = {r.name: r for r in report.results}
+    assert by_name["a"].status == "ok"
+    assert by_name["bad"].status == "sink_error"
+    assert "injected outage" in by_name["bad"].error
+    assert by_name["c"].status == "ok"
+    names_uploaded = {f["name"] for f in drive.files.values()}
+    assert names_uploaded == {"a", "c"}
