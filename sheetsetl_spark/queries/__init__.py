@@ -69,5 +69,7 @@ from sheetsetl_spark.queries import tpch  # noqa: E402,F401
 # Round-4 additions register LAST so the rotation in __spark_entry__.py
 # reaches longer-waiting entries first (VERDICT r3 next-round item 1).
 from sheetsetl_spark.queries import analytics_ext  # noqa: E402,F401
+from sheetsetl_spark.queries import analytics_ext2  # noqa: E402,F401
+from sheetsetl_spark.queries import pipeline_ext  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

@@ -1,0 +1,347 @@
+"""Round-4 LLM-data-pipeline extensions, batch 2: perplexity-style
+bucket assignment (CCNet head/middle/tail), cross-document repeated
+n-gram spans (exact-substring-dedup lite), DSIR-style importance
+weighting against a target domain, distributed covariance of embedding
+coordinates (PCA groundwork), and a language-ID confusion matrix.
+
+Each is a Catalyst-only DataFrame program with a DuckDB oracle twin —
+the approximation/scoring internals are hash-checked, not just
+row-counted — and follows the registry determinism contract
+(sheetsetl_spark/queries/__init__.py): per-token float scores round to
+6 dp FIRST, then accumulate in exact DECIMAL, so every per-document sum
+is partition-order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators import text
+from sheetsetl_spark.queries import query
+
+# Shared oracle CTE: per-document mean token surprise under the
+# corpus-trained unigram model (same contract as c30, operators/text.py
+# ::unigram_logprob).
+_SURPRISE_CTES = """
+    term_rows AS (
+      SELECT doc_id, LEN(w) AS doc_len, UNNEST(w) AS term
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents) t
+    ),
+    tf AS (
+      SELECT doc_id, term, doc_len, COUNT(*) AS cnt
+      FROM term_rows GROUP BY doc_id, term, doc_len
+    ),
+    model AS (SELECT term, SUM(cnt) AS g_cnt FROM tf GROUP BY term),
+    tot AS (SELECT SUM(g_cnt) AS total FROM model),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(cnt * ROUND(-LN(1.0 * g_cnt / total), 6)
+                                 AS DECIMAL(28,6))) AS DOUBLE) / doc_len, 6)
+               AS avg_surprise
+      FROM tf JOIN model USING (term), tot
+      GROUP BY doc_id, doc_len
+    )
+"""
+
+
+@query(
+    "c39_perplexity_buckets",
+    oracle=f"""
+    WITH {_SURPRISE_CTES},
+    dist AS (SELECT avg_surprise AS v, COUNT(*) AS cnt FROM scored GROUP BY 1),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) AS cw, SUM(cnt) OVER () AS n
+      FROM dist
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN cw >= (n + 2) // 3 THEN v END) AS c1,
+             MIN(CASE WHEN cw >= (2 * n + 2) // 3 THEN v END) AS c2
+      FROM cum
+    )
+    SELECT CASE WHEN avg_surprise <= c1 THEN 'head'
+                WHEN avg_surprise <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(avg_surprise AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_surprise
+    FROM scored, cuts GROUP BY 1
+    """,
+)
+def c39_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (c30's machinery), then assign head/middle/tail by
+    corpus terciles. The cutoffs are NOT percentile_cont (whose
+    interpolation arithmetic differs across engines) but an explicit
+    rank rule — the smallest score whose cumulative doc count reaches
+    ceil(n/3) / ceil(2n/3) — computed on the compressed (distinct-score,
+    count) distribution and broadcast back as a one-row calibration.
+
+    Scale: raw docs aggregate to per-doc scores once; the cutoff window
+    runs over the 6-dp-distinct score distribution (bounded, and
+    binnable if it ever grew); no global sort of document rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.unigram_logprob(docs).select("doc_id", "avg_surprise")
+    dist = scored.groupBy(F.col("avg_surprise").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    cum = dist.select(
+        "v", F.sum("cnt").over(wc).alias("cw"), F.sum("cnt").over(wt).alias("n")
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cw") >= F.expr("(n + 2) div 3"), F.col("v"))).alias("c1"),
+        F.min(F.when(F.col("cw") >= F.expr("(2 * n + 2) div 3"), F.col("v"))).alias("c2"),
+    )
+    v = F.col("avg_surprise")
+    bucket = (
+        F.when(v <= F.col("c1"), "head")
+        .when(v <= F.col("c2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(v.cast("decimal(28,6)")).cast("double") / F.count("*"), 6
+            ).alias("mean_surprise"),
+        )
+    )
+
+
+@query(
+    "c40_repeated_ngram_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, source, w,
+                   UNNEST(generate_series(1, LEN(w) - 4)) AS i
+            FROM toks) g
+    ),
+    gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS gdocs FROM grams GROUP BY gram)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE gdocs >= 2) AS BIGINT) AS dup_spans,
+           ROUND(1.0 * COUNT(*) FILTER (WHERE gdocs >= 2) / COUNT(*), 6)
+             AS dup_ratio
+    FROM grams JOIN gd USING (gram)
+    GROUP BY source
+    """,
+)
+def c40_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-token spans per source — the cheap
+    relational shape of exact-substring dedup (suffix-array style): any
+    span occurring in ≥2 distinct documents is boilerplate-suspect, and
+    a source's dup_ratio is its templated-content fraction.
+
+    The sliding spans come from a Catalyst SEQUENCE + TRANSFORM + SLICE
+    lambda chain (JVM-side, no Python); span->doc-count is one shuffle
+    with map-side partials; the per-source rollup re-aggregates the
+    joined stream. At 100 TB the gd table is the dedup index — the same
+    band-table posture as minhash_lsh_pairs, no all-pairs stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    # sequence(a, b) counts DOWN when b < a — guard short docs to an
+    # empty index array instead.
+    idx = F.when(
+        F.size(w) >= 5, F.sequence(F.lit(1), F.size(w) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(w, i, 5), " "))
+        ).alias("gram"),
+    )
+    gd = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("gdocs"))
+    joined = grams.join(gd, "gram")
+    dup = F.count_if(F.col("gdocs") >= 2)
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_spans"),
+        dup.alias("dup_spans"),
+        F.round(F.lit(1.0) * dup / F.count("*"), 6).alias("dup_ratio"),
+    )
+
+
+@query(
+    "c41_dsir_importance",
+    oracle="""
+    WITH term_rows AS (
+      SELECT doc_id, lang, LEN(w) AS doc_len, UNNEST(w) AS term
+      FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents) t
+    ),
+    tf AS (
+      SELECT doc_id, lang, term, doc_len, COUNT(*) AS cnt
+      FROM term_rows GROUP BY 1, 2, 3, 4
+    ),
+    raw_model AS (SELECT term, SUM(cnt) AS c_all FROM tf GROUP BY term),
+    tgt_model AS (
+      SELECT term, SUM(cnt) AS c_tgt FROM tf WHERE lang = 'en' GROUP BY term
+    ),
+    consts AS (
+      SELECT (SELECT SUM(c_all) FROM raw_model) AS n_all,
+             (SELECT SUM(c_tgt) FROM tgt_model) AS n_tgt,
+             (SELECT COUNT(*) FROM raw_model) AS v
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(cnt * ROUND(
+                     LN((COALESCE(c_tgt, 0) + 1.0) / (n_tgt + v))
+                   - LN((c_all + 1.0) / (n_all + v)), 6)
+                 AS DECIMAL(28,6))) AS DOUBLE) / doc_len, 6) AS importance
+    FROM tf
+    JOIN raw_model USING (term)
+    LEFT JOIN tgt_model USING (term), consts
+    GROUP BY doc_id, doc_len
+    """,
+)
+def c41_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document: mean per-token log
+    likelihood ratio between an add-one-smoothed target unigram model
+    (lang='en' docs) and the raw-corpus model — documents whose token
+    mix resembles the target domain score high and get up-sampled.
+
+    Per-token log-ratios round to 6 dp then accumulate in DECIMAL (the
+    c30 determinism recipe). Both models are vocabulary-sized rollups of
+    the SAME (doc, term) count stream — one corpus scan, one shuffle —
+    and the three smoothing constants enter as a broadcast one-row
+    aggregate. The published DSIR trick (hashed n-gram buckets) drops in
+    by replacing `term` with a hash-bucket projection; unhashed terms
+    keep the oracle exact here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    term_rows = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(toks).alias("term"),
+        F.size(toks).alias("doc_len"),
+    )
+    tf = term_rows.groupBy("doc_id", "lang", "term", "doc_len").agg(
+        F.count("*").alias("cnt")
+    )
+    raw_model = tf.groupBy("term").agg(F.sum("cnt").alias("c_all"))
+    tgt_model = (
+        tf.filter(F.col("lang") == "en").groupBy("term").agg(F.sum("cnt").alias("c_tgt"))
+    )
+    consts = raw_model.agg(
+        F.sum("c_all").alias("n_all"), F.count("*").alias("v")
+    ).crossJoin(tgt_model.agg(F.sum("c_tgt").alias("n_tgt")))
+    log_ratio = F.round(
+        F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0) / (F.col("n_tgt") + F.col("v")))
+        - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v"))),
+        6,
+    )
+    contrib = (F.col("cnt") * log_ratio).cast("decimal(28,6)")
+    return (
+        tf.join(raw_model, "term")
+        .join(tgt_model, "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id", "doc_len")
+        .agg(F.sum(contrib).alias("__s"))
+        .select(
+            "doc_id",
+            F.round(F.col("__s").cast("double") / F.col("doc_len"), 6).alias(
+                "importance"
+            ),
+        )
+    )
+
+
+@query(
+    "c42_embedding_covariance",
+    oracle="""
+    WITH pairs AS (
+      SELECT i, j,
+             CAST(embedding[i] AS DOUBLE) AS xi,
+             CAST(embedding[j] AS DOUBLE) AS xj
+      FROM embeddings, generate_series(1, 8) ti(i), generate_series(1, 8) tj(j)
+      WHERE j >= i
+    ),
+    mom AS (
+      SELECT i, j, COUNT(*) AS n,
+             SUM(CAST(xi AS DECIMAL(38,9))) AS sx,
+             SUM(CAST(xj AS DECIMAL(38,9))) AS sy,
+             SUM(CAST(xi * xj AS DECIMAL(38,9))) AS sxy
+      FROM pairs GROUP BY i, j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           ROUND((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6) AS cov
+    FROM mom
+    """,
+)
+def c42_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of embedding coordinates (upper triangle
+    of dims 1..8) — the input matrix for driver-side PCA/whitening: at
+    any corpus size the reduction is d^2 exact-DECIMAL moments, so the
+    eigendecomposition runs on a d x d driver matrix while the corpus
+    never leaves the executors. Dim pairs replicate via a broadcast
+    36-row index join; moments shuffle once on (i, j)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = spark.createDataFrame(
+        [(i, j) for i in range(1, 9) for j in range(i, 9)], "i int, j int"
+    )
+    xi = F.element_at("embedding", F.col("i")).cast("double")
+    xj = F.element_at("embedding", F.col("j")).cast("double")
+    pairs = emb.crossJoin(F.broadcast(dims)).select(
+        "i", "j", xi.alias("xi"), xj.alias("xj")
+    )
+    mom = pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xi").cast("decimal(38,9)")).alias("sx"),
+        F.sum(F.col("xj").cast("decimal(38,9)")).alias("sy"),
+        F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,9)")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    ) / n
+    return mom.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        F.round(cov, 6).alias("cov"),
+    )
+
+
+@query(
+    "c44_langid_confusion",
+    oracle="""
+    WITH pred AS (
+      SELECT lang AS actual_lang,
+             CASE WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') THEN 'en'
+                  WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') THEN 'es'
+                  WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'table') THEN 'fr'
+                  WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'row') THEN 'de'
+                  WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'batch') THEN 'zh'
+                  ELSE 'unknown' END AS predicted_lang
+      FROM documents
+    )
+    SELECT actual_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.0 * COUNT(*)
+                 / SUM(COUNT(*)) OVER (PARTITION BY actual_lang), 6) AS recall
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def c44_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the c4c marker-token classifier
+    evaluated against the labeled lang column, with per-actual-language
+    recall. One scan, one shuffle on the (actual, predicted) cell key;
+    the recall window runs over the confusion cells (|langs|^2 rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs).select("actual_lang", "predicted_lang")
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("actual_lang")
+    return cells.select(
+        "actual_lang",
+        "predicted_lang",
+        "n",
+        F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(w), 6).alias("recall"),
+    )
