@@ -1,0 +1,77 @@
+"""Plan-shape assertions for the round-4 batch-2 queries: the scale
+contracts their docstrings claim (zero-shuffle lambda projections,
+broadcast calibration scalars, single-fact-shuffle aggregations) must be
+visible in the executed plan, not just asserted in prose."""
+
+from __future__ import annotations
+
+from sheetsetl_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_higher_order_arrays_zero_shuffle(spark):
+    """b63 is a narrow per-row projection: no Exchange anywhere, and the
+    parquet scan reads only the three needed columns."""
+    df = QUERIES["b63_higher_order_arrays"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan, plan
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "embedding" in scan_line
+
+
+def test_regression_aggregates_single_shuffle(spark):
+    """x50's moments reduce in one hash aggregate: exactly one Exchange
+    (the groupBy), with a map-side partial before it."""
+    df = QUERIES["x50_regression_aggregates"](spark, SF_SMALL)
+    df.collect()
+    # AQE prints Final and Initial plans; count shuffles in the final only
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_chi_square_margins_broadcast(spark):
+    """x57 joins the cell table to its margins and grand total without a
+    sort-merge join — margins are broadcast, the grand total enters via
+    BroadcastNestedLoopJoin."""
+    df = QUERIES["x57_chi_square_contingency"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_broadcast_cutoffs(spark):
+    """c39's tercile cutoffs are a one-row calibration joined back by
+    broadcast — the document stream must not sort-merge against it."""
+    df = QUERIES["c39_perplexity_buckets"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_repeated_ngram_spans_no_python(spark):
+    """c40's sliding spans are Catalyst lambdas: no Python evaluation
+    node (the UDF slow path) appears anywhere in the plan."""
+    df = QUERIES["c40_repeated_ngram_spans"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_interpolation_windows_run_on_daily_series(spark):
+    """x59's unkeyed windows are legal only because they run over the
+    calendar-bounded daily aggregate: the raw events must be aggregated
+    BEFORE any single-partition Exchange appears."""
+    df = QUERIES["x59_linear_interpolation"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    single = next(
+        (i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln), None
+    )
+    assert single is not None  # the spine/window stage exists
+    # below (upstream of) that Exchange there is a HashAggregate — the
+    # daily rollup happens before the series is narrowed to one partition
+    assert any("HashAggregate" in ln for ln in lines[single:]), plan
