@@ -698,3 +698,94 @@ def b64_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_orders"
         ),
     )
+
+
+@query(
+    "x63_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+    ),
+    cells AS (
+      SELECT from_state, to_state, COUNT(*) AS n
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           ROUND(1.0 * n / SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+    FROM cells
+    """,
+)
+def x63_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    LEAD pairs each event with its successor (ordered by ts with
+    event_id as the unique tie-break — the determinism contract for
+    ranks), then cell counts normalize to per-from-state probabilities.
+    The window is keyed by user (bounded state); the probability window
+    runs over the |states|^2 cell table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    )
+    cells = (
+        seq.filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    wf = Window.partitionBy("from_state")
+    return cells.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(wf), 6).alias("prob"),
+    )
+
+
+@query(
+    "x64_benford_firstdigit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(1.0 * n / total, 6) AS observed_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq,
+           ROUND(POW(1.0 * n / total - LOG10(1.0 + 1.0 / digit), 2)
+                 / LOG10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM obs, tot
+    """,
+)
+def x64_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals: observed
+    digit frequencies against log10(1 + 1/d) with a per-digit chi-square
+    term — the classic synthetic-data / fraud smell test. One scan, one
+    9-key aggregate; the grand total joins back as a broadcast one-row
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    freq = F.lit(1.0) * F.col("n") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(freq, 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.pow(freq - benford, 2) / benford, 6).alias("chi2_term"),
+    )
