@@ -190,11 +190,11 @@ def c40_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT SUM(c_tgt) FROM tgt_model) AS n_tgt,
              (SELECT COUNT(*) FROM raw_model) AS v
     )
-    SELECT doc_id,
-           ROUND(CAST(SUM(CAST(cnt * ROUND(
+    SELECT doc_id, CAST(doc_len AS INT) AS n_tokens,
+           CAST(SUM(CAST(cnt * ROUND(
                      LN((COALESCE(c_tgt, 0) + 1.0) / (n_tgt + v))
                    - LN((c_all + 1.0) / (n_all + v)), 6)
-                 AS DECIMAL(28,6))) AS DOUBLE) / doc_len, 6) AS importance
+                 AS DECIMAL(28,6))) AS DOUBLE) AS importance
     FROM tf
     JOIN raw_model USING (term)
     LEFT JOIN tgt_model USING (term), consts
@@ -202,10 +202,15 @@ def c40_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c41_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weight per document: mean per-token log
-    likelihood ratio between an add-one-smoothed target unigram model
-    (lang='en' docs) and the raw-corpus model — documents whose token
-    mix resembles the target domain score high and get up-sampled.
+    """DSIR-style importance weight per document: the summed per-token
+    log likelihood ratio (= log of the ratio of document probabilities)
+    between an add-one-smoothed target unigram model (lang='en' docs)
+    and the raw-corpus model — documents whose token mix resembles the
+    target domain score high and get up-sampled. The weight is emitted
+    as the exact-decimal SUM, not a mean: a final float division can
+    land exactly on a round-half boundary where engines' rounding modes
+    diverge (observed at sf0.1), while the decimal total casts to the
+    same double everywhere.
 
     Per-token log-ratios round to 6 dp then accumulate in DECIMAL (the
     c30 determinism recipe). Both models are vocabulary-sized rollups of
@@ -246,9 +251,8 @@ def c41_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(contrib).alias("__s"))
         .select(
             "doc_id",
-            F.round(F.col("__s").cast("double") / F.col("doc_len"), 6).alias(
-                "importance"
-            ),
+            F.col("doc_len").cast("int").alias("n_tokens"),
+            F.col("__s").cast("double").alias("importance"),
         )
     )
 
