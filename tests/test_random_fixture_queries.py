@@ -1,0 +1,217 @@
+"""Randomized-fixture oracle properties for the round-4 queries: generate
+tiny random tables (hypothesis), write them as parquet, and drive the
+REAL registry queries and their REAL DuckDB oracles over them with the
+same compare() the driver-gate mirror uses.
+
+This catches the degenerate inputs the TPC-H-ish fixtures never produce
+— singleton groups, all-equal values (zero variance), empty filters,
+single-day streaks, docs shorter than the n-gram width — the exact class
+of gap ADVICE r3 found in b57b's unguarded z-score divide.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import date, datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sheetsetl_spark.catalog import TABLES
+from sheetsetl_spark.queries import ORACLES, QUERIES
+from tests.oracle import compare
+
+_SETTINGS = dict(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+def _write_dir(tables: dict[str, pa.Table]) -> str:
+    """Write the given tables (plus empty stubs for the rest, so the
+    oracle view catalog binds) as single parquet files in a temp dir."""
+    d = tempfile.mkdtemp(prefix="randfix_")
+    for name in TABLES:
+        t = tables.get(name, pa.table({"__stub": pa.array([], type=pa.int64())}))
+        pq.write_table(t, f"{d}/{name}.parquet")
+    return d
+
+
+def _check(spark, sf_dir: str, names: list[str]) -> None:
+    for name in names:
+        compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+
+
+# --- orders-shaped ---------------------------------------------------------
+
+_order_row = st.tuples(
+    st.sampled_from(["O", "F", "P"]),  # status
+    st.sampled_from(["1-URGENT", "2-HIGH", "5-LOW"]),  # priority
+    st.integers(1, 9999999).map(lambda c: c / 100.0),  # totalprice, 2dp
+    st.integers(1, 5),  # custkey
+    st.integers(0, 20),  # orderdate offset (days)
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(_order_row, min_size=1, max_size=25))
+def test_orders_queries_on_random_fixtures(spark, rows):
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), type=pa.int64()),
+            "o_orderstatus": pa.array([r[0] for r in rows]),
+            "o_orderpriority": pa.array([r[1] for r in rows]),
+            "o_totalprice": pa.array([r[2] for r in rows], type=pa.float64()),
+            "o_custkey": pa.array([r[3] for r in rows], type=pa.int64()),
+            "o_orderdate": pa.array(
+                [date(1995, 1, 1) + timedelta(days=r[4]) for r in rows]
+            ),
+        }
+    )
+    d = _write_dir({"orders": t})
+    _check(
+        spark,
+        d,
+        [
+            "x51_median_mode",
+            "x52_bitwise_bool_agg",
+            "x57_chi_square_contingency",
+            "x60_autocorrelation",
+            "x61_rolling_zscore",
+            "x64_benford_firstdigit",
+            "b64_map_functions",
+        ],
+    )
+
+
+# --- lineitem-shaped -------------------------------------------------------
+
+_line_row = st.tuples(
+    st.sampled_from(["A", "N", "R"]),
+    st.integers(1, 50),  # quantity
+    st.integers(100, 999999).map(lambda c: c / 100.0),  # extendedprice
+    st.sampled_from([0.0, 0.02, 0.05, 0.1]),  # discount
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(_line_row, min_size=1, max_size=25))
+def test_lineitem_queries_on_random_fixtures(spark, rows):
+    t = pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows]),
+            "l_quantity": pa.array([float(r[1]) for r in rows], type=pa.float64()),
+            "l_extendedprice": pa.array([r[2] for r in rows], type=pa.float64()),
+            "l_discount": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    d = _write_dir({"lineitem": t})
+    # x50 on a singleton / all-equal-quantity group: slope is 0/0 -> NaN
+    # or x/0 -> inf in BOTH engines (double division, no ANSI error).
+    _check(
+        spark,
+        d,
+        ["x50_regression_aggregates", "x56_histogram_2d", "x58_weighted_median"],
+    )
+
+
+# --- events-shaped ---------------------------------------------------------
+
+_event_row = st.tuples(
+    st.integers(0, 2),  # user_id
+    st.sampled_from(["view", "click", "purchase"]),
+    st.integers(0, 4 * 24 * 60),  # minute offset within 4 days
+    st.integers(0, 99999).map(lambda c: c / 100.0),  # value
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(_event_row, min_size=1, max_size=25))
+def test_events_queries_on_random_fixtures(spark, rows):
+    base = datetime(2024, 3, 1)
+    t = pa.table(
+        {
+            # event_id multiples of 50 so x59's deterministic sample
+            # (event_id % 50 = 0) is never empty
+            "event_id": pa.array(
+                [i * 50 for i in range(len(rows))], type=pa.int64()
+            ),
+            "ts": pa.array(
+                [base + timedelta(minutes=r[2]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    d = _write_dir({"events": t})
+    _check(
+        spark,
+        d,
+        ["x55_gaps_islands", "x59_linear_interpolation", "x63_markov_transitions"],
+    )
+
+
+# --- embeddings-shaped -----------------------------------------------------
+
+_vec = st.lists(
+    st.integers(-1000, 1000).map(lambda v: v / 100.0), min_size=8, max_size=12
+)
+
+
+@settings(**_SETTINGS)
+@given(vecs=st.lists(_vec, min_size=1, max_size=15))
+def test_embedding_queries_on_random_fixtures(spark, vecs):
+    # pad ragged vectors to a fixed dim (real embedding columns are fixed-
+    # width; b63/c42 slice the first 8 either way)
+    dim = max(len(v) for v in vecs)
+    vecs = [v + [0.0] * (dim - len(v)) for v in vecs]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(len(vecs))], type=pa.int32()),
+        }
+    )
+    d = _write_dir({"embeddings": t})
+    _check(spark, d, ["b63_higher_order_arrays", "c42_embedding_covariance"])
+
+
+# --- documents-shaped ------------------------------------------------------
+
+_WORDS = ["the", "data", "table", "row", "batch", "join", "scan", "merge"]
+_doc_text = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(_doc_text, st.sampled_from(["en", "fr", "de"])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_documents_queries_on_random_fixtures(spark, docs):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "text": pa.array([d[0] for d in docs]),
+            "lang": pa.array([d[1] for d in docs]),
+            "source": pa.array(["s%d" % (i % 2) for i in range(len(docs))]),
+            "n_chars": pa.array([len(d[0]) for d in docs], type=pa.int64()),
+        }
+    )
+    d = _write_dir({"documents": t})
+    # c40 exercises docs SHORTER than the 5-gram width; c41 exercises
+    # corpora with no 'en' target docs at all (importance NULL both sides)
+    _check(
+        spark,
+        d,
+        [
+            "c39_perplexity_buckets",
+            "c40_repeated_ngram_spans",
+            "c41_dsir_importance",
+            "c44_langid_confusion",
+        ],
+    )
