@@ -27,10 +27,17 @@ from pyspark.sql import functions as F
 _MAX_DIM = 512  # driver materializes d*(d+1)/2 moment rows — keep it scalar-sized
 
 
-def _moments(vectors: DataFrame, dim: int, vec_col: str):
-    """(i, j, n, sx, sy, sxy) for the upper triangle i <= j, plus per-dim
-    sums — one corpus scan, one (i, j)-keyed aggregation with map-side
-    partials; pairs replicate via a broadcast d*(d+1)/2-row index."""
+def pca_moments(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> DataFrame:
+    """(i, j, n, sx, sy, sxy) for the upper triangle i <= j — one corpus
+    scan, one (i, j)-keyed aggregation with map-side partials; pairs
+    replicate via a broadcast d*(d+1)/2-row index.
+
+    The moments are exact-DECIMAL partials, so they compose with
+    ``operators.incremental.merge_aggregates(old, delta, ["i","j"], "n",
+    ["sx","sy","sxy"])``: an incremental covariance/PCA refresh over a
+    stored moment table costs O(delta + d²) instead of re-scanning the
+    100 TB history, and the merged fit is bit-identical to a full
+    recompute (tested)."""
     spark = vectors.sparkSession
     dims = spark.createDataFrame(
         [(i, j) for i in range(1, dim + 1) for j in range(i, dim + 1)], "i int, j int"
@@ -56,11 +63,12 @@ def fit_pca(
 ) -> tuple[list[float], list[list[float]], list[float]]:
     """Fit PCA on an embedding column: returns (mean, components,
     explained_variance) with ``components`` as k rows of d loadings,
-    ordered by descending eigenvalue.
+    ordered by descending eigenvalue."""
+    _validate(k, dim)
+    return fit_pca_from_moments(pca_moments(vectors, dim, vec_col), k, dim)
 
-    Requires numpy (driver only — executors never see it)."""
-    import numpy as np
 
+def _validate(k: int, dim: int) -> None:
     if dim > _MAX_DIM:
         raise ValueError(
             f"dim={dim} > {_MAX_DIM}: the driver-side moment table is "
@@ -69,7 +77,16 @@ def fit_pca(
     if not 1 <= k <= dim:
         raise ValueError(f"k={k} outside [1, dim={dim}]")
 
-    pdf = _moments(vectors, dim, vec_col).toPandas()
+
+def fit_pca_from_moments(
+    moments: DataFrame, k: int, dim: int
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit from a (possibly merged) moment table — the incremental-refresh
+    entry point. Requires numpy (driver only — executors never see it)."""
+    import numpy as np
+
+    _validate(k, dim)
+    pdf = moments.toPandas()
     n = int(pdf["n"].iloc[0])
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")

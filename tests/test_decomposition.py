@@ -74,3 +74,29 @@ def test_dim_guard_and_small_input(spark):
         fit_pca(df2, k=1, dim=_MAX_DIM + 1)
     with pytest.raises(ValueError, match="outside"):
         fit_pca(df2, k=0, dim=6)
+
+
+def test_incremental_moments_merge_equals_full_fit(spark):
+    """Split the corpus, aggregate moments per half, merge with the
+    generic partial-merge operator, refit: decimal partials make the
+    merged fit BIT-identical to the full-corpus fit — the O(delta + d^2)
+    covariance/PCA refresh path."""
+    from sheetsetl_spark.operators.decomposition import (
+        fit_pca_from_moments,
+        pca_moments,
+    )
+    from sheetsetl_spark.operators.incremental import merge_aggregates
+
+    df, _ = _planted(spark, n=50)
+    old = df.filter("vec_id < 30")
+    delta = df.filter("vec_id >= 30")
+    merged = merge_aggregates(
+        pca_moments(old, 6),
+        pca_moments(delta, 6),
+        ["i", "j"],
+        count_col="n",
+        sum_cols=["sx", "sy", "sxy"],
+    )
+    got = fit_pca_from_moments(merged, k=2, dim=6)
+    want = fit_pca(df, k=2, dim=6)
+    assert got == want  # exact, not approximately
