@@ -147,6 +147,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+    persist: bool = True,
+) -> DataFrame:
+    """C2: DIRECTIONAL near-dup pairs by n-gram containment
+    |A ∩ B| / |A| — the excerpt/quotation detector Jaccard misses: a short
+    doc fully contained in a long one has high containment but low
+    Jaccard (the size asymmetry kills the union ratio). Output:
+    (doc_src, doc_dst, containment) where doc_src's shingles are
+    >= threshold contained in doc_dst — both directions of each
+    candidate pair are scored.
+
+    Same candidate discipline as :func:`ngram_jaccard_pairs` (shingle
+    equi-self-join over the df-capped universe — the intersection is
+    computed ONCE per unordered pair, then both directional ratios derive
+    from it), same single-scan persist contract."""
+    raw = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if persist:
+        raw = scoped_persist(raw)
+    sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    fwd = scored.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,

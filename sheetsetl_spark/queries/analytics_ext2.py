@@ -789,3 +789,103 @@ def x64_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_freq"),
         F.round(F.pow(freq - benford, 2) / benford, 6).alias("chi2_term"),
     )
+
+
+@query(
+    "x65_mom_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, ROUND(revenue, 6) AS revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth
+    FROM monthly
+    """,
+)
+def x65_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the most common analyst report
+    shape. Raw orders aggregate to the monthly grain first; LAG runs
+    over the calendar-bounded monthly series (12 rows/year at any data
+    volume), so the unkeyed window is scale-free. First month emits a
+    null growth, as the SQL twin does."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month")
+        )
+        .agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+        .select("month", F.col("revenue").cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        F.round("revenue", 6).alias("revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+@query(
+    "x66_pareto_abc",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             SUM(rev) OVER () AS total
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, total
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def x66_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: parts ranked by revenue, class A = the
+    head covering 80% of cumulative revenue, B to 95%, C the tail. The
+    cumulative window runs over the PER-PART aggregate (dimension-sized,
+    not fact-sized) with a unique (rev desc, partkey) tie-break; cum and
+    total are exact decimals so the class boundaries are
+    partitioning-proof."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(_dec_sum(rev, "rev"))
+    wc = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = ranked.select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "rev",
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+        ).alias("revenue_share"),
+    )

@@ -349,3 +349,53 @@ def c44_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(w), 6).alias("recall"),
     )
+
+
+@query(
+    "c43_containment_neardup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    )
+    SELECT doc_src, doc_dst, containment FROM (
+      SELECT doc_a AS doc_src, doc_b AS doc_dst,
+             ROUND(inter / n_a, 6) AS containment FROM scored
+      UNION ALL
+      SELECT doc_b, doc_a, ROUND(inter / n_b, 6) FROM scored
+    ) WHERE containment >= 0.62
+    """,
+)
+def c43_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (containment variant): directional |A∩B|/|A| n-gram containment
+    — catches a short document quoted/embedded inside a longer one, which
+    Jaccard's union denominator hides. Same shingle-equi-join candidate
+    discipline as the Jaccard operator; the intersection is computed once
+    per unordered pair and both directional ratios derive from it
+    (operators/dedup.py::containment_pairs). Threshold tuned so the
+    fixture corpus produces non-trivial hits in both directions."""
+    from sheetsetl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, threshold=0.62, n=3, max_shingle_df=1000
+    )
