@@ -570,9 +570,23 @@ def connected_components(
 
     Returns (node, cluster_id) with cluster_id = min node id reachable.
     """
+    # Symmetrize by exploding a two-struct array, not a self-union: the
+    # union form evaluates the ENTIRE upstream pairs pipeline (often the
+    # full LSH candidate job) twice at checkpoint time.
     edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .distinct()
         .localCheckpoint(eager=True)
     )

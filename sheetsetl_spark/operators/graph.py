@@ -45,9 +45,10 @@ def pagerank(
     plain associative sum (order-dependent in the last ulp, still
     convergent — standard practice at that scale).
     """
+    # explode, not self-union: the union form would evaluate the edges
+    # subtree twice (it may itself be a join pipeline)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
         .distinct()
     )
     outw = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
