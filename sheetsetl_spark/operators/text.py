@@ -21,6 +21,24 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 LANG_MARKERS = (("en", "the"), ("es", "data"), ("fr", "table"), ("de", "row"), ("zh", "batch"))
 
 
+def round6_bin(col: Column) -> Column:
+    """Engine-portable 6-dp rounding of a double: FLOOR(x*1e6 + 0.5)/1e6
+    operates on the BINARY value, identically in Spark and DuckDB.
+
+    Plain ROUND diverges even on IDENTICAL doubles: Spark rounds the
+    double's shortest decimal representation half-up (0.0001255 ->
+    0.000126) while DuckDB rounds the binary value (same double is
+    0.00012549999... -> 0.000125). Found twice by the randomized-fixture
+    fuzz on per-document mean scores. The SQL twin must spell the same
+    FLOOR form (ROUND6_BIN_SQL)."""
+    return F.floor(col * 1000000.0 + 0.5) / 1000000.0
+
+
+def round6_bin_sql(x: str) -> str:
+    """DuckDB fragment mirroring :func:`round6_bin` exactly."""
+    return f"FLOOR(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 def tokens(text_col: str | Column = "text") -> Column:
     """Whitespace tokenizer (split stays JVM-side)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -506,7 +524,7 @@ def unigram_logprob(
     tf = term_rows.groupBy(id_col, "term", "doc_len").agg(F.count("*").alias("cnt"))
     model = tf.groupBy("term").agg(F.sum("cnt").alias("g_cnt"))
     total = model.agg(F.sum("g_cnt").alias("__total"))
-    neg_lp = F.round(-F.log(F.col("g_cnt") / F.col("__total")), 6)
+    neg_lp = round6_bin(-F.log(F.col("g_cnt") / F.col("__total")))
     contrib = (F.col("cnt") * neg_lp).cast("decimal(28,6)")
     return (
         tf.join(model, "term")
@@ -516,7 +534,7 @@ def unigram_logprob(
         .select(
             id_col,
             F.col("doc_len").cast("int").alias("n_tokens"),
-            F.round(F.col("__sum").cast("double") / F.col("doc_len"), 6).alias(
+            round6_bin(F.col("__sum").cast("double") / F.col("doc_len")).alias(
                 "avg_surprise"
             ),
         )

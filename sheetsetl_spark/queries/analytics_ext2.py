@@ -453,10 +453,14 @@ def x59_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(k AS INT) AS lag_days,
            CAST(n AS BIGINT) AS n_pairs,
-           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-             AS autocorr
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     > (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) + n * n) * 1e-9
+                 AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     > (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) + n * n) * 1e-9
+                THEN ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                END AS autocorr
     FROM mom
     """,
 )
@@ -501,11 +505,20 @@ def x60_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    # CASE-guarded with a RELATIVE floor (vx ~ n^2*var, mean^2 = sx^2/n^2
+    # => floor is 1e-9*(sx^2 + n^2)): a near-constant series makes vx/vy
+    # pure cancellation noise — tiny-negative (DuckDB SQRT errors where
+    # Spark yields NaN) or tiny-positive (a garbage correlation that
+    # differs across engines) — the x61 fuzz lessons applied here
+    r = F.when(
+        (vx > (sx * sx + n * n) * 1e-9) & (vy > (sy * sy + n * n) * 1e-9),
+        F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+    )
     return mom.select(
         F.col("k").cast("int").alias("lag_days"),
         n.cast("bigint").alias("n_pairs"),
-        F.round(r, 6).alias("autocorr"),
+        r.alias("autocorr"),
     )
 
 
@@ -521,15 +534,19 @@ def x60_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT day, rev,
              COUNT(*) OVER w AS n,
              CAST(SUM(CAST(rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
-             CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+             CAST(SUM(CAST(rev * rev AS DECIMAL(38,12))) OVER w AS DOUBLE) AS ss
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
     )
-    SELECT day, ROUND(rev, 6) AS rev,
-           ROUND((rev - s / n) / SQRT((ss - s * s / n) / (n - 1)), 6) AS zscore
-    FROM roll
-    WHERE n >= 3 AND (ss - s * s / n) / (n - 1) > 0
-      AND ABS((rev - s / n) / SQRT((ss - s * s / n) / (n - 1))) > 2
+    SELECT day, rev, zscore FROM (
+      SELECT day, ROUND(rev, 6) AS rev,
+             CASE WHEN n >= 3
+                   AND (ss - s * s / n) / (n - 1)
+                       > ((s / n) * (s / n) + 1) * 1e-9
+                  THEN ROUND((rev - s / n)
+                             / SQRT((ss - s * s / n) / (n - 1)), 6) END AS zscore
+      FROM roll
+    ) WHERE zscore IS NOT NULL AND ABS(zscore) > 2
     """,
 )
 def x61_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,14 +569,29 @@ def x61_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.count("*").over(w).alias("n"),
         F.sum(rev.cast("decimal(38,6)")).over(w).cast("double").alias("s"),
-        F.sum((rev * rev).cast("decimal(38,6)")).over(w).cast("double").alias("ss"),
+        # 12 dp: the square of a 6-dp value has exactly 12 decimals, so
+        # this quantization is (near-)lossless — at 6 dp the engines'
+        # rounding modes diverge on the quantized squares (fuzz-found)
+        F.sum((rev * rev).cast("decimal(38,12)")).over(w).cast("double").alias("ss"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     var = (ss - s * s / n) / (n - 1)
-    z = (rev - s / n) / F.sqrt(var)
+    # CASE-guarded (not a bare WHERE): SQL engines don't short-circuit
+    # conjunctions, and DuckDB's SQRT ERRORS on the tiny-negative
+    # variance a constant window produces (Spark yields NaN). The floor
+    # is RELATIVE (1e-9 of mean^2, +1 for near-zero means): for a
+    # near-constant window, ss - s^2/n is pure cancellation noise and
+    # the resulting "z-score" is numerically meaningless garbage that
+    # differs across engines — both fuzz-found. Filtering on the ROUNDED
+    # z keeps the |z| > 2 cut identical across engines.
+    mean = s / n
+    z = F.when(
+        (n >= 3) & (var > (mean * mean + 1) * 1e-9),
+        F.round((rev - mean) / F.sqrt(var), 6),
+    )
     return (
-        roll.filter((n >= 3) & (var > 0) & (F.abs(z) > 2))
-        .select("day", F.round(rev, 6).alias("rev"), F.round(z, 6).alias("zscore"))
+        roll.select("day", F.round(rev, 6).alias("rev"), z.alias("zscore"))
+        .filter(F.col("zscore").isNotNull() & (F.abs("zscore") > 2))
     )
 
 

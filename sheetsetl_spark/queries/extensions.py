@@ -2241,7 +2241,7 @@ def c29_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(g_cnt) AS total FROM model)
     SELECT doc_id,
            CAST(doc_len AS INT) AS n_tokens,
-           ROUND(CAST(SUM(CAST(cnt * ROUND(-LN(1.0 * g_cnt / total), 6) AS DECIMAL(28,6))) AS DOUBLE) / doc_len, 6) AS avg_surprise
+           FLOOR(CAST(SUM(CAST(cnt * (FLOOR(-LN(1.0 * g_cnt / total) * 1000000.0 + 0.5) / 1000000.0) AS DECIMAL(28,6))) AS DOUBLE) / doc_len * 1000000.0 + 0.5) / 1000000.0 AS avg_surprise
     FROM tf JOIN model USING (term), tot
     GROUP BY doc_id, doc_len
     """,

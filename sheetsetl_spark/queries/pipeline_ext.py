@@ -37,8 +37,10 @@ _SURPRISE_CTES = """
     tot AS (SELECT SUM(g_cnt) AS total FROM model),
     scored AS (
       SELECT doc_id,
-             ROUND(CAST(SUM(CAST(cnt * ROUND(-LN(1.0 * g_cnt / total), 6)
-                                 AS DECIMAL(28,6))) AS DOUBLE) / doc_len, 6)
+             FLOOR(CAST(SUM(CAST(cnt * (FLOOR(-LN(1.0 * g_cnt / total)
+                                              * 1000000.0 + 0.5) / 1000000.0)
+                                 AS DECIMAL(28,6))) AS DOUBLE)
+                   / doc_len * 1000000.0 + 0.5) / 1000000.0
                AS avg_surprise
       FROM tf JOIN model USING (term), tot
       GROUP BY doc_id, doc_len
@@ -64,8 +66,8 @@ _SURPRISE_CTES = """
                 WHEN avg_surprise <= c2 THEN 'middle'
                 ELSE 'tail' END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(SUM(CAST(avg_surprise AS DECIMAL(28,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_surprise
+           CAST(SUM(CAST(avg_surprise AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_surprise
     FROM scored, cuts GROUP BY 1
     """,
 )
@@ -106,9 +108,11 @@ def c39_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(
-                F.sum(v.cast("decimal(28,6)")).cast("double") / F.count("*"), 6
-            ).alias("mean_surprise"),
+            # exact-decimal SUM, not a rounded mean: sum/count can land
+            # exactly on a round-half boundary where Spark (half-up) and
+            # DuckDB (half-even) split — the c41 lesson, re-found here by
+            # the randomized-fixture fuzz
+            F.sum(v.cast("decimal(28,6)")).cast("double").alias("sum_surprise"),
         )
     )
 
@@ -191,9 +195,10 @@ def c40_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT COUNT(*) FROM raw_model) AS v
     )
     SELECT doc_id, CAST(doc_len AS INT) AS n_tokens,
-           CAST(SUM(CAST(cnt * ROUND(
+           CAST(SUM(CAST(cnt * (FLOOR((
                      LN((COALESCE(c_tgt, 0) + 1.0) / (n_tgt + v))
-                   - LN((c_all + 1.0) / (n_all + v)), 6)
+                   - LN((c_all + 1.0) / (n_all + v))) * 1000000.0 + 0.5)
+                     / 1000000.0)
                  AS DECIMAL(28,6))) AS DOUBLE) AS importance
     FROM tf
     JOIN raw_model USING (term)
@@ -237,10 +242,9 @@ def c41_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = raw_model.agg(
         F.sum("c_all").alias("n_all"), F.count("*").alias("v")
     ).crossJoin(tgt_model.agg(F.sum("c_tgt").alias("n_tgt")))
-    log_ratio = F.round(
+    log_ratio = text.round6_bin(
         F.log((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0) / (F.col("n_tgt") + F.col("v")))
-        - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v"))),
-        6,
+        - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v")))
     )
     contrib = (F.col("cnt") * log_ratio).cast("decimal(28,6)")
     return (

@@ -11,6 +11,7 @@ of gap ADVICE r3 found in b57b's unguarded z-score divide.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from datetime import date, datetime, timedelta
 
@@ -23,7 +24,13 @@ from sheetsetl_spark.catalog import TABLES
 from sheetsetl_spark.queries import ORACLES, QUERIES
 from tests.oracle import compare
 
-_SETTINGS = dict(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+# SHEETSETL_FUZZ=N deepens the sweep for one-off shakes (default 5 keeps
+# the suite fast; pre-round runs use 25+)
+_SETTINGS = dict(
+    max_examples=int(os.environ.get("SHEETSETL_FUZZ", "5")),
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
 
 
 def _write_dir(tables: dict[str, pa.Table]) -> str:
