@@ -475,33 +475,65 @@ def b23_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b24_stats_agg",
     oracle="""
-    SELECT c_mktsegment,
-           COUNT(*) AS n,
-           ROUND((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,8))) AS DOUBLE)
-                  - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                    * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1), 4) AS var_samp_acctbal,
-           ROUND(SQRT((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,8))) AS DOUBLE)
-                  - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                    * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
-                 / (COUNT(*) - 1)), 4) AS stddev_samp_acctbal
-    FROM customer
-    GROUP BY c_mktsegment
+    WITH mom AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           CASE WHEN n > 1 THEN
+             CASE WHEN (sxx - sx * sx / n) / (n - 1)
+                       <= ((sx / n) * (sx / n) + 1) * 1e-9 THEN 0.0
+                  ELSE FLOOR((sxx - sx * sx / n) / (n - 1) * 10000.0 + 0.5)
+                       / 10000.0 END
+           END AS var_samp_acctbal,
+           CASE WHEN n > 1 THEN
+             CASE WHEN (sxx - sx * sx / n) / (n - 1)
+                       <= ((sx / n) * (sx / n) + 1) * 1e-9 THEN 0.0
+                  ELSE FLOOR(SQRT((sxx - sx * sx / n) / (n - 1)) * 10000.0 + 0.5)
+                       / 10000.0 END
+           END AS stddev_samp_acctbal
+    FROM mom
     """,
 )
 def b24_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B24: STDDEV_SAMP/VAR_SAMP — computed from exact decimal moments so
     the result is independent of partition/accumulation order (native
-    float stddev is order-sensitive in the last ulp)."""
+    float stddev is order-sensitive in the last ulp).
+
+    Degenerate-group hygiene (the x60/x61 fuzz lessons): a singleton
+    group emits NULL (var_samp is undefined, matching standard SQL); a
+    constant group's `sxx - sx^2/n` is pure cancellation noise, so
+    anything under the relative floor collapses to exactly 0.0; rounding
+    is the binary FLOOR form both engines evaluate identically."""
     c = load_table(spark, sf_dir, "customer")
-    sx = F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
-    sxx = F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,8)")).cast("double")
-    n = F.count("*")
+    mom = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,8)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var = (sxx - sx * sx / n) / (n - 1)
-    return c.groupBy("c_mktsegment").agg(
-        n.alias("n"),
-        F.round(var, 4).alias("var_samp_acctbal"),
-        F.round(F.sqrt(var), 4).alias("stddev_samp_acctbal"),
+    mean = sx / n
+    floor_ = (mean * mean + 1) * 1e-9
+
+    def guarded(expr):
+        return F.when(
+            n > 1,
+            F.when(var <= floor_, F.lit(0.0)).otherwise(
+                F.floor(expr * 10000.0 + 0.5) / 10000.0
+            ),
+        )
+
+    return mom.select(
+        "c_mktsegment",
+        "n",
+        guarded(var).alias("var_samp_acctbal"),
+        guarded(F.sqrt(var)).alias("stddev_samp_acctbal"),
     )
 
 

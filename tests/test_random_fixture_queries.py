@@ -222,3 +222,42 @@ def test_documents_queries_on_random_fixtures(spark, docs):
             "c44_langid_confusion",
         ],
     )
+
+
+# --- customer-shaped (with tiny dims for the ratio-to-report join) ---------
+
+_cust_row = st.tuples(
+    st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY"]),
+    st.integers(-99999, 999999).map(lambda c: c / 100.0),  # acctbal, 2dp
+    st.integers(0, 3),  # nationkey
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(_cust_row, min_size=1, max_size=25))
+def test_customer_queries_on_random_fixtures(spark, rows):
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), type=pa.int64()),
+            "c_mktsegment": pa.array([r[0] for r in rows]),
+            "c_acctbal": pa.array([r[1] for r in rows], type=pa.float64()),
+            "c_nationkey": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "n_name": pa.array(["N0", "N1", "N2", "N3"]),
+            "n_regionkey": pa.array([0, 0, 1, 1], type=pa.int64()),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], type=pa.int64()),
+            "r_name": pa.array(["R0", "R1"]),
+        }
+    )
+    d = _write_dir({"customer": cust, "nation": nation, "region": region})
+    # b24 exercises singleton groups (null var) and constant groups
+    # (exactly-zero var via the relative floor)
+    _check(spark, d, ["b24_stats_agg", "x53_conditional_agg", "x62_ratio_to_report"])
