@@ -42,8 +42,22 @@ def pca_moments(vectors: DataFrame, dim: int, vec_col: str = "embedding") -> Dat
     dims = spark.createDataFrame(
         [(i, j) for i in range(1, dim + 1) for j in range(i, dim + 1)], "i int, j int"
     )
-    xi = F.element_at(vec_col, F.col("i")).cast("double")
-    xj = F.element_at(vec_col, F.col("j")).cast("double")
+    # Fail loudly on width mismatches INLINE (no extra corpus scan): a
+    # vector shorter than `dim` (or a NULL entry) would make element_at
+    # yield NULL, which the decimal sums SKIP while count(*) still counts
+    # the row — silently biasing every mean/covariance cell (ADVICE r4).
+    # The guard rides the same projection, so validation is free.
+    ok = F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
+    checked = F.when(ok, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"pca_moments: column {vec_col!r} has a NULL or "
+                f"non-{dim}-wide vector; filter or pad first"
+            )
+        )
+    )
+    xi = F.element_at(checked, F.col("i")).cast("double")
+    xj = F.element_at(checked, F.col("j")).cast("double")
     pairs = vectors.crossJoin(F.broadcast(dims)).select(
         "i", "j", xi.alias("xi"), xj.alias("xj")
     )
@@ -87,6 +101,10 @@ def fit_pca_from_moments(
 
     _validate(k, dim)
     pdf = moments.toPandas()
+    if len(pdf) == 0:
+        raise ValueError(
+            "fit_pca_from_moments: empty moment table (no input vectors?)"
+        )
     n = int(pdf["n"].iloc[0])
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")

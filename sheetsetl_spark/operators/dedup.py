@@ -15,6 +15,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 
 from sheetsetl_spark.cache import scoped_persist
+from sheetsetl_spark.operators.text import round6_bin
 from pyspark.sql import functions as F
 
 
@@ -188,15 +189,19 @@ def containment_pairs(
     # Emit both directions by exploding a 2-struct array, NOT a union of
     # two selects: a union would duplicate the whole candidate pipeline
     # (verified: 0 ReusedExchange), doubling the intersection cost.
+    # round6_bin, not plain round: inter/n is rational and CAN land on a
+    # true 7th-digit half boundary (e.g. n = 640 => k/640 has 7 decimals
+    # ending in 5) where Spark's shortest-repr ROUND and the oracle's
+    # binary ROUND diverge — and the threshold filter then diverges too.
     fwd = F.struct(
         F.col("doc_a").alias("doc_src"),
         F.col("doc_b").alias("doc_dst"),
-        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
+        round6_bin(F.col("inter") / F.col("n_a")).alias("containment"),
     )
     rev = F.struct(
         F.col("doc_b").alias("doc_src"),
         F.col("doc_a").alias("doc_dst"),
-        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+        round6_bin(F.col("inter") / F.col("n_b")).alias("containment"),
     )
     return (
         scored.select(F.explode(F.array(fwd, rev)).alias("e"))

@@ -334,8 +334,6 @@ def bm25_scores(
 
     Output: (id, score, n_matched) for the top-k by (score desc, id).
     """
-    from pyspark.sql import Window
-
     qlit = F.array(*[F.lit(t) for t in query_terms])
     term_rows = docs.select(
         F.col(id_col),
@@ -367,10 +365,15 @@ def bm25_scores(
             F.countDistinct("term").cast("int").alias("n_matched"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    # Top-k via orderBy+limit so Catalyst plans TakeOrderedAndProject:
+    # per-partition k-element heaps merged on the driver, no
+    # single-partition Exchange. A row_number() over an unpartitioned
+    # Window here would funnel every doc matching any query term through
+    # one task — the classic 100-TB scale-killer (see SCALE.md, b36).
+    # (id_col tiebreak keeps the k-th boundary deterministic.)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        scored.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
         .select(id_col, "score", "n_matched")
     )
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators.text import round6_bin
 from sheetsetl_spark.queries import query
 
 
@@ -48,13 +49,20 @@ def _dec_sum(col, alias: str, scale: str = "decimal(38,6)"):
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-             AS slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     > (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) + n * n) * 1e-9
+                THEN FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0
+                END AS slope,
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     > (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) + n * n) * 1e-9
+                THEN FLOOR(((CAST(sy AS DOUBLE)
+                       - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / n)
+                     * 1000000.0 + 0.5) / 1000000.0
+                END AS intercept
     FROM s
     """,
 )
@@ -66,7 +74,12 @@ def x50_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments (sx, sy, sxy, sxx) accumulate in exact DECIMAL — one shuffle
     on the group key with map-side partials — and the closed-form
     slope/intercept is scalar arithmetic on the aggregated row, so the
-    result is bit-stable under any partitioning."""
+    result is bit-stable under any partitioning. The denominator
+    (n*sxx - sx^2) carries the b24/x60 relative-floor CASE guard: a
+    constant-quantity group makes it pure cancellation noise, where
+    engines diverge (non-ANSI Spark division-by-zero yields NULL, DuckDB
+    with IEEE ops yields inf/nan); emitted doubles go through the
+    portable round6_bin, not plain ROUND (ADVICE r4)."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
@@ -79,12 +92,14 @@ def x50_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = n * sxx - sx * sx
+    guard = denom > (sx * sx + n * n) * 1e-9
+    slope = (n * sxy - sx * sy) / denom
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.when(guard, round6_bin(slope)).alias("slope"),
+        F.when(guard, round6_bin((sy - slope * sx) / n)).alias("intercept"),
     )
 
 
@@ -165,10 +180,10 @@ def x52_bitwise_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_negative,
            CAST(COUNT(*) FILTER (WHERE c_acctbal >= 5000) AS BIGINT) AS n_high,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
-                        FILTER (WHERE c_acctbal >= 0) AS DOUBLE)
-                 / NULLIF(COUNT(*) FILTER (WHERE c_acctbal >= 0), 0), 6)
-             AS avg_nonneg_bal
+           FLOOR((CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                         FILTER (WHERE c_acctbal >= 0) AS DOUBLE)
+                  / NULLIF(COUNT(*) FILTER (WHERE c_acctbal >= 0), 0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_nonneg_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -184,7 +199,7 @@ def x53_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.count_if(bal < 0).alias("n_negative"),
         F.count_if(bal >= 5000).alias("n_high"),
-        F.round(nonneg_sum / F.nullif(nonneg_cnt, F.lit(0)), 6).alias("avg_nonneg_bal"),
+        round6_bin(nonneg_sum / F.nullif(nonneg_cnt, F.lit(0))).alias("avg_nonneg_bal"),
     )
 
 
@@ -275,9 +290,11 @@ def x56_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(observed) AS n FROM obs)
     SELECT o_orderstatus, o_orderpriority,
            CAST(observed AS BIGINT) AS observed,
-           ROUND(1.0 * row_tot * col_tot / n, 6) AS expected,
-           ROUND(POW(observed - 1.0 * row_tot * col_tot / n, 2)
-                 / (1.0 * row_tot * col_tot / n), 6) AS chi2_term
+           FLOOR((1.0 * row_tot * col_tot / n) * 1000000.0 + 0.5) / 1000000.0
+             AS expected,
+           FLOOR((POW(observed - 1.0 * row_tot * col_tot / n, 2)
+                  / (1.0 * row_tot * col_tot / n)) * 1000000.0 + 0.5) / 1000000.0
+             AS chi2_term
     FROM obs JOIN rowm USING (o_orderstatus)
              JOIN colm USING (o_orderpriority), tot
     """,
@@ -302,8 +319,8 @@ def x57_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "o_orderpriority",
             F.col("observed").cast("bigint").alias("observed"),
-            F.round(expected, 6).alias("expected"),
-            F.round(F.pow(F.col("observed") - expected, 2) / expected, 6).alias("chi2_term"),
+            round6_bin(expected).alias("expected"),
+            round6_bin(F.pow(F.col("observed") - expected, 2) / expected).alias("chi2_term"),
         )
     )
 
@@ -380,9 +397,10 @@ def x58_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM joined
     )
     SELECT day, (v IS NULL) AS interpolated,
-           ROUND(CASE WHEN v IS NOT NULL THEN v
-                      ELSE pv + (nv - pv) * DATEDIFF('day', pday, day)
-                                          / DATEDIFF('day', pday, nday) END, 6) AS value
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       ELSE pv + (nv - pv) * DATEDIFF('day', pday, day)
+                                           / DATEDIFF('day', pday, nday) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS value
     FROM ctx
     """,
 )
@@ -423,7 +441,7 @@ def x59_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "day",
         F.col("v").isNull().alias("interpolated"),
-        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6).alias(
+        round6_bin(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)).alias(
             "value"
         ),
     )
@@ -457,9 +475,10 @@ def x59_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
                      > (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) + n * n) * 1e-9
                  AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
                      > (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) + n * n) * 1e-9
-                THEN ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                THEN FLOOR(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                     * 1000000.0 + 0.5) / 1000000.0
                 END AS autocorr
     FROM mom
     """,
@@ -513,7 +532,7 @@ def x60_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differs across engines) — the x61 fuzz lessons applied here
     r = F.when(
         (vx > (sx * sx + n * n) * 1e-9) & (vy > (sy * sy + n * n) * 1e-9),
-        F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        round6_bin((n * sxy - sx * sy) / F.sqrt(vx * vy)),
     )
     return mom.select(
         F.col("k").cast("int").alias("lag_days"),
@@ -539,12 +558,13 @@ def x60_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
     )
     SELECT day, rev, zscore FROM (
-      SELECT day, ROUND(rev, 6) AS rev,
+      SELECT day, FLOOR(rev * 1000000.0 + 0.5) / 1000000.0 AS rev,
              CASE WHEN n >= 3
                    AND (ss - s * s / n) / (n - 1)
                        > ((s / n) * (s / n) + 1) * 1e-9
-                  THEN ROUND((rev - s / n)
-                             / SQRT((ss - s * s / n) / (n - 1)), 6) END AS zscore
+                  THEN FLOOR(((rev - s / n)
+                              / SQRT((ss - s * s / n) / (n - 1)))
+                       * 1000000.0 + 0.5) / 1000000.0 END AS zscore
       FROM roll
     ) WHERE zscore IS NOT NULL AND ABS(zscore) > 2
     """,
@@ -587,10 +607,10 @@ def x61_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s / n
     z = F.when(
         (n >= 3) & (var > (mean * mean + 1) * 1e-9),
-        F.round((rev - mean) / F.sqrt(var), 6),
+        round6_bin((rev - mean) / F.sqrt(var)),
     )
     return (
-        roll.select("day", F.round(rev, 6).alias("rev"), z.alias("zscore"))
+        roll.select("day", round6_bin(rev).alias("rev"), z.alias("zscore"))
         .filter(F.col("zscore").isNotNull() & (F.abs("zscore") > 2))
     )
 
@@ -608,11 +628,11 @@ def x61_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_name, n_name,
            CAST(bal AS DOUBLE) AS balance,
-           ROUND(CAST(bal AS DOUBLE)
-                 / CAST(SUM(bal) OVER (PARTITION BY r_name) AS DOUBLE), 6)
-             AS share_of_region,
-           ROUND(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER () AS DOUBLE), 6)
-             AS share_of_total
+           FLOOR((CAST(bal AS DOUBLE)
+                  / CAST(SUM(bal) OVER (PARTITION BY r_name) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_region,
+           FLOOR((CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_total
     FROM nat
     """,
 )
@@ -638,8 +658,8 @@ def x62_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         bal.alias("balance"),
-        F.round(bal / F.sum("bal").over(wr).cast("double"), 6).alias("share_of_region"),
-        F.round(bal / F.sum("bal").over(wt).cast("double"), 6).alias("share_of_total"),
+        round6_bin(bal / F.sum("bal").over(wr).cast("double")).alias("share_of_region"),
+        round6_bin(bal / F.sum("bal").over(wt).cast("double")).alias("share_of_total"),
     )
 
 
@@ -652,8 +672,9 @@ def x62_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sq AS (
       SELECT vec_id,
-             ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
-                                 AS DECIMAL(28,12))) AS DOUBLE), 6) AS head_sum_sq
+             FLOOR(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS head_sum_sq
       FROM (SELECT vec_id, UNNEST(embedding[1:8]) AS v FROM embeddings) t
       GROUP BY vec_id
     )
@@ -686,7 +707,7 @@ def b63_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         n_pos.alias("n_positive"),
-        F.round(sum_sq, 6).alias("head_sum_sq"),
+        round6_bin(sum_sq).alias("head_sum_sq"),
     )
 
 
@@ -746,7 +767,8 @@ def b64_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
     )
     SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
-           ROUND(1.0 * n / SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+           FLOOR((1.0 * n / SUM(n) OVER (PARTITION BY from_state))
+                 * 1000000.0 + 0.5) / 1000000.0 AS prob
     FROM cells
     """,
 )
@@ -773,7 +795,7 @@ def x63_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_state",
         "to_state",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(wf), 6).alias("prob"),
+        round6_bin(F.lit(1.0) * F.col("n") / F.sum("n").over(wf)).alias("prob"),
     )
 
 
@@ -788,10 +810,10 @@ def x63_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
     tot AS (SELECT SUM(n) AS total FROM obs)
     SELECT digit, CAST(n AS BIGINT) AS n,
-           ROUND(1.0 * n / total, 6) AS observed_freq,
-           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq,
-           ROUND(POW(1.0 * n / total - LOG10(1.0 + 1.0 / digit), 2)
-                 / LOG10(1.0 + 1.0 / digit), 6) AS chi2_term
+           FLOOR((1.0 * n / total) * 1000000.0 + 0.5) / 1000000.0 AS observed_freq,
+           FLOOR(LOG10(1.0 + 1.0 / digit) * 1000000.0 + 0.5) / 1000000.0 AS benford_freq,
+           FLOOR((POW(1.0 * n / total - LOG10(1.0 + 1.0 / digit), 2)
+                  / LOG10(1.0 + 1.0 / digit)) * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
     FROM obs, tot
     """,
 )
@@ -817,9 +839,9 @@ def x64_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obs.crossJoin(F.broadcast(tot)).select(
         "digit",
         F.col("n").cast("bigint").alias("n"),
-        F.round(freq, 6).alias("observed_freq"),
-        F.round(benford, 6).alias("benford_freq"),
-        F.round(F.pow(freq - benford, 2) / benford, 6).alias("chi2_term"),
+        round6_bin(freq).alias("observed_freq"),
+        round6_bin(benford).alias("benford_freq"),
+        round6_bin(F.pow(freq - benford, 2) / benford).alias("chi2_term"),
     )
 
 
@@ -832,8 +854,9 @@ def x64_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT month, ROUND(revenue, 6) AS revenue,
-           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
-                 / LAG(revenue) OVER (ORDER BY month), 6) AS mom_growth
+           FLOOR(((revenue - LAG(revenue) OVER (ORDER BY month))
+                  / LAG(revenue) OVER (ORDER BY month))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mom_growth
     FROM monthly
     """,
 )
@@ -856,7 +879,7 @@ def x65_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month",
         F.round("revenue", 6).alias("revenue"),
-        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+        round6_bin((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
 
 
@@ -883,8 +906,8 @@ def x65_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc_class,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
-             AS revenue_share
+           FLOOR((CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
     FROM classed GROUP BY abc_class
     """,
 )
@@ -917,7 +940,7 @@ def x66_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
-        F.round(
-            F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+        round6_bin(
+            F.sum("rev").cast("double") / F.max("total").cast("double")
         ).alias("revenue_share"),
     )

@@ -279,8 +279,9 @@ def c41_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY i, j
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
-           ROUND((CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6) AS cov
+           FLOOR(((CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS cov
     FROM mom
     """,
 )
@@ -314,7 +315,7 @@ def c42_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         F.col("i").cast("int").alias("i"),
         F.col("j").cast("int").alias("j"),
-        F.round(cov, 6).alias("cov"),
+        text.round6_bin(cov).alias("cov"),
     )
 
 
@@ -333,8 +334,9 @@ def c42_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT actual_lang, predicted_lang,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(1.0 * COUNT(*)
-                 / SUM(COUNT(*)) OVER (PARTITION BY actual_lang), 6) AS recall
+           FLOOR((1.0 * COUNT(*)
+                  / SUM(COUNT(*)) OVER (PARTITION BY actual_lang))
+                 * 1000000.0 + 0.5) / 1000000.0 AS recall
     FROM pred GROUP BY 1, 2
     """,
 )
@@ -351,7 +353,7 @@ def c44_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_lang",
         "predicted_lang",
         "n",
-        F.round(F.lit(1.0) * F.col("n") / F.sum("n").over(w), 6).alias("recall"),
+        text.round6_bin(F.lit(1.0) * F.col("n") / F.sum("n").over(w)).alias("recall"),
     )
 
 
@@ -383,9 +385,11 @@ def c44_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_src, doc_dst, containment FROM (
       SELECT doc_a AS doc_src, doc_b AS doc_dst,
-             ROUND(inter / n_a, 6) AS containment FROM scored
+             FLOOR((inter / n_a) * 1000000.0 + 0.5) / 1000000.0 AS containment
+      FROM scored
       UNION ALL
-      SELECT doc_b, doc_a, ROUND(inter / n_b, 6) FROM scored
+      SELECT doc_b, doc_a, FLOOR((inter / n_b) * 1000000.0 + 0.5) / 1000000.0
+      FROM scored
     ) WHERE containment >= 0.62
     """,
 )

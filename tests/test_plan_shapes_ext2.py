@@ -75,3 +75,16 @@ def test_interpolation_windows_run_on_daily_series(spark):
     # below (upstream of) that Exchange there is a HashAggregate — the
     # daily rollup happens before the series is narrowed to one partition
     assert any("HashAggregate" in ln for ln in lines[single:]), plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """c26's final top-k must plan as TakeOrderedAndProject (per-partition
+    heaps, driver merge) — NOT a row_number over an unpartitioned Window,
+    which would funnel every candidate document through one task at
+    100 TB (the r4 verdict's one flagged scale-killer)."""
+    df = QUERIES["c26_bm25_search"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # no unpartitioned-Window funnel: the only acceptable
+    # SinglePartition narrowing is the TakeOrdered driver merge itself
+    assert "Window" not in plan, plan

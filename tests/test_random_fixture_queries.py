@@ -112,8 +112,11 @@ def test_lineitem_queries_on_random_fixtures(spark, rows):
         }
     )
     d = _write_dir({"lineitem": t})
-    # x50 on a singleton / all-equal-quantity group: slope is 0/0 -> NaN
-    # or x/0 -> inf in BOTH engines (double division, no ANSI error).
+    # x50 on a singleton / all-equal-quantity group: the degenerate
+    # denominator (n*sxx - sx^2 ~ 0) is CASE-guarded to NULL on both
+    # sides — engines genuinely differ unguarded (non-ANSI Spark
+    # division by zero yields NULL; DuckDB with IEEE float ops yields
+    # inf/nan), so the guard, not engine agreement, is what holds.
     _check(
         spark,
         d,

@@ -1,8 +1,13 @@
-"""Scratch: run named new queries against their DuckDB oracles at sf0.001."""
+"""Dev helper (not a pytest module): run named queries against their DuckDB oracles.
+
+Usage: python tests/tools_oracle_check.py [sf_dir] name [name...]
+"""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 from sheetsetl_spark.session import build_session  # noqa: E402
 from sheetsetl_spark.queries import QUERIES, ORACLES  # noqa: E402
