@@ -1,0 +1,97 @@
+"""prefix_sum: the range-partitioned running total must reproduce the
+naive global ordered window EXACTLY, while keeping every data-sized plan
+stage parallel."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.operators.prefix import prefix_sum
+from sheetsetl_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _naive(df, order_by, value_col, out_col):
+    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def _rows(df, key):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=lambda t: t[: len(key)] if key else t
+    )
+
+
+def test_matches_naive_window_asc(spark):
+    df = spark.range(0, 257).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    got = prefix_sum(df, [F.asc("k")], F.col("v"), "cum")
+    want = _naive(df, [F.asc("k")], F.col("v"), "cum")
+    assert _rows(got.select("k", "v", "cum"), ["k"]) == _rows(
+        want.select("k", "v", "cum"), ["k"]
+    )
+
+
+def test_matches_naive_window_desc_with_tiebreak(spark):
+    # duplicate values, unique (v desc, k) order — the x66/x67 shape
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 13).alias("v")
+    )
+    order = [F.desc("v"), F.asc("k")]
+    got = prefix_sum(df, order, F.col("v"), "cum", num_partitions=7)
+    want = _naive(df, order, F.col("v"), "cum")
+    assert _rows(got, ["k"]) == _rows(want, ["k"])
+
+
+def test_decimal_exact(spark):
+    df = spark.range(0, 128).select(
+        F.col("id").alias("k"),
+        ((F.col("id") % 9) / 3.0).cast("decimal(38,6)").alias("v"),
+    )
+    got = prefix_sum(df, [F.asc("k")], F.col("v"), "cum", num_partitions=5)
+    want = _naive(df, [F.asc("k")], F.col("v"), "cum")
+    assert _rows(got, ["k"]) == _rows(want, ["k"])
+    assert dict(got.dtypes)["cum"].startswith("decimal")
+
+
+def test_repartition_invariance(spark):
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), ((F.col("id") * 11) % 17).alias("v")
+    )
+    a = _rows(prefix_sum(base.repartition(13), [F.asc("k")], F.col("v"), "c"), ["k"])
+    b = _rows(prefix_sum(base.coalesce(1), [F.asc("k")], F.col("v"), "c"), ["k"])
+    assert a == b
+
+
+def test_single_row_and_empty(spark):
+    one = spark.createDataFrame([(1, 5)], "k int, v int")
+    assert prefix_sum(one, [F.asc("k")], F.col("v"), "c").collect()[0]["c"] == 5
+    empty = one.filter("k < 0")
+    assert prefix_sum(empty, [F.asc("k")], F.col("v"), "c").count() == 0
+
+
+def test_requires_order(spark):
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    try:
+        prefix_sum(df, [], F.col("v"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_x67_plan_no_single_partition_data_window(spark):
+    """The only single-partition window may run over the #partitions-row
+    offsets aggregate — the base per-part rows must flow through a range
+    exchange, never an Exchange SinglePartition ahead of a data window."""
+    df = QUERIES["x67_running_total"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            # upstream (printed below) must contain the totals
+            # HashAggregate — i.e. the single partition holds partition
+            # totals, not data rows
+            assert any("HashAggregate" in x for x in lines[i:]), plan
