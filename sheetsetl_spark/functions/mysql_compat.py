@@ -128,10 +128,61 @@ _GROUP_CONCAT_RE = re.compile(
     r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?([^()]+?)(?:\s+SEPARATOR\s+\x00(\d+)\x00)?\s*\)",
     re.IGNORECASE,
 )
+# Server-session-state functions (SURVEY B49 — out of scope by design):
+# a clear rejection beats a Spark parse error or, worse, a silently
+# different answer. Matched only as calls (name followed by '(').
+_SERVER_STATE_FN_RE = re.compile(
+    r"\b(FOUND_ROWS|LAST_INSERT_ID|ROW_COUNT|CONNECTION_ID|DATABASE|SCHEMA"
+    r"|SESSION_USER|SYSTEM_USER|CURRENT_USER|USER|VERSION|UUID_SHORT|UUID"
+    r"|SLEEP|GET_LOCK|RELEASE_LOCK|IS_FREE_LOCK|IS_USED_LOCK|BENCHMARK"
+    r"|MASTER_POS_WAIT)\s*\(",
+    re.IGNORECASE,
+)
+# SELECT ... INTO OUTFILE/DUMPFILE writes the MySQL SERVER's filesystem;
+# SQL_CALC_FOUND_ROWS exists only to feed FOUND_ROWS() session state.
+_INTO_OUTFILE_RE = re.compile(r"\bINTO\s+(OUTFILE|DUMPFILE)\b", re.IGNORECASE)
+_CALC_FOUND_ROWS_RE = re.compile(r"\bSQL_CALC_FOUND_ROWS\b", re.IGNORECASE)
+_CALL_RE = re.compile(r"^\s*CALL\b", re.IGNORECASE)
+# Index hints tune the MySQL optimizer; Spark has no indexes — strip.
+_INDEX_HINT_RE = re.compile(
+    r"\b(USE|FORCE|IGNORE)\s+(INDEX|KEY)\s*(?:FOR\s+(?:JOIN|ORDER\s+BY|GROUP\s+BY)\s*)?"
+    r"\([^()]*\)",
+    re.IGNORECASE,
+)
+# SELECT modifiers that are pure server cache/priority knobs — strip.
+_SELECT_MODIFIER_RE = re.compile(
+    r"(\bSELECT\s+)(?:(?:SQL_NO_CACHE|SQL_CACHE|SQL_BUFFER_RESULT"
+    r"|SQL_SMALL_RESULT|SQL_BIG_RESULT|HIGH_PRIORITY|STRAIGHT_JOIN)\s+)+",
+    re.IGNORECASE,
+)
+# STRAIGHT_JOIN as a join keyword (a JOIN b) — plain inner join on Spark
+# (AQE/Catalyst own join order; the hint has no meaning here).
+_STRAIGHT_JOIN_RE = re.compile(r"\bSTRAIGHT_JOIN\b", re.IGNORECASE)
+# MySQL's default || / && are LOGICAL operators (PIPES_AS_CONCAT off);
+# Spark's || is string concat — a silent semantic flip if passed through.
+_PIPE_OR_RE = re.compile(r"\|\|")
+_AMP_AND_RE = re.compile(r"&&")
+# Zero-arg now-family functions Spark spells differently.
+_CURDATE_RE = re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE)
+_CURTIME_RE = re.compile(r"\bCURTIME\s*\(\s*\)", re.IGNORECASE)
+_SYSDATE_RE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 # Longest-match-at-position alternation: a string consumes any '--' inside
 # it, a comment consumes any quote inside it — whichever starts first wins.
+# MySQL strings allow backslash escapes (\' \\ ...) and '' doubling; MySQL
+# double-quoted strings are string literals too (ANSI_QUOTES off default).
 _STRING_OR_COMMENT_RE = re.compile(
-    r"'(?:[^']|'')*'|--[^\n]*|#[^\n]*|/\*.*?\*/", re.DOTALL
+    r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|--[^\n]*|#[^\n]*|/\*.*?\*/",
+    re.DOTALL,
+)
+# Preamble statements a folder-of-SQL file may carry that are cosmetic
+# on Spark: USE <db> (one flat namespace here) and connection-charset
+# SETs. Anything else stateful (SET time_zone, SET sql_mode, SET @v)
+# REJECTS — silently ignoring those would change results.
+_IGNORABLE_STMT_RE = re.compile(
+    r"^\s*(?:USE\s+\S+|SET\s+(?:NAMES\s+\S+(?:\s+COLLATE\s+\S+)?"
+    r"|(?:SESSION\s+)?(?:character_set_\w+|collation_\w+|sql_safe_updates"
+    r"|net_read_timeout|net_write_timeout|max_execution_time)\s*=\s*\S+))\s*$",
+    re.IGNORECASE,
 )
 
 
@@ -177,12 +228,31 @@ def mysql_to_spark_sql(sql: str) -> str:
     Rejected with :class:`UnsupportedMySQLConstruct` (no faithful Spark
     semantics exist; a clear error beats a silently-different answer):
 
+    Additional rewrites (all outside literals):
+
+    - index hints (``USE/FORCE/IGNORE INDEX (...)``), ``STRAIGHT_JOIN``
+      and cache/priority SELECT modifiers are stripped — optimizer knobs
+      with no Spark meaning (Catalyst/AQE own the physical plan);
+    - ``||`` -> ``OR`` and ``&&`` -> ``AND`` — MySQL's defaults are
+      LOGICAL (PIPES_AS_CONCAT off); Spark's ``||`` is string concat, a
+      silent semantic flip if passed through (use CONCAT() for strings);
+    - ``CURDATE()/CURTIME()/SYSDATE()`` -> Spark spellings.
+
+    Rejected with :class:`UnsupportedMySQLConstruct` (no faithful Spark
+    semantics exist; a clear error beats a silently-different answer):
+
     - ``RAND(seed)`` — MySQL seeds a per-row sequence tied to server
       evaluation order; Spark's ``rand(seed)`` is per-partition and
       row-order-dependent, so results would differ silently.
     - ``@var`` / ``@@sysvar`` — server session state Spark doesn't have.
+    - server-state functions (``FOUND_ROWS, LAST_INSERT_ID, DATABASE,
+      USER, VERSION, UUID, SLEEP, GET_LOCK, ...`` — the SURVEY B49
+      class), ``SQL_CALC_FOUND_ROWS``, ``SELECT ... INTO OUTFILE`` and
+      ``CALL proc`` (no stored programs).
     """
     sql, slots = _mask_literals(sql)
+    # MySQL '#' line comments aren't Spark syntax — rewrite to '--'
+    slots = [f"-- {s[1:].lstrip()}" if s.startswith("#") else s for s in slots]
     if _SEEDED_RAND_RE.search(sql):
         raise UnsupportedMySQLConstruct(
             "RAND(seed) has per-row server-side sequence semantics that "
@@ -195,6 +265,36 @@ def mysql_to_spark_sql(sql: str) -> str:
             f"user/system variable {var.group(0)!r} references MySQL "
             "server session state; inline the value into the query"
         )
+    fn = _SERVER_STATE_FN_RE.search(sql)
+    if fn:
+        raise UnsupportedMySQLConstruct(
+            f"{fn.group(1).upper()}() reads MySQL server/session state "
+            "that has no Spark equivalent; remove it or inline a literal"
+        )
+    if _INTO_OUTFILE_RE.search(sql):
+        raise UnsupportedMySQLConstruct(
+            "SELECT ... INTO OUTFILE/DUMPFILE writes the MySQL server's "
+            "local filesystem; use the pipeline's sink instead (the "
+            "result of the final SELECT is written for you)"
+        )
+    if _CALC_FOUND_ROWS_RE.search(sql):
+        raise UnsupportedMySQLConstruct(
+            "SQL_CALC_FOUND_ROWS exists only to feed FOUND_ROWS() session "
+            "state; run a separate COUNT(*) query instead"
+        )
+    if _CALL_RE.search(sql):
+        raise UnsupportedMySQLConstruct(
+            "CALL invokes a stored procedure; Spark has no stored "
+            "programs — inline the procedure body as a query"
+        )
+    sql = _INDEX_HINT_RE.sub("", sql)
+    sql = _SELECT_MODIFIER_RE.sub(r"\1", sql)
+    sql = _STRAIGHT_JOIN_RE.sub("JOIN", sql)
+    sql = _PIPE_OR_RE.sub(" OR ", sql)
+    sql = _AMP_AND_RE.sub(" AND ", sql)
+    sql = _CURDATE_RE.sub("CURRENT_DATE", sql)
+    sql = _CURTIME_RE.sub("DATE_FORMAT(CURRENT_TIMESTAMP, 'HH:mm:ss')", sql)
+    sql = _SYSDATE_RE.sub("CURRENT_TIMESTAMP", sql)
     sql = _LIMIT_OFFSET_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
 
     def _iv(m: re.Match) -> str:
@@ -222,3 +322,58 @@ def mysql_to_spark_sql(sql: str) -> str:
         return f"concat_ws('{sep}', sort_array({collect}({expr})))"
 
     return _unmask(_GROUP_CONCAT_RE.sub(_gc, sql), slots)
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a .sql file into its ';'-terminated statements, ignoring
+    semicolons inside string literals and comments (real analyst files
+    often carry a USE/SET preamble before the SELECT). Parts containing
+    only comments/whitespace are dropped — they aren't statements."""
+    masked, slots = _mask_literals(sql)
+    out = []
+    for part in masked.split(";"):
+        # blank once comment slots are removed => not a statement
+        without_comments = re.sub(
+            r"\x00(\d+)\x00",
+            lambda m: "" if slots[int(m.group(1))][0] in "-#/" else m.group(0),
+            part,
+        )
+        if without_comments.strip():
+            out.append(_unmask(part, slots).strip())
+    return out
+
+
+def mysql_file_to_spark_sql(sql: str) -> str:
+    """Translate a whole analyst .sql FILE: tolerate a cosmetic preamble
+    (``USE db;`` / ``SET NAMES ...;`` — no-ops against the Spark catalog),
+    then translate the single result-producing statement.
+
+    Multiple result statements reject (the pipeline writes ONE sheet per
+    file — the reference's contract, loader.py:152) and stateful SETs
+    (time_zone, sql_mode, @vars) reject rather than silently changing
+    results. Each rejection message names the offending statement so the
+    per-file error log (runner.py sql_error) is actionable."""
+    stmts = split_statements(sql)
+    if not stmts:
+        raise UnsupportedMySQLConstruct("file contains no SQL statements")
+    body = [s for s in stmts if not _IGNORABLE_STMT_RE.match(s)]
+    if not body:
+        raise UnsupportedMySQLConstruct(
+            "file contains only USE/SET preamble statements and no query"
+        )
+    for s in body:
+        if re.match(r"^\s*SET\b", s, re.IGNORECASE):
+            raise UnsupportedMySQLConstruct(
+                f"stateful SET statement {' '.join(s.split())[:60]!r} "
+                "would change result semantics (time_zone/sql_mode/@vars "
+                "are MySQL session state); inline the intended behavior "
+                "into the query"
+            )
+    if len(body) > 1:
+        head = " ".join(body[0].split())[:60]
+        raise UnsupportedMySQLConstruct(
+            f"file contains {len(body)} result statements (first: "
+            f"{head!r}...); the pipeline writes one result per file — "
+            "split it into one file per statement"
+        )
+    return mysql_to_spark_sql(body[0])

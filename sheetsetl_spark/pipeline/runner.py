@@ -137,10 +137,14 @@ class SqlFolderPipeline:
             sql = qf.sql
             if self.dialect == "mysql":
                 # analysts' MySQL files run unmodified (the reference ships
-                # them verbatim to MySQL, loader.py:231)
-                from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+                # them verbatim to MySQL, loader.py:231); file-level entry
+                # tolerates USE/SET NAMES preambles and rejects stateful
+                # constructs with an actionable message
+                from sheetsetl_spark.functions.mysql_compat import (
+                    mysql_file_to_spark_sql,
+                )
 
-                sql = mysql_to_spark_sql(sql)
+                sql = mysql_file_to_spark_sql(sql)
             df = self.spark.sql(sql)
         except Exception as exc:  # parse/analysis error -> skip file (loader.py:232-234)
             logger.exception("SQL error in %s", qf.name)

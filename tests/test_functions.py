@@ -176,3 +176,90 @@ def test_translator_nested_first_arg():
     )
     assert "DATE_FORMAT(CAST(o_orderdate AS DATE), 'yyyy-MM-dd')" in out
     assert "(TO_TIMESTAMP('1995-01-01', 'yyyy-MM-dd') + INTERVAL 3 MONTH)" in out
+
+
+# --- round-5 translator widening ------------------------------------------
+
+
+def test_split_statements_respects_literals_and_comments():
+    from sheetsetl_spark.functions.mysql_compat import split_statements
+
+    stmts = split_statements(
+        "USE db;\n-- c1; not a split\nSELECT 'a;b' AS x; \nSELECT 2;"
+    )
+    assert len(stmts) == 3
+    assert stmts[0] == "USE db"
+    assert "'a;b'" in stmts[1]
+
+
+def test_file_translation_tolerates_preamble():
+    from sheetsetl_spark.functions.mysql_compat import mysql_file_to_spark_sql
+
+    out = mysql_file_to_spark_sql(
+        "USE analytics;\nSET NAMES utf8mb4;\nSELECT 1 AS one;"
+    )
+    assert out.strip() == "SELECT 1 AS one"
+
+
+def test_file_translation_rejects_stateful_and_multi():
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_file_to_spark_sql,
+    )
+    import pytest
+
+    with pytest.raises(UnsupportedMySQLConstruct, match="time_zone"):
+        mysql_file_to_spark_sql("SET time_zone='+00:00'; SELECT 1")
+    with pytest.raises(UnsupportedMySQLConstruct, match="2 result statements"):
+        mysql_file_to_spark_sql("SELECT 1; SELECT 2")
+    with pytest.raises(UnsupportedMySQLConstruct, match="no SQL statements"):
+        mysql_file_to_spark_sql("  -- only a comment\n")
+
+
+def test_hints_modifiers_and_logical_ops_rewrite():
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    out = mysql_to_spark_sql(
+        "SELECT SQL_NO_CACHE STRAIGHT_JOIN a FROM t USE INDEX (i1) "
+        "STRAIGHT_JOIN u IGNORE INDEX FOR JOIN (i2) ON t.k = u.k "
+        "WHERE a = 1 || b = 2 && c = 'x || y'"
+    )
+    assert "SQL_NO_CACHE" not in out and "STRAIGHT_JOIN" not in out
+    assert "INDEX" not in out
+    squeezed = " ".join(out.split())
+    assert " OR b" in squeezed and " AND c" in squeezed
+    assert "'x || y'" in out  # literals untouched
+
+
+def test_server_state_functions_reject():
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_to_spark_sql,
+    )
+    import pytest
+
+    for frag, name in [
+        ("SELECT DATABASE()", "DATABASE"),
+        ("SELECT VERSION()", "VERSION"),
+        ("SELECT SLEEP(5)", "SLEEP"),
+        ("SELECT LAST_INSERT_ID()", "LAST_INSERT_ID"),
+    ]:
+        with pytest.raises(UnsupportedMySQLConstruct, match=name):
+            mysql_to_spark_sql(frag)
+    # ...but a literal mentioning one is fine
+    assert "VERSION()" in mysql_to_spark_sql("SELECT 'VERSION() is neat' AS s")
+
+
+def test_now_family_and_hash_comments_rewrite():
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    out = mysql_to_spark_sql("SELECT CURDATE() AS d, SYSDATE() AS ts # trailing")
+    assert "CURRENT_DATE" in out and "CURRENT_TIMESTAMP" in out
+    assert "#" not in out and "-- trailing" in out
+
+
+def test_backslash_escaped_strings_are_masked():
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    s = "SELECT * FROM t WHERE note = 'it\\'s got LIMIT 1, 2 inside'"
+    assert mysql_to_spark_sql(s) == s

@@ -384,6 +384,74 @@ _ANALYST_ORACLES = {
         FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
         ORDER BY ym LIMIT 10 OFFSET 5
     """,
+    # --- round-5 corpus widening: the idioms a real MySQL analyst folder
+    # carries (preambles, hints, logical ||/&&, escapes, WITH ROLLUP...)
+    "preamble_segment_counts": """
+        SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+               CASE WHEN COUNT(*) > 100 THEN 'big' ELSE 'small' END AS size_class
+        FROM customer GROUP BY c_mktsegment ORDER BY segment
+    """,
+    "hinted_join": """
+        SELECT o.o_orderstatus, COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 0
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    "logical_ops": """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O') AND o_totalprice > 1000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "escaped_strings": """
+        SELECT COUNT(*) AS n_docs FROM documents
+        WHERE text NOT LIKE 'it''s a trap -- LIMIT 1, 2%'
+    """,
+    "backlog_today": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders WHERE o_orderdate <= CURRENT_DATE
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "no_cache_summary": """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "double_quoted": """
+        SELECT c_nationkey, COUNT(*) AS n
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "date_math": """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-06-01' - INTERVAL 90 DAY
+          AND o_orderdate < TIMESTAMP '1996-06-01' + INTERVAL 1 WEEK
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "null_safe": """
+        SELECT COUNT(*) AS n_building FROM customer
+        WHERE c_mktsegment IS NOT DISTINCT FROM 'BUILDING'
+    """,
+    "name_suffixes": """
+        SELECT list_extract(string_split(c_name, '#'), -1) AS name_suffix,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY 1 ORDER BY name_suffix LIMIT 10
+    """,
+    "status_rollup": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    "nation_customer_counts": """
+        SELECT n_name, COALESCE(t.n_cust, 0) AS n_customers
+        FROM nation
+        LEFT JOIN (SELECT c_nationkey, COUNT(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey) t
+          ON n_nationkey = t.c_nationkey
+        ORDER BY n_name
+    """,
 }
 
 
@@ -406,6 +474,42 @@ def test_analyst_corpus_mysql_dialect_matches_oracle(spark, tmp_path):
     assert [r.status for r in report.results] == ["ok"] * len(_ANALYST_ORACLES)
     for name, oracle in _ANALYST_ORACLES.items():
         compare(spark.read.parquet(sink.path_for(name)), oracle, SF_SMALL)
+
+
+# Every file in examples/analyst_sql_rejects carries a construct whose
+# MySQL semantics Spark cannot faithfully reproduce: the pipeline must
+# record sql_error (never a silently-different answer, never an abort)
+# with a message naming the offending construct — the reference's
+# per-file error-isolation contract (loader.py:232-234) with BETTER
+# errors than the raw MySQL syntax error it logs.
+_REJECT_REASONS = {
+    "seeded_rand": "RAND(seed)",
+    "user_var": "@total_orders",
+    "set_timezone": "time_zone",
+    "two_selects": "2 result statements",
+    "outfile": "INTO OUTFILE",
+    "server_state": "DATABASE()",
+    "call_proc": "stored procedure",
+    "calc_found_rows": "SQL_CALC_FOUND_ROWS",
+}
+
+
+def test_analyst_corpus_rejects_are_actionable(spark, tmp_path):
+    sink = ParquetDirSink(str(tmp_path / "rejects_out"))
+    report = SqlFolderPipeline(
+        spark,
+        "examples/analyst_sql_rejects",
+        sink,
+        setup=lambda s: register_views(s, SF_SMALL),
+        dialect="mysql",
+    ).run()
+    assert sorted(r.name for r in report.results) == sorted(_REJECT_REASONS)
+    for res in report.results:
+        assert res.status == "sql_error", (res.name, res.status)
+        assert _REJECT_REASONS[res.name] in (res.error or ""), (
+            res.name,
+            res.error,
+        )
 
 
 class _RacingDrive(FakeDrive):
