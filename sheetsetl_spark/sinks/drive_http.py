@@ -1,0 +1,138 @@
+"""Concrete :class:`~sheetsetl_spark.sinks.sheets.DriveClient` speaking
+the Google Drive v3 WIRE protocol over stdlib ``urllib`` — no SDK, no
+external deps.
+
+The reference drives the same protocol through googleapiclient
+(/root/reference/src/loader.py:112-122 paged listing, :153-183 resumable
+media upload); this adapter reproduces the actual HTTP shapes so the
+sink's upsert logic is exercised against real requests/responses, not
+just the in-process fake:
+
+- ``files.list``: ``GET {base}/drive/v3/files?q='<folder>' in parents
+  and trashed=false`` with ``pageToken`` paging -> JSON
+  ``{"files": [...], "nextPageToken": ...}``;
+- resumable upload session: ``POST {base}/upload/drive/v3/files
+  ?uploadType=resumable`` (create) / ``PATCH .../files/{id}`` (update)
+  with the JSON metadata body -> ``Location`` header = session URI;
+- chunk: ``PUT <session>`` with ``Content-Range: bytes a-b/total``;
+  ``308 Resume Incomplete`` (+ ``Range`` header) while in progress,
+  ``200/201`` with the file JSON when done; HTTP 5xx and short-write
+  308s surface as :class:`TransientUploadError` so the sink re-sends
+  the SAME chunk — the documented resumable-session recovery.
+
+Tests run this against a local fake Drive HTTP server
+(tests/test_drive_http.py) — same wire shapes, no credentials. Against
+real Google infrastructure you would pass ``base_url=
+"https://www.googleapis.com"`` and a live OAuth bearer token (the
+reference's own token bootstrap is equally environment-dependent,
+loader.py:78-102).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any
+
+from sheetsetl_spark.sinks.sheets import TransientUploadError
+
+_LIST_FIELDS = "nextPageToken, files(id, name, mimeType)"
+
+
+class HttpDriveClient:
+    """DriveClient over plain HTTP. ``base_url`` has no trailing slash;
+    ``token`` becomes the Bearer Authorization header."""
+
+    def __init__(self, base_url: str, token: str = "", timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self.token = token
+        self.timeout = timeout
+
+    # -- plumbing ----------------------------------------------------------
+    def _headers(self, extra: dict[str, str] | None = None) -> dict[str, str]:
+        h = {"Authorization": f"Bearer {self.token}"} if self.token else {}
+        h.update(extra or {})
+        return h
+
+    def _request(
+        self,
+        method: str,
+        url: str,
+        body: bytes | None = None,
+        headers: dict[str, str] | None = None,
+    ):
+        req = urllib.request.Request(
+            url, data=body, headers=self._headers(headers), method=method
+        )
+        return urllib.request.urlopen(req, timeout=self.timeout)
+
+    # -- DriveClient surface ----------------------------------------------
+    def list_files(
+        self, folder_id: str, page_token: str | None = None
+    ) -> tuple[list[dict[str, Any]], str | None]:
+        params = {
+            "q": f"'{folder_id}' in parents and trashed=false",
+            "fields": _LIST_FIELDS,
+        }
+        if page_token:
+            params["pageToken"] = page_token
+        url = f"{self.base_url}/drive/v3/files?{urllib.parse.urlencode(params)}"
+        with self._request("GET", url) as resp:
+            payload = json.loads(resp.read().decode())
+        return payload.get("files", []), payload.get("nextPageToken")
+
+    def start_upload(self, metadata: dict[str, Any], file_id: str | None = None) -> str:
+        if file_id is None:
+            method = "POST"
+            url = f"{self.base_url}/upload/drive/v3/files?uploadType=resumable"
+        else:
+            method = "PATCH"
+            url = f"{self.base_url}/upload/drive/v3/files/{file_id}?uploadType=resumable"
+        body = json.dumps(metadata).encode()
+        with self._request(
+            method, url, body, {"Content-Type": "application/json; charset=UTF-8"}
+        ) as resp:
+            session_uri = resp.headers.get("Location")
+        if not session_uri:
+            raise TransientUploadError("resumable session: no Location header")
+        return session_uri
+
+    def upload_chunk(
+        self, session: str, chunk: bytes, offset: int, total: int
+    ) -> str | None:
+        end = offset + len(chunk) - 1
+        headers = {
+            "Content-Type": "text/csv",
+            "Content-Range": f"bytes {offset}-{end}/{total}",
+        }
+        try:
+            resp = self._request("PUT", session, chunk, headers)
+        except urllib.error.HTTPError as e:
+            if e.code == 308:
+                # Resume Incomplete: the server acknowledges received
+                # bytes in the Range header. A short write (server holds
+                # fewer bytes than we sent) is retryable — surface it so
+                # the sink re-sends the same chunk against the session.
+                received = _range_end(e.headers.get("Range"))
+                if received < end:
+                    raise TransientUploadError(
+                        f"server holds bytes through {received}, sent through {end}"
+                    ) from None
+                return None  # chunk fully received, upload continues
+            if 500 <= e.code < 600:
+                raise TransientUploadError(f"HTTP {e.code}") from None
+            raise
+        with resp:
+            return json.loads(resp.read().decode()).get("id")
+
+
+def _range_end(range_header: str | None) -> int:
+    """'bytes=0-1234' -> 1234; absent/malformed -> -1 (nothing stored)."""
+    if not range_header or "-" not in range_header:
+        return -1
+    try:
+        return int(range_header.rsplit("-", 1)[1])
+    except ValueError:
+        return -1
