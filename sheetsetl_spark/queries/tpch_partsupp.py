@@ -1,0 +1,152 @@
+"""Canonical-form TPC-H partsupp queries (Q2/Q9/Q11/Q16/Q20) over a
+DETERMINISTIC synthesized partsupp — the r4 verdict's last fidelity gap.
+
+The driver fixture set has no partsupp.parquet and the driver's DuckDB
+views don't include one, so these queries are LOCAL-GATED: they are NOT
+registered in the driver registry (``queries()``/``oracle_sql()``); the
+registry keeps the documented partsupp-free adaptations
+(queries/tpch.py x31-x35, COVERAGE.md adaptation table). Locally,
+tests/test_tpch_partsupp.py proves each canonical form oracle-green.
+
+Design: ``PARTSUPP_SQL`` derives partsupp from part x supplier with pure
+integer arithmetic — 4 suppliers per part (``(p_partkey + i) % |S|``,
+matching the fixture's 0-based s_suppkey), hash-ish availqty/supplycost
+— so the SAME SQL text is a deterministic pure function of the fixtures
+in BOTH engines. Every query below is single-text engine-portable SQL:
+Spark and DuckDB run the identical string, which makes the oracle
+comparison a true cross-engine check with zero translation surface.
+Float discipline follows the registry contract
+(queries/__init__.py): decimal accumulation, doubles emitted only after
+exact sums.
+
+Canonical structure, fixture-adapted literals: the substitution
+parameters (region, brand, size list, date window) and the columns the
+fixture schema lacks (p_mfgr, s_address, s_phone, comments) are adapted;
+the partsupp join/correlated-subquery SHAPES — what Q2/Q9/Q11/Q16/Q20
+actually exercise — are canonical.
+
+Reference parity: the reference would ship these verbatim to MySQL
+(/root/reference/src/loader.py:231); they are the heaviest analyst-SQL
+shapes its users could write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sheetsetl_spark.catalog import register_views
+
+#: Deterministic partsupp derivation — engine-portable SQL, usable as a
+#: CTE body in both Spark and DuckDB. 800 rows at sf0.001 (200 parts x 4),
+#: (ps_partkey, ps_suppkey) unique, supplycost in [1.00, 1000.99] with
+#: exactly 2 decimals, availqty in [1, 9999].
+PARTSUPP_SQL = """
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey + t.i) % sc.scount AS BIGINT) AS ps_suppkey,
+         CAST((p_partkey * 7 + t.i * 131) % 9999 + 1 AS INT) AS ps_availqty,
+         CAST((p_partkey * 31 + t.i * 17) % 99900 + 100 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM part
+  CROSS JOIN (SELECT COUNT(*) AS scount FROM supplier) AS sc
+  CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)
+"""
+
+
+def _with_partsupp(body: str) -> str:
+    return f"WITH partsupp AS ({PARTSUPP_SQL})\n{body}"
+
+
+#: name -> engine-portable SQL (the SAME text runs on Spark and DuckDB).
+CANONICAL_SQL: dict[str, str] = {
+    # Q2: minimum-cost supplier — the correlated MIN over partsupp
+    "q2_min_cost_supplier": _with_partsupp("""
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size <= 15 AND p_type IN ('STANDARD', 'ECONOMY')
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+                       FROM partsupp ps2, supplier s2, nation n2, region r2
+                       WHERE part.p_partkey = ps2.ps_partkey
+                         AND s2.s_suppkey = ps2.ps_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'EUROPE')
+"""),
+    # Q9: product-type profit — ps_supplycost enters the profit expression
+    "q9_product_profit": _with_partsupp("""
+, profit AS (
+  SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity
+              AS DECIMAL(38,6)) AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%blue%')
+SELECT nation, CAST(o_year AS INT) AS o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM profit GROUP BY nation, o_year
+"""),
+    # Q11: important stock — partsupp value vs a fraction of the total
+    "q11_important_stock": _with_partsupp("""
+SELECT ps_partkey,
+       CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)))
+            AS DOUBLE) AS stock_value
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+GROUP BY ps_partkey
+HAVING CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)))
+            AS DOUBLE) >
+  (SELECT CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)))
+               AS DOUBLE) * 0.01
+   FROM partsupp, supplier, nation
+   WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+     AND n_name = 'NATION_3')
+"""),
+    # Q16: supplier-part counts — COUNT(DISTINCT ps_suppkey) with the
+    # NOT IN excluded-supplier subquery (s_acctbal < 0 stands in for the
+    # fixture-absent 'Customer Complaints' comment filter)
+    "q16_supplier_part_counts": _with_partsupp("""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 15, 22, 30, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""),
+    # Q20: part promotion — availqty vs half the shipped quantity, the
+    # doubly-nested correlated subquery
+    "q20_part_promotion": _with_partsupp("""
+SELECT s_name, s_suppkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND ps_availqty > (SELECT CAST(0.5 * SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                                   AS DOUBLE)
+                       FROM lineitem
+                       WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                         AND l_shipdate >= TIMESTAMP '1995-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-01-01'))
+  AND s_nationkey = n_nationkey
+"""),
+}
+
+
+def run_canonical(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Run one canonical query against the parquet fixtures (views are
+    (re)registered from ``sf_dir``; partsupp derives in the CTE)."""
+    register_views(spark, sf_dir)
+    return spark.sql(CANONICAL_SQL[name])
+
+
+def write_partsupp_parquet(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Materialize the synthesized partsupp as parquet (for callers that
+    want a physical table, e.g. a local catalog extension)."""
+    register_views(spark, sf_dir)
+    spark.sql(PARTSUPP_SQL).write.mode("overwrite").parquet(out_path)
