@@ -34,6 +34,7 @@ import json
 import urllib.error
 import urllib.parse
 import urllib.request
+from collections.abc import Callable
 from typing import Any
 
 from sheetsetl_spark.sinks.sheets import TransientUploadError
@@ -43,16 +44,30 @@ _LIST_FIELDS = "nextPageToken, files(id, name, mimeType)"
 
 class HttpDriveClient:
     """DriveClient over plain HTTP. ``base_url`` has no trailing slash;
-    ``token`` becomes the Bearer Authorization header."""
+    ``token`` is either a static bearer string or a zero-arg callable
+    returning one (e.g. :class:`~sheetsetl_spark.sinks.auth.
+    OAuthTokenProvider` — the A11 credential bootstrap). With a callable
+    provider, a 401 triggers one forced refresh + retry: the
+    expired-mid-run recovery oauth2client performs inside its http
+    wrapper (reference loader.py:78-102 context)."""
 
-    def __init__(self, base_url: str, token: str = "", timeout: float = 30.0):
+    def __init__(
+        self,
+        base_url: str,
+        token: str | Callable[[], str] = "",
+        timeout: float = 30.0,
+    ):
         self.base_url = base_url.rstrip("/")
         self.token = token
         self.timeout = timeout
 
     # -- plumbing ----------------------------------------------------------
+    def _bearer(self) -> str:
+        return self.token() if callable(self.token) else self.token
+
     def _headers(self, extra: dict[str, str] | None = None) -> dict[str, str]:
-        h = {"Authorization": f"Bearer {self.token}"} if self.token else {}
+        bearer = self._bearer()
+        h = {"Authorization": f"Bearer {bearer}"} if bearer else {}
         h.update(extra or {})
         return h
 
@@ -63,10 +78,20 @@ class HttpDriveClient:
         body: bytes | None = None,
         headers: dict[str, str] | None = None,
     ):
-        req = urllib.request.Request(
-            url, data=body, headers=self._headers(headers), method=method
-        )
-        return urllib.request.urlopen(req, timeout=self.timeout)
+        try:
+            req = urllib.request.Request(
+                url, data=body, headers=self._headers(headers), method=method
+            )
+            return urllib.request.urlopen(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:
+            force = getattr(self.token, "force_refresh", None)
+            if e.code == 401 and callable(force):
+                force()  # stale access token: refresh once and retry
+                req = urllib.request.Request(
+                    url, data=body, headers=self._headers(headers), method=method
+                )
+                return urllib.request.urlopen(req, timeout=self.timeout)
+            raise
 
     # -- DriveClient surface ----------------------------------------------
     def list_files(

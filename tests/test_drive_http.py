@@ -239,3 +239,130 @@ def test_308_short_write_resends_chunk(spark, fake_drive):
     (payload,) = state.payloads.values()
     # 5 region rows + header, intact despite the mid-upload short write
     assert len(payload.decode().splitlines()) == 6
+
+
+# --- A11: OAuth credential bootstrap over the same fake server -------------
+
+
+class _TokenHandler(BaseHTTPRequestHandler):
+    """Fake OAuth token endpoint + a bearer-checked echo API."""
+
+    state: dict
+
+    def log_message(self, *a):
+        pass
+
+    def _json(self, code, obj, headers=None):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        if urllib.parse.urlparse(self.path).path != "/token":
+            return self._json(404, {})
+        n = int(self.headers.get("Content-Length", 0))
+        form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+        self.state["token_requests"].append(form)
+        if form.get("grant_type") != ["refresh_token"]:
+            return self._json(400, {"error": "unsupported_grant_type"})
+        if form.get("refresh_token") != [self.state["refresh_token"]]:
+            return self._json(400, {"error": "invalid_grant"})
+        self.state["serial"] += 1
+        tok = f"access-{self.state['serial']}"
+        self.state["valid_tokens"].add(tok)
+        self._json(200, {"access_token": tok, "expires_in": 3600})
+
+    def do_GET(self):
+        auth = self.headers.get("Authorization", "")
+        tok = auth.removeprefix("Bearer ")
+        if tok not in self.state["valid_tokens"]:
+            return self._json(401, {"error": "invalid_credentials"})
+        self._json(200, {"files": [], "ok": True})
+
+
+@pytest.fixture()
+def token_server():
+    state = {
+        "refresh_token": "refresh-1",
+        "valid_tokens": set(),
+        "serial": 0,
+        "token_requests": [],
+    }
+    handler = type("T", (_TokenHandler,), {"state": state})
+    server = HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield state, f"http://127.0.0.1:{server.server_port}"
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def _provider(tmp_path, base, expiry=0.0, access="stale", refresh="refresh-1"):
+    from sheetsetl_spark.sinks.auth import (
+        Credentials,
+        FileTokenStore,
+        OAuthTokenProvider,
+    )
+
+    store = FileTokenStore(str(tmp_path / "creds" / "sheets-etl.json"))
+    if access is not None:
+        store.put(Credentials(access, refresh, expiry))
+    return store, OAuthTokenProvider(
+        store, f"{base}/token", "cid", "csecret", consent_url=f"{base}/consent"
+    )
+
+
+def test_expired_token_refreshes_and_persists(tmp_path, token_server):
+    state, base = token_server
+    store, provider = _provider(tmp_path, base, expiry=0.0)
+    tok = provider()
+    assert tok == "access-1" and tok in state["valid_tokens"]
+    # the refreshed credential was persisted: a NEW provider over the same
+    # store uses it without another token-endpoint round trip
+    n_before = len(state["token_requests"])
+    _, provider2 = _provider(tmp_path, base, access=None)
+    assert provider2() == "access-1"
+    assert len(state["token_requests"]) == n_before
+
+
+def test_valid_token_skips_endpoint(tmp_path, token_server):
+    import time
+
+    state, base = token_server
+    _, provider = _provider(tmp_path, base, expiry=time.time() + 3600, access="good")
+    assert provider() == "good"
+    assert state["token_requests"] == []
+
+
+def test_missing_credential_requires_consent(tmp_path, token_server):
+    from sheetsetl_spark.sinks.auth import InteractiveConsentRequired
+
+    _, base = token_server
+    _, provider = _provider(tmp_path, base, access=None)
+    with pytest.raises(InteractiveConsentRequired, match="/consent"):
+        provider()
+    # expired AND no refresh token -> same consent contract
+    _, provider = _provider(tmp_path, base, expiry=0.0, refresh="")
+    with pytest.raises(InteractiveConsentRequired):
+        provider()
+
+
+def test_401_forces_refresh_and_retries(tmp_path, token_server):
+    """A locally-'valid' token the server rejects (revoked/clock skew):
+    the client must refresh once through the provider and retry — the
+    oauth2client-wrapper recovery, now visible on the wire."""
+    import time
+
+    state, base = token_server
+    # expiry says valid, but the server doesn't know this token
+    _, provider = _provider(tmp_path, base, expiry=time.time() + 3600, access="revoked")
+    client = HttpDriveClient(base, token=provider)
+    files, next_token = client.list_files("folder1")
+    assert files == [] and next_token is None
+    assert len(state["token_requests"]) == 1  # exactly one forced refresh
