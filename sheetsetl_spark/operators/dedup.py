@@ -1096,3 +1096,80 @@ def incremental_neardup_filter_sig(
         .distinct()
     )
     return new_docs.join(dups, id_col, "left_anti")
+
+
+def duplicated_passages(
+    docs: DataFrame,
+    min_len: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """C2: MAXIMAL duplicated-passage extraction — the relational form of
+    exact-substring dedup (the suffix-array construction of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every token span of length >= ``min_len`` occurring in >= ``min_docs``
+    distinct documents is duplicated, and overlapping/adjacent duplicated
+    windows merge into their MAXIMAL span — the exact byte ranges an
+    exact-substring deduper would cut, not just a per-source ratio
+    (that cheaper rollup is ``c40_repeated_ngram_spans``).
+
+    Output: (doc_id, start_pos, end_pos, n_tokens) with 1-based inclusive
+    token positions.
+
+    Plan shape at 100 TB: one corpus scan builds the positioned
+    ``min_len``-gram stream (Catalyst sequence/transform/slice lambdas,
+    no Python); gram -> distinct-doc-count is one map-side-combined
+    shuffle (this index IS the dedup structure — same posture as the
+    minhash band table, never an all-pairs stage); the island merge
+    (pos - row_number) runs in a PER-DOCUMENT window, bounded by document
+    length. ``max_gram_df`` additionally drops degenerate boilerplate
+    grams (license headers) via the standard hot-list anti-join before
+    they fan out.
+    """
+    # tokenize ONCE into a projected column: referencing split(text)
+    # inside the slice lambda re-splits the document per window position
+    # (the measured 3.7x shingles lesson above)
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    w = F.col("__w")
+    # sequence(a, b) counts DOWN when b < a — short docs get no windows
+    idx = F.when(
+        F.size(w) >= min_len, F.sequence(F.lit(1), F.size(w) - (min_len - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.array_join(F.slice(w, i, min_len), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.pos", "g.gram")
+    if max_gram_df:
+        grams = _drop_hot_keys(grams, ["gram"], max_gram_df)
+    gd = grams.groupBy("gram").agg(F.countDistinct(id_col).alias("gdocs"))
+    dup = (
+        grams.join(gd.filter(F.col("gdocs") >= min_docs), "gram")
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands per document: consecutive duplicated window starts
+    # share (pos - row_number); each island covers [min_pos, max_pos+L-1]
+    wseq = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        dup.withColumn("__isl", F.col("pos") - F.row_number().over(wseq))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + (min_len - 1)).alias("end_pos"),
+        )
+    )
+    return spans.select(
+        id_col,
+        F.col("start_pos").cast("int").alias("start_pos"),
+        F.col("end_pos").cast("int").alias("end_pos"),
+        (F.col("end_pos") - F.col("start_pos") + 1).cast("int").alias("n_tokens"),
+    )

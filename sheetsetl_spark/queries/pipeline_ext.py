@@ -407,3 +407,79 @@ def c43_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         docs, threshold=0.62, n=3, max_shingle_df=1000
     )
+
+
+@query(
+    "c45_duplicated_passages",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 4)) AS i) u
+    ),
+    gd AS (SELECT gram FROM grams GROUP BY gram
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, pos FROM grams JOIN gd USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM dup
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INT) AS start_pos,
+           CAST(MAX(pos) + 4 AS INT) AS end_pos,
+           CAST(MAX(pos) + 4 - MIN(pos) + 1 AS INT) AS n_tokens
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def c45_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (exact-substring tier): MAXIMAL duplicated-passage spans — the
+    token ranges an exact-substring deduper (Lee et al. 2022 suffix-array
+    construction) would cut: every 5-token window shared by >= 2 distinct
+    docs, with overlapping windows merged per doc into maximal islands
+    (operators/dedup.py::duplicated_passages). The gram->doc-count index
+    is the only corpus-wide shuffle; island merging is a per-document
+    window. Complements c40 (which reports per-source ratios; this
+    returns the spans themselves)."""
+    from sheetsetl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_passages(docs, min_len=5, min_docs=2)
+
+
+@query(
+    "c46_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+                 embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv)))
+               AS sim
+      FROM c, q WHERE q.query_id <> c.neighbor_id AND q.qlabel <> c.clabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS neg_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_rank,
+           FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM ranked WHERE neg_rank <= 5
+    """,
+)
+def c46_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (training-data tier): hard-negative mining — for each of 8
+    query vectors, the top-5 most-cosine-similar vectors with a DIFFERENT
+    label (operators/similarity.py::hard_negatives): the maximally
+    confusable negatives contrastive training needs. Broadcast query set
+    x streamed corpus, per-query keyed window; the label-mismatch filter
+    rides the scored projection for free."""
+    from sheetsetl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)

@@ -981,3 +981,61 @@ def test_cache_scope_bounds_operator_caches(spark):
     pairs.count()
     assert not cm.isEmpty()
     spark.catalog.clearCache()
+
+
+def test_duplicated_passages_maximal_spans(spark):
+    from sheetsetl_spark.operators.dedup import duplicated_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # shares a..f with doc 2
+            (2, "x x a b c d e f y"),        # the shared run sits at 3..8
+            (3, "p q r s t u v w"),          # no cross-doc 5-gram
+            (4, "a b c d e z z z m n o p q"),  # only the first window dups
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_pos"], r["end_pos"], r["n_tokens"])
+        for r in duplicated_passages(docs, min_len=5, min_docs=2).collect()
+    }
+    # doc1: windows 1,2 duplicated -> island [1, 6]; doc2: windows 3,4 ->
+    # [3, 8]; doc4: only window 1 ("a b c d e") -> [1, 5]; doc3: nothing
+    assert got == {(1, 1, 6, 6), (2, 3, 8, 6), (4, 1, 5, 5)}
+
+
+def test_duplicated_passages_separate_islands(spark):
+    from sheetsetl_spark.operators.dedup import duplicated_passages
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e GAP1 GAP2 v w x y z"),
+            (2, "a b c d e OTHER v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["start_pos"], r["end_pos"])
+        for r in duplicated_passages(docs, min_len=5, min_docs=2).collect()
+    )
+    # two distinct duplicated regions per doc -> two islands each
+    assert got == [(1, 1, 5), (1, 8, 12), (2, 1, 5), (2, 7, 11)]
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from sheetsetl_spark.operators.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, "A", [1.0, 0.0]),
+            (1, "A", [0.999, 0.01]),   # nearest overall but SAME label
+            (2, "B", [0.9, 0.1]),      # nearest different-label
+            (3, "B", [0.0, 1.0]),      # orthogonal
+            (4, "C", [0.8, 0.2]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = hard_negatives(emb, emb.filter("vec_id = 0"), k=2).collect()
+    ranked = [(r["neighbor_id"], r["neg_rank"]) for r in sorted(out, key=lambda r: r["neg_rank"])]
+    assert ranked == [(2, 1), (4, 2)]  # 1 excluded despite highest sim
+    assert all(r["query_id"] == 0 for r in out)
