@@ -88,3 +88,23 @@ def test_bm25_topk_is_take_ordered(spark):
     # no unpartitioned-Window funnel: the only acceptable
     # SinglePartition narrowing is the TakeOrdered driver merge itself
     assert "Window" not in plan, plan
+
+
+def test_duplicated_passages_no_python_and_keyed_windows(spark):
+    """c45 is Catalyst-only (lambda gram windows, no UDF) and its only
+    Window is PER-DOCUMENT — no unpartitioned data window anywhere."""
+    df = QUERIES["c45_duplicated_passages"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    """c46 streams the corpus against a broadcast query set: the pair
+    stage must be a BroadcastNestedLoopJoin (no corpus-wide SortMergeJoin
+    for candidate generation)."""
+    df = QUERIES["c46_hard_negatives"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

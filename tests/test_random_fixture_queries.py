@@ -215,6 +215,8 @@ def test_documents_queries_on_random_fixtures(spark, docs):
     d = _write_dir({"documents": t})
     # c40 exercises docs SHORTER than the 5-gram width; c41 exercises
     # corpora with no 'en' target docs at all (importance NULL both sides)
+    # c45: short docs (< 5 tokens) and corpora with zero cross-doc 5-grams
+    # must yield empty span sets identically on both engines
     _check(
         spark,
         d,
@@ -223,6 +225,7 @@ def test_documents_queries_on_random_fixtures(spark, docs):
             "c40_repeated_ngram_spans",
             "c41_dsir_importance",
             "c44_langid_confusion",
+            "c45_duplicated_passages",
         ],
     )
 
