@@ -452,10 +452,21 @@ def embedding_neardup_pairs(
     )
     # ||v|| computed ONCE per vector here and carried through to the
     # verify stage — re-deriving dot(v,v) per candidate pair side would
-    # repeat that work candidate-many times.
-    norm = F.sqrt(
+    # repeat that work candidate-many times. Guarded: a NULL/zero-norm
+    # vector would make the verify cosine 0/0 = NaN, which sorts ABOVE
+    # every threshold in a desc comparison — fail loudly instead (the
+    # similarity.py::_checked_norm hazard class).
+    raw_norm = F.sqrt(
         F.aggregate(
             F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norm = F.when(raw_norm > 0, raw_norm).otherwise(
+        F.raise_error(
+            F.lit(
+                "embedding_neardup_pairs: NULL or zero-norm vector has no "
+                "direction; filter such rows out first"
+            )
         )
     )
     # Signature bits cost num_planes × dim multiply-adds per vector and

@@ -27,6 +27,26 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
+def _checked_norm(vec: str) -> Column:
+    """sqrt(<v,v>), failing LOUDLY on a NULL or all-zero vector.
+
+    A zero-norm vector has no direction: its cosine is 0/0 = NaN, and
+    Spark's descending sort ranks NaN FIRST — so one degenerate row
+    silently becomes every query's top "neighbor". Same hazard/fix class
+    as pca_moments' width guard (ADVICE r4): the raise_error rides the
+    projection, costing nothing on clean data and turning silent
+    corruption into an actionable failure."""
+    n = F.sqrt(_dot(vec, vec))
+    return F.when(n > 0, n).otherwise(
+        F.raise_error(
+            F.lit(
+                "cosine operators: NULL or zero-norm vector has no "
+                "direction; filter such rows out first"
+            )
+        )
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -44,11 +64,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
+    ).withColumn("qn", _checked_norm("qv"))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", F.sqrt(_dot("cv", "cv")))
+    ).withColumn("cn", _checked_norm("cv"))
     sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -108,7 +128,7 @@ def cosine_topk_ivf(
     # carried through every stage — never re-derived inside pair math.
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vn", F.sqrt(_dot("v", "v")))
+    ).withColumn("vn", _checked_norm("v"))
     cent = e.filter(F.col("vec_id") < num_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("vn").alias("cn")
     )
@@ -123,7 +143,7 @@ def cosine_topk_ivf(
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
+    ).withColumn("qn", _checked_norm("qv"))
     qsim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     w_probe = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
     probes = (
@@ -192,13 +212,32 @@ def cosine_topk_lsh(
         return df.select(
             F.col(id_col).alias(out),
             vec.alias(f"{out}_v"),
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(vec, vec, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+            F.when(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(vec, vec, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
                 )
-            ).alias(f"{out}_n"),
+                > 0,
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(vec, vec, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "cosine_topk_lsh: NULL or zero-norm vector has no "
+                        "direction; filter such rows out first"
+                    )
+                )
+            )
+            .alias(f"{out}_n"),
             F.concat_ws("", bits).alias(f"{out}_bits"),
         )
 
@@ -310,9 +349,7 @@ def cosine_topk_quantized(
         vec = F.col(vec_col).cast("array<double>")
         qv, _ = int8_quantize(vec)
         sel = df.select(F.col(id_col).alias(out), qv.alias(f"{out}_qv"))
-        return sel.withColumn(
-            f"{out}_qn", F.sqrt(_dot(f"{out}_qv", f"{out}_qv"))
-        )
+        return sel.withColumn(f"{out}_qn", _checked_norm(f"{out}_qv"))
 
     qs = q(queries, "query_id")
     c = q(embeddings, "neighbor_id")
@@ -431,12 +468,12 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("__qlabel"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", F.sqrt(_dot("qv", "qv")))
+    ).withColumn("qn", _checked_norm("qv"))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__clabel"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", F.sqrt(_dot("cv", "cv")))
+    ).withColumn("cn", _checked_norm("cv"))
     sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))

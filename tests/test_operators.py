@@ -1039,3 +1039,21 @@ def test_hard_negatives_excludes_same_label(spark):
     ranked = [(r["neighbor_id"], r["neg_rank"]) for r in sorted(out, key=lambda r: r["neg_rank"])]
     assert ranked == [(2, 1), (4, 2)]  # 1 excluded despite highest sim
     assert all(r["query_id"] == 0 for r in out)
+
+
+def test_cosine_operators_reject_zero_norm_vectors(spark):
+    """A zero-norm vector would silently rank as every query's top
+    neighbor (0/0 = NaN sorts first desc) — the operators must fail
+    loudly instead."""
+    import pytest
+
+    from sheetsetl_spark.operators.similarity import cosine_topk, hard_negatives
+
+    emb = spark.createDataFrame(
+        [(0, "A", [1.0, 0.0]), (1, "B", [0.0, 0.0]), (2, "B", [0.5, 0.5])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        cosine_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        hard_negatives(emb, emb.filter("vec_id = 0"), k=2).collect()
