@@ -483,3 +483,66 @@ def c46_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "c47_data_quality_report",
+    oracle="""
+    WITH checks AS (
+      SELECT 'not_null(o_orderkey)' AS check_name,
+             CAST((SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+                   FROM orders) AS BIGINT) AS violations
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0,1000000)',
+             CAST((SELECT COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0 OR o_totalprice > 1000000))
+                   FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'accepted_values(o_orderstatus)',
+             CAST((SELECT COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O', 'P'))
+                   FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'satisfies(positive_price)',
+             CAST((SELECT COUNT(*) FILTER (
+                     WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+                   FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(COALESCE((SELECT SUM(n) FROM (
+                     SELECT COUNT(*) AS n FROM orders
+                     GROUP BY o_orderkey HAVING COUNT(*) > 1)), 0) AS BIGINT)
+      UNION ALL
+      SELECT 'referential(o_custkey->c_custkey)',
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (
+                     SELECT c_custkey FROM customer
+                     WHERE c_custkey IS NOT NULL)) AS BIGINT)
+    )
+    SELECT check_name, violations = 0 AS passed, violations FROM checks
+    """,
+)
+def c47_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (Deequ-style unit tests for data)
+    over the orders feed: nullability, key uniqueness, value domains, a
+    custom predicate, and referential integrity against customer — the
+    publish-or-block verification step the reference pipeline lacks
+    (loader.py publishes whatever MySQL returns). All row-level checks
+    fold into ONE single-scan aggregate; uniqueness is one keyed agg;
+    referential integrity one anti-join
+    (operators/quality_checks.py::check_constraints)."""
+    from sheetsetl_spark.operators import quality_checks as qc
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return qc.check_constraints(
+        orders,
+        [
+            qc.not_null("o_orderkey"),
+            qc.in_range("o_totalprice", 0, 1_000_000),
+            qc.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            qc.satisfies("o_totalprice > 0", name="positive_price"),
+            qc.unique("o_orderkey"),
+            qc.referential("o_custkey", customer, "c_custkey"),
+        ],
+    )

@@ -1057,3 +1057,46 @@ def test_cosine_operators_reject_zero_norm_vectors(spark):
         cosine_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
     with pytest.raises(Exception, match="zero-norm"):
         hard_negatives(emb, emb.filter("vec_id = 0"), k=2).collect()
+
+
+def test_quality_checks_detect_violations(spark):
+    from sheetsetl_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "F"), (1, -5.0, "O"), (None, 2.0, "Z"), (3, None, "F")],
+        "k int, price double, status string",
+    )
+    dim = spark.createDataFrame([(1,), (3,)], "k int")
+    report = {
+        r["check_name"]: (r["passed"], r["violations"])
+        for r in qc.check_constraints(
+            df,
+            [
+                qc.not_null("k"),
+                qc.unique("k"),
+                qc.in_range("price", 0, 100),
+                qc.accepted_values("status", ["F", "O"]),
+                qc.satisfies("price > 0", name="positive_price"),
+                qc.referential("k", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(k)"] == (False, 1)
+    assert report["unique(k)"] == (False, 2)  # both rows of the dup pair
+    assert report["in_range(price,0,100)"] == (False, 1)  # -5; NULL exempt
+    assert report["accepted_values(status)"] == (False, 1)  # 'Z'
+    # -5 and the NULL price both fail the custom predicate
+    assert report["satisfies(positive_price)"] == (False, 2)
+    assert report["referential(k->k)"] == (True, 0)  # nulls exempt, 1/3 exist
+
+
+def test_quality_checks_all_green_and_empty_list(spark):
+    import pytest
+
+    from sheetsetl_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    rows = qc.check_constraints(df, [qc.not_null("k"), qc.unique("k")]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rows)
+    with pytest.raises(ValueError, match="empty constraint"):
+        qc.check_constraints(df, [])
