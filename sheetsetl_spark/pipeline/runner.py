@@ -41,10 +41,14 @@ class QueryFile:
 @dataclass
 class QueryResult:
     name: str
-    status: str  # ok | sql_error | cell_limit | sink_error
+    status: str  # ok | sql_error | cell_limit | validation_error | sink_error
     rows: int | None = None
     error: str | None = None
     size_pretty: str | None = None  # written output size (loader.py:247-249 parity)
+
+
+class ValidationFailed(Exception):
+    """Raised by a ``validate`` hook to block publishing a result."""
 
 
 @dataclass
@@ -87,6 +91,14 @@ class SqlFolderPipeline:
     MySQL->Spark translator first (LIMIT off,cnt / DATE_FORMAT patterns /
     GROUP_CONCAT), so the reference's analyst files run unmodified.
 
+    ``validate`` (optional) is a ``(name, df) -> None`` hook called after
+    the cell guard and BEFORE the sink — raise :class:`ValidationFailed`
+    (or return normally) to gate publishing on data-quality contracts
+    (e.g. ``operators/quality_checks.py::check_constraints``); a failure
+    records ``validation_error`` and skips only that file. The reference
+    publishes whatever MySQL returns (loader.py:238-246) — this is the
+    verification step between "query ran" and "sheet published".
+
     ``max_concurrency`` > 1 runs query files concurrently from a thread
     pool — Spark schedules concurrent jobs from one session across free
     cores, so small queries no longer serialize behind big ones (the
@@ -105,6 +117,7 @@ class SqlFolderPipeline:
         setup=None,
         max_concurrency: int = 1,
         dialect: str = "spark",
+        validate=None,
     ):
         if dialect not in ("spark", "mysql"):
             raise ValueError(f"dialect must be spark|mysql, got {dialect!r}")
@@ -115,6 +128,7 @@ class SqlFolderPipeline:
         self.setup = setup
         self.max_concurrency = max_concurrency
         self.dialect = dialect
+        self.validate = validate
 
     def run(self) -> PipelineReport:
         if self.setup is not None:
@@ -154,6 +168,12 @@ class SqlFolderPipeline:
         except CellLimitExceeded as exc:  # loader.py:250-253
             logger.error("%s over the %d-cell limit, skipping", qf.name, self.cell_limit)
             return QueryResult(qf.name, "cell_limit", error=str(exc))
+        if self.validate is not None:
+            try:
+                self.validate(qf.name, df)
+            except Exception as exc:  # contract failure -> skip this file
+                logger.error("Validation failed for %s: %s", qf.name, exc)
+                return QueryResult(qf.name, "validation_error", rows=rows, error=str(exc))
         try:
             self.sink.write(df, qf.name)
         except Exception as exc:  # sink error -> skip file (loader.py:184-186)

@@ -598,3 +598,37 @@ def test_pipeline_sheets_sink_per_file_isolation(spark, tmp_path):
     assert by_name["c"].status == "ok"
     names_uploaded = {f["name"] for f in drive.files.values()}
     assert names_uploaded == {"a", "c"}
+
+
+def test_validate_hook_blocks_publishing(spark, tmp_path):
+    """A quality-contract failure records validation_error and skips the
+    sink for THAT file only; passing files still publish (the
+    publish-or-block gate the reference lacks, loader.py:238-246)."""
+    import os
+
+    from sheetsetl_spark.operators import quality_checks as qc
+    from sheetsetl_spark.pipeline.runner import ValidationFailed
+
+    src = tmp_path / "sql"
+    src.mkdir()
+    (src / "good.sql").write_text("SELECT 1 AS k UNION ALL SELECT 2")
+    (src / "bad.sql").write_text("SELECT 1 AS k UNION ALL SELECT NULL")
+
+    def validate(name, df):
+        report = qc.check_constraints(df, [qc.not_null("k")]).collect()
+        failed = [r["check_name"] for r in report if not r["passed"]]
+        if failed:
+            raise ValidationFailed(f"{name}: failed {failed}")
+
+    sink = ParquetDirSink(str(tmp_path / "out"))
+    report = SqlFolderPipeline(
+        spark, str(src), sink, validate=validate
+    ).run()
+    by_name = {r.name: r for r in report.results}
+    assert by_name["good.sql"[:-4]].status == "ok"
+    bad = by_name["bad"]
+    assert bad.status == "validation_error"
+    assert "not_null(k)" in bad.error
+    # the failing result was never published
+    assert os.path.exists(sink.path_for("good"))
+    assert not os.path.exists(sink.path_for("bad"))
