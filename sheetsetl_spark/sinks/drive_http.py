@@ -108,6 +108,14 @@ class HttpDriveClient:
             payload = json.loads(resp.read().decode())
         return payload.get("files", []), payload.get("nextPageToken")
 
+    def download(self, file_id: str) -> bytes:
+        """File content via ``GET .../files/{id}?alt=media`` — the wire
+        shape the reference's query-file fetch uses (googleapiclient
+        get_media, loader.py:203 context)."""
+        url = f"{self.base_url}/drive/v3/files/{urllib.parse.quote(file_id)}?alt=media"
+        with self._request("GET", url) as resp:
+            return resp.read()
+
     def start_upload(self, metadata: dict[str, Any], file_id: str | None = None) -> str:
         if file_id is None:
             method = "POST"

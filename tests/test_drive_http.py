@@ -56,6 +56,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         url = urllib.parse.urlparse(self.path)
+        if url.path.startswith("/drive/v3/files/"):
+            # alt=media download
+            fid = url.path.rsplit("/", 1)[1]
+            body = self.state.payloads.get(fid)
+            if body is None:
+                return self._json(404, {"error": "no such file"})
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         if url.path != "/drive/v3/files":
             return self._json(404, {"error": "not found"})
         qs = urllib.parse.parse_qs(url.query)
