@@ -43,7 +43,12 @@ import csv
 import io
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 
@@ -65,6 +70,9 @@ class DriveCsvDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return DriveCsvReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> "DriveCsvStreamReader":
+        return DriveCsvStreamReader(schema, self.options)
 
 
 class DriveCsvReader(DataSourceReader):
@@ -129,3 +137,43 @@ class DriveCsvReader(DataSourceReader):
             yield tuple(
                 rec[i] if i is not None and i < len(rec) else None for i in picks
             )
+
+
+class DriveCsvStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector: each micro-batch ingests the CSV
+    files ADDED to the folder since the last batch — the reference's
+    cron-re-run refresh model (/root/reference/README.md:38-43) upgraded
+    to incremental Structured Streaming ingestion with exactly-once file
+    accounting.
+
+    Offsets are the sorted list of file ids already ingested (the Drive
+    API has no monotone change cursor at this surface, so the id set IS
+    the position; checkpointed as JSON by the engine). partitions(start,
+    end) plans one partition per NEW file, so a burst of uploads fans
+    out across executors exactly like the batch reader."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._delegate = DriveCsvReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"ingested": []}
+
+    def _current_ids(self) -> list[str]:
+        return [p.file_id for p in self._delegate.partitions()]
+
+    def latestOffset(self) -> dict:
+        return {"ingested": sorted(self._current_ids())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        seen = set(start.get("ingested", []))
+        new = [i for i in end.get("ingested", []) if i not in seen]
+        by_id = {p.file_id: p for p in self._delegate.partitions()}
+        # a file listed at planning time but deleted before read() simply
+        # isn't in by_id anymore — skip rather than fail the batch
+        return [by_id[i] for i in sorted(new) if i in by_id]
+
+    def read(self, partition: DriveFilePartition) -> Iterator[tuple]:
+        return self._delegate.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # ingested-set offsets need no source-side cleanup

@@ -118,3 +118,46 @@ def test_casts_compose_downstream(spark, drive_with_csvs):
         .collect()[0]["t"]
     )
     assert float(total) == 60.0
+
+
+def test_streaming_ingests_only_new_files(spark, drive_with_csvs, tmp_path):
+    """readStream over the folder: batch 1 ingests the existing CSVs;
+    a file uploaded between triggers arrives in a later batch EXACTLY
+    once (id-set offsets, checkpointed)."""
+    state, base = drive_with_csvs
+    _register(spark)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        h = (
+            spark.readStream.format("gdrive_csv")
+            .schema("region string, amount string")
+            .option("base_url", base)
+            .option("folder_id", "folder1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        h.awaitTermination(120)
+
+    run_once()
+    first = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert ("east", "10") in first and ("west", "30") in first
+    assert len(first) == 4
+
+    # upload a new file, then resume from the checkpoint
+    state.files["f9"] = {
+        "id": "f9", "name": "south.csv", "mimeType": "text/csv",
+        "parents": ["folder1"],
+    }
+    state.payloads["f9"] = b"region,amount\nsouth,40\n"
+    run_once()
+    second = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # exactly the new file's rows appended — earlier ids sit in the
+    # committed offset, so nothing is re-ingested
+    assert second - first == {("south", "40")}
+    assert len(second) == 5
