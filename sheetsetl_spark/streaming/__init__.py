@@ -6,6 +6,7 @@ from sheetsetl_spark.streaming.pipeline import (
     enrich_stream,
     purchase_click_attribution,
     stateful_user_totals,
+    stateful_user_totals_tws,
     read_event_stream,
     sessionized_counts,
     windowed_counts,
@@ -21,5 +22,6 @@ __all__ = [
     "enrich_stream",
     "purchase_click_attribution",
     "stateful_user_totals",
+    "stateful_user_totals_tws",
     "UpsertForeachBatch",
 ]

@@ -183,6 +183,69 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """:func:`stateful_user_totals` on the transformWithStateInPandas API
+    — Spark 4's successor to applyInPandasWithState: typed state handles
+    (ValueState here; List/MapState for bigger shapes), explicit
+    init/close lifecycle, timers, and a REQUIRED RocksDB state store
+    (pair with ``session.apply_streaming_posture``). Same exact-decimal
+    per-user running totals, same batch twin
+    (``SELECT user_id, COUNT(*), SUM(value) GROUP BY user_id``).
+
+    Environment gate (honest, like the multimodal codecs): Spark's TWS
+    state server speaks protobuf to the Python worker, and
+    ``google.protobuf`` is not installed in this container — so the
+    operator raises a clear ImportError up front here, and its
+    batch-equivalence test skips (tests/test_streaming.py). The
+    capability itself is covered by :func:`stateful_user_totals`
+    (applyInPandasWithState), which has no such dependency."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf (Spark's "
+            "TWS state-server protocol); not installed in this environment "
+            "— use stateful_user_totals (applyInPandasWithState) instead"
+        ) from exc
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, "0")
+            acc = Decimal(total)
+            for pdf in rows:
+                n += len(pdf)
+                for v in pdf["value"]:
+                    # per-value quantize HALF_UP == cast(double as
+                    # decimal(18,6)) in the batch twin; running sum exact
+                    acc += Decimal(str(v)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+            self._totals.update((n, str(acc)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [float(acc)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=USER_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 class UpsertForeachBatch:
     """B55: foreachBatch upsert — each micro-batch create-or-replaces the
     named output through the same Sink the batch pipeline uses (the

@@ -494,3 +494,79 @@ def test_signature_ingest_soak_flat_cost(spark, tmp_path):
     first = sorted(durations[1:6])[2]  # median of batches 1-5
     last = sorted(durations[-5:])[2]  # median of last 5
     assert last < 5 * first + 2.0, (first, last, durations)
+
+
+def test_transform_with_state_matches_batch_and_legacy(spark, event_input, tmp_path):
+    """The transformWithStateInPandas operator (Spark 4 typed-state API,
+    RocksDB-required) converges to the same per-user totals as the batch
+    aggregate — exact decimal accumulation across micro-batches.
+
+    Skips where google.protobuf (the TWS state-server protocol dep) is
+    absent — this container; the operator raises a clear ImportError
+    there, asserted below."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in env)",
+    )
+    from pyspark.sql import functions as F
+
+    from sheetsetl_spark.session import apply_streaming_posture
+    from sheetsetl_spark.streaming import stateful_user_totals_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    apply_streaming_posture(spark)  # transformWithState REQUIRES RocksDB
+    try:
+        stream = read_event_stream(spark, event_input, max_files_per_trigger=1)
+        handle = (
+            stateful_user_totals_tws(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .format("memory")
+            .queryName("tws_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination(120)
+        emitted = spark.table("tws_out").toPandas()
+        final = emitted.groupby("user_id").last()
+        ev = load_table(spark, SF_SMALL, "events")
+        want = {
+            r["user_id"]: (r["n"], r["tv"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv"),
+            )
+            .collect()
+        }
+        assert len(final) == len(want)
+        for uid, row in final.iterrows():
+            wn, wv = want[uid]
+            assert row["n_events"] == wn
+            assert abs(row["total_value"] - wv) < 1e-9
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
+def test_transform_with_state_import_gate_is_actionable(spark):
+    """Without protobuf the TWS operator must fail FAST with a message
+    pointing at the working alternative — not crash the streaming query
+    worker mid-run."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from sheetsetl_spark.streaming import stateful_user_totals_tws
+
+    ev = spark.createDataFrame([(1, 2.0)], "user_id long, value double")
+    with pytest.raises(ImportError, match="applyInPandasWithState"):
+        stateful_user_totals_tws(ev)
