@@ -74,7 +74,15 @@ def test_orders_queries_on_random_fixtures(spark, rows):
             ),
         }
     )
-    d = _write_dir({"orders": t})
+    # a 3-customer dim: custkeys 1-5 in orders make the c47 referential
+    # check exercise BOTH present and dangling keys
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+            "c_mktsegment": pa.array(["BUILDING", "AUTOMOBILE", "BUILDING"]),
+        }
+    )
+    d = _write_dir({"orders": t, "customer": cust})
     _check(
         spark,
         d,
@@ -86,6 +94,7 @@ def test_orders_queries_on_random_fixtures(spark, rows):
             "x61_rolling_zscore",
             "x64_benford_firstdigit",
             "b64_map_functions",
+            "c47_data_quality_report",
         ],
     )
 
