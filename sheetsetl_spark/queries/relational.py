@@ -479,7 +479,8 @@ def b23_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_mktsegment,
              COUNT(*) AS n,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS sxx
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))
+                      * CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sxx
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n,
@@ -509,12 +510,18 @@ def b24_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything under the relative floor collapses to exactly 0.0; rounding
     is the binary FLOOR form both engines evaluate identically."""
     c = load_table(spark, sf_dir, "customer")
+    # sxx multiplies DECIMAL-cast factors (exact decimal product), never
+    # casts the double product: rounding a double product at a grain
+    # comparable to its ulp (c_acctbal^2 ~ 5e7 has ulp 7e-9 vs a 5e-9
+    # half-grain at scale 8) splits between Spark's shortest-repr
+    # half-up cast and DuckDB's binary rounding — fuzz-caught r5.
+    # (12,4) factors: exact for 2-dp money, and the factor multiply fits
+    # DuckDB's int64 operand path ((18,6) factors overflow there)
+    bal4 = F.col("c_acctbal").cast("decimal(12,4)")
     mom = c.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("sx"),
-        F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,8)"))
-        .cast("double")
-        .alias("sxx"),
+        F.sum(bal4 * bal4).cast("double").alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var = (sxx - sx * sx / n) / (n - 1)

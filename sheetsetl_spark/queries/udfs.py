@@ -268,7 +268,8 @@ def b58b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT c_mktsegment,
              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))
+                      * CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sxx,
              COUNT(*) AS n
       FROM customer GROUP BY c_mktsegment
     )
@@ -302,13 +303,15 @@ def b57b_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sxx = float(
             sum(
-                # square in DOUBLE first (v * v), then quantize — the
-                # oracle computes c_acctbal*c_acctbal in double before
-                # casting to DECIMAL(24,8), so exact-decimal squaring
-                # would differ in the 8th decimal on ~13% of fixture rows
-                Decimal(str(v * v)).quantize(
-                    Decimal("0.00000001"), rounding=ROUND_HALF_UP
+                # exact-decimal square of the 6dp-quantized factor — the
+                # oracle multiplies DECIMAL-cast factors the same way.
+                # (Casting the double PRODUCT to a fixed scale instead
+                # splits between repr-based and binary rounding when the
+                # grain ~ ulp — the b24 fuzz catch, r5.)
+                Decimal(str(v)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
                 )
+                ** 2
                 for v in pdf["c_acctbal"]
             )
         )
