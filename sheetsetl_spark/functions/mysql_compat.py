@@ -202,6 +202,11 @@ def _unmask(sql: str, slots: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: slots[int(m.group(1))], sql)
 
 
+# The pipeline is a read-only analytics runner (each file's RESULT SET
+# becomes a sheet): only statements that produce one are accepted.
+_READ_ONLY_RE = re.compile(r"^\s*(?:\(|SELECT\b|WITH\b|VALUES\b|TABLE\b)", re.IGNORECASE)
+
+
 class UnsupportedMySQLConstruct(ValueError):
     """A MySQL construct whose semantics cannot be reproduced on Spark.
 
@@ -362,7 +367,20 @@ def mysql_file_to_spark_sql(sql: str) -> str:
             "file contains only USE/SET preamble statements and no query"
         )
     for s in body:
-        if re.match(r"^\s*SET\b", s, re.IGNORECASE):
+        first = _without_leading_comments(s)
+        if (
+            not _READ_ONLY_RE.match(first)
+            # SET and CALL get their own, more specific rejections below /
+            # in mysql_to_spark_sql
+            and not re.match(r"^\s*(SET|CALL)\b", first, re.IGNORECASE)
+        ):
+            head = " ".join(first.split())[:60]
+            raise UnsupportedMySQLConstruct(
+                f"statement {head!r} is not a read-only query; the "
+                "pipeline executes SELECT/WITH/VALUES only (DML/DDL would "
+                "mutate engine state instead of producing a sheet)"
+            )
+        if re.match(r"^\s*SET\b", first, re.IGNORECASE):
             raise UnsupportedMySQLConstruct(
                 f"stateful SET statement {' '.join(s.split())[:60]!r} "
                 "would change result semantics (time_zone/sql_mode/@vars "
@@ -377,3 +395,32 @@ def mysql_file_to_spark_sql(sql: str) -> str:
             "split it into one file per statement"
         )
     return mysql_to_spark_sql(body[0])
+
+
+def _without_leading_comments(stmt: str) -> str:
+    """The statement minus leading comments/whitespace, so its first real
+    token decides what it is."""
+    masked, slots = _mask_literals(stmt)
+    i = 0
+    while True:
+        m = re.match(r"\s*\x00(\d+)\x00", masked[i:])
+        if m and slots[int(m.group(1))][0] in "-#/":
+            i += m.end()
+            continue
+        break
+    return _unmask(masked[i:], slots).lstrip()
+
+
+def ensure_read_only(sql: str) -> None:
+    """Reject non-query SQL (DML/DDL) with a clear error — used by the
+    pipeline shell for Spark-dialect files, where ``spark.sql`` would
+    otherwise EXECUTE an INSERT/CREATE/DROP and mutate engine state
+    instead of producing a result sheet."""
+    first = _without_leading_comments(sql)
+    if not _READ_ONLY_RE.match(first):
+        head = " ".join(first.split())[:60]
+        raise UnsupportedMySQLConstruct(
+            f"statement {head!r} is not a read-only query; the pipeline "
+            "executes SELECT/WITH/VALUES only (DML/DDL would mutate "
+            "engine state instead of producing a sheet)"
+        )

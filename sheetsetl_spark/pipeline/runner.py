@@ -159,6 +159,13 @@ class SqlFolderPipeline:
                 )
 
                 sql = mysql_file_to_spark_sql(sql)
+            else:
+                # spark.sql() EXECUTES DDL/DML (an INSERT would mutate the
+                # catalog instead of producing a sheet) — a result-set
+                # pipeline must reject non-queries up front
+                from sheetsetl_spark.functions.mysql_compat import ensure_read_only
+
+                ensure_read_only(sql)
             df = self.spark.sql(sql)
         except Exception as exc:  # parse/analysis error -> skip file (loader.py:232-234)
             logger.exception("SQL error in %s", qf.name)

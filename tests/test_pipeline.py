@@ -491,6 +491,8 @@ _REJECT_REASONS = {
     "server_state": "DATABASE()",
     "call_proc": "stored procedure",
     "calc_found_rows": "SQL_CALC_FOUND_ROWS",
+    "insert_dml": "not a read-only query",
+    "create_ddl": "not a read-only query",
 }
 
 
@@ -632,3 +634,21 @@ def test_validate_hook_blocks_publishing(spark, tmp_path):
     # the failing result was never published
     assert os.path.exists(sink.path_for("good"))
     assert not os.path.exists(sink.path_for("bad"))
+
+
+def test_spark_dialect_rejects_dml(spark, tmp_path):
+    """spark.sql() would EXECUTE an INSERT/CREATE (mutating engine state
+    instead of producing a sheet) — the spark-dialect pipeline must
+    reject non-queries up front with sql_error, and leading comments must
+    not fool the check."""
+    src = tmp_path / "sql"
+    src.mkdir()
+    (src / "mutate.sql").write_text("INSERT INTO t SELECT 1")
+    (src / "commented.sql").write_text("-- note\nSELECT 1 AS k")
+    report = SqlFolderPipeline(
+        spark, str(src), ParquetDirSink(str(tmp_path / "out"))
+    ).run()
+    by_name = {r.name: r for r in report.results}
+    assert by_name["mutate"].status == "sql_error"
+    assert "not a read-only query" in by_name["mutate"].error
+    assert by_name["commented"].status == "ok"
