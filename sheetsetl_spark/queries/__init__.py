@@ -71,5 +71,6 @@ from sheetsetl_spark.queries import tpch  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext2  # noqa: E402,F401
 from sheetsetl_spark.queries import pipeline_ext  # noqa: E402,F401
+from sheetsetl_spark.queries import analytics_r5  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

@@ -168,7 +168,14 @@ def test_events_queries_on_random_fixtures(spark, rows):
     _check(
         spark,
         d,
-        ["x55_gaps_islands", "x59_linear_interpolation", "x63_markov_transitions"],
+        [
+            "x55_gaps_islands",
+            "x59_linear_interpolation",
+            "x63_markov_transitions",
+            # r5: ordered funnel with ties (same-ts steps) and cohorts
+            "x68_funnel_conversion",
+            "x69_cohort_retention",
+        ],
     )
 
 
