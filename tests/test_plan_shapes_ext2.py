@@ -108,3 +108,19 @@ def test_hard_negatives_broadcasts_query_side(spark):
     plan = _executed_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_r5_analyst_queries_stay_jvm_side(spark):
+    """x68/x69/x70 are pure Catalyst programs: no Python evaluation node,
+    and no unpartitioned data window — funnel steps and cohort anchors
+    are keyed aggregations/joins."""
+    for name in (
+        "x68_funnel_conversion",
+        "x69_cohort_retention",
+        "x70_order_reconciliation",
+    ):
+        df = QUERIES[name](spark, SF_SMALL)
+        plan = _executed_plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (name, plan)
+        assert "Window" not in plan, (name, plan)
