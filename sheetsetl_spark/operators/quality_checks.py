@@ -83,6 +83,10 @@ def satisfies(predicate_sql: str, name: str) -> Constraint:
 
 
 def unique(*cols: str) -> Constraint:
+    """Duplicate-key rows count as violations (ALL rows of a >1 group).
+    NULL keys compare equal here (two NULL-keyed rows violate) — the
+    dbt-style uniqueness test, stricter than SQL's UNIQUE constraint
+    which exempts NULLs; pair with :func:`not_null` either way."""
     return Constraint(f"unique({','.join(cols)})", "unique", None, tuple(cols))
 
 
