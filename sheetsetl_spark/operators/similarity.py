@@ -496,3 +496,98 @@ def hard_negatives(
             round6_bin(F.col("sim")).alias("sim"),
         )
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists as parquet PARTITIONED BY
+    centroid — the persisted form of :func:`cosine_topk_ivf`'s
+    assignment stage. At 100 TB the assignment is the dominant cost of
+    every ad-hoc IVF search; building the index once turns each later
+    query batch into a partition-PRUNED read of the nprobe/M probed
+    lists (Catalyst prunes ``cent_id=...`` directories before any I/O;
+    plan-tested) plus the in-list exact cosine.
+
+    Layout: one directory per ``cent_id`` holding (vec_id, v double[],
+    vn). Deterministic (same centroid rule as cosine_topk_ivf:
+    ``vec_id < num_centroids``), so a rebuild is byte-stable and
+    :func:`search_ivf_index` over the index equals the direct operator
+    exactly (tested)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vn", _checked_norm("v"))
+    cent = e.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("vn").alias("cn")
+    )
+    csim = _dot("v", "cv") / (F.col("vn") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "vn", "cent_id", csim.alias("csim"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("cent_id", "vec_id", "v", "vn")
+    )
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    # centroids persist as their own TINY table: search must never scan
+    # the corpus partitions just to recover the probe geometry
+    cent.write.mode("overwrite").parquet(_centroids_path(path))
+
+
+def _centroids_path(path: str) -> str:
+    return path.rstrip("/") + "__centroids"
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search against a :func:`write_ivf_index` index.
+
+    The centroid geometry loads from the index's tiny sidecar table
+    (never a corpus scan), probe assignments for the (small) query
+    batch rank against it broadcast, and the probed
+    ``cent_id`` values enter the plan as an ``isin`` literal filter so
+    the parquet scan partition-prunes to the probed lists. Output/
+    semantics identical to :func:`cosine_topk_ivf` (tested equal)."""
+    index = spark.read.parquet(path)
+    cent = spark.read.parquet(_centroids_path(path))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", _checked_norm("qv"))
+    qsim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "qn", "cent_id", qsim.alias("qsim"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "qn", "cent_id")
+    )
+    # literal probe list => Catalyst partition-prunes the index scan to
+    # the probed directories (query batches are small by contract, so
+    # this driver-side collect is bounded: |queries| x nprobe ids)
+    probed_ids = sorted({r["cent_id"] for r in probes.select("cent_id").distinct().collect()})
+    pruned = index.filter(F.col("cent_id").isin(probed_ids))
+    sim = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
+    scored = (
+        pruned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "nn_rank", F.round("sim", 6).alias("sim"))
+    )

@@ -1,0 +1,53 @@
+"""Persisted IVF index: build once, search many — results must equal the
+direct cosine_topk_ivf operator exactly, and the search plan must
+partition-prune the index scan to the probed lists."""
+
+from __future__ import annotations
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators.similarity import (
+    cosine_topk_ivf,
+    search_ivf_index,
+    write_ivf_index,
+)
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_index_search_equals_direct_operator(spark, tmp_path):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter("vec_id < 8")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, num_centroids=16)
+    got = search_ivf_index(spark, idx, queries, k=10, nprobe=4)
+    want = cosine_topk_ivf(emb, queries, k=10, nprobe=4, num_centroids=16)
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_search_partition_prunes_probed_lists(spark, tmp_path):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, num_centroids=16)
+    # one query, nprobe=2 -> at most 2 of 16 partition dirs survive pruning
+    out = search_ivf_index(spark, idx, emb.filter("vec_id = 3"), k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cent_id" in ln for ln in scan_lines), plan
+    # the pruned scan reads only the probed lists' rows
+    import re
+
+    m = re.search(r"cent_id#\d+ IN \(([0-9,]+)\)", plan)
+    assert m and len(m.group(1).split(",")) <= 2, plan
+
+
+def test_rebuild_is_stable(spark, tmp_path):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_ivf_index(emb, a)
+    write_ivf_index(emb, b)
+    ra = _rows(spark.read.parquet(a).select("vec_id", "cent_id"))
+    rb = _rows(spark.read.parquet(b).select("vec_id", "cent_id"))
+    assert ra == rb
