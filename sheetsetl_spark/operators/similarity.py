@@ -532,8 +532,12 @@ def write_ivf_index(
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
         .select("cent_id", "vec_id", "v", "vn")
+        # base build writes batch -1: the same (cent_id, __batch_id)
+        # layout the streaming ingest appends into
+        # (streaming/pipeline.py::IvfIndexIngestForeachBatch)
+        .withColumn("__batch_id", F.lit(-1))
     )
-    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
+    assigned.write.mode("overwrite").partitionBy("cent_id", "__batch_id").parquet(path)
     # centroids persist as their own TINY table: search must never scan
     # the corpus partitions just to recover the probe geometry
     cent.write.mode("overwrite").parquet(_centroids_path(path))

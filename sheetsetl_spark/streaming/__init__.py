@@ -1,5 +1,6 @@
 from sheetsetl_spark.streaming.pipeline import (
     DedupIngestForeachBatch,
+    IvfIndexIngestForeachBatch,
     SignatureDedupIngestForeachBatch,
     UpsertForeachBatch,
     dedup_stream,
@@ -14,6 +15,7 @@ from sheetsetl_spark.streaming.pipeline import (
 
 __all__ = [
     "DedupIngestForeachBatch",
+    "IvfIndexIngestForeachBatch",
     "SignatureDedupIngestForeachBatch",
     "read_event_stream",
     "windowed_counts",

@@ -485,3 +485,62 @@ class SignatureDedupIngestForeachBatch:
             .partitionBy("__batch_id")
             .parquet(self.index_dir)
         )
+
+
+class IvfIndexIngestForeachBatch:
+    """Streaming maintenance of the persisted IVF index
+    (operators/similarity.py::write_ivf_index): each micro-batch of new
+    vectors is assigned against the FIXED centroid sidecar and appended
+    into the centroid-partitioned index — O(batch x M) per ingest, no
+    rescan of the stored lists, so search keeps partition-pruning as the
+    index grows. The companion of SignatureDedupIngestForeachBatch on
+    the vector side.
+
+    Replay contract (same as the dedup ingests): rows carry __batch_id
+    and writes use dynamic partition overwrite on (cent_id, __batch_id),
+    so a replayed micro-batch rewrites its own slice idempotently.
+
+    Fixed-geometry caveat (documented, inherent to IVF): centroids are
+    frozen at build time; if the embedding distribution drifts, rebuild
+    the index (write_ivf_index) — assignments here always use the stored
+    sidecar, never re-derive centroids from arriving data."""
+
+    def __init__(self, index_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.batches_seen: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators.similarity import (
+            _centroids_path,
+            _checked_norm,
+            _dot,
+        )
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+        cent = spark.read.parquet(_centroids_path(self.index_dir))
+        e = batch_df.select(
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.vec_col).cast("array<double>").alias("v"),
+        ).withColumn("vn", _checked_norm("v"))
+        csim = _dot("v", "cv") / (F.col("vn") * F.col("cn"))
+        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "vn", "cent_id", csim.alias("csim"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("cent_id", "vec_id", "v", "vn")
+            .withColumn("__batch_id", F.lit(batch_id))
+        )
+        (
+            assigned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cent_id", "__batch_id")
+            .parquet(self.index_dir)
+        )

@@ -51,3 +51,35 @@ def test_rebuild_is_stable(spark, tmp_path):
     ra = _rows(spark.read.parquet(a).select("vec_id", "cent_id"))
     rb = _rows(spark.read.parquet(b).select("vec_id", "cent_id"))
     assert ra == rb
+
+
+def test_streaming_ingest_grows_index_idempotently(spark, tmp_path):
+    """Micro-batches of new vectors append into the partitioned index
+    (fixed centroid geometry); search sees them; a replayed batch
+    rewrites its own slice instead of duplicating."""
+    from pyspark.sql import functions as F
+
+    from sheetsetl_spark.streaming import IvfIndexIngestForeachBatch
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = str(tmp_path / "ivf")
+    base = emb.filter("vec_id < 40")
+    write_ivf_index(base, idx, num_centroids=16)
+    n_base = spark.read.parquet(idx).count()
+
+    ingest = IvfIndexIngestForeachBatch(idx)
+    b1 = emb.filter("vec_id >= 40 AND vec_id < 60")
+    b2 = emb.filter("vec_id >= 60 AND vec_id < 70")
+    ingest(b1, 0)
+    ingest(b2, 1)
+    assert spark.read.parquet(idx).count() == n_base + 20 + 10
+    # replay batch 1: same slice rewritten, no duplicates
+    ingest(b2, 1)
+    assert spark.read.parquet(idx).count() == n_base + 20 + 10
+
+    # search over the grown index == direct operator over the same corpus
+    corpus = emb.filter("vec_id < 70")
+    queries = emb.filter("vec_id < 4")
+    got = search_ivf_index(spark, idx, queries, k=5, nprobe=4)
+    want = cosine_topk_ivf(corpus, queries, k=5, nprobe=4, num_centroids=16)
+    assert _rows(got) == _rows(want)
