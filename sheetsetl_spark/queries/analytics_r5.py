@@ -167,3 +167,75 @@ def x70_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_totalprice") > F.col("line_total"))
         ).alias("n_price_above_lines"),
     )
+
+
+@query(
+    "x71_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+    brand_orders AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+      FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                        AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_both,
+           FLOOR((1.0 * n_ab * n) / (1.0 * ba.n_b * bb.n_b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN brand_orders ba ON pairs.brand_a = ba.p_brand
+    JOIN brand_orders bb ON pairs.brand_b = bb.p_brand
+    CROSS JOIN n_orders
+    WHERE n_ab >= 5
+    """,
+)
+def x71_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: for each brand pair co-occurring in
+    >= 5 orders, the co-order count and lift
+    (P(a,b) / (P(a)·P(b))) — the cross-sell report every retail analyst
+    runs. The basket stream compresses to DISTINCT (order, brand) FIRST
+    (10 brands -> <= 45 pairs per order regardless of line count), so
+    the self-join is bounded by baskets x brands², never line items²;
+    brand totals broadcast; lift is a ratio of exact counts through the
+    portable round6_bin."""
+    from sheetsetl_spark.operators.text import round6_bin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    brand_orders = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    ba = brand_orders.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    bb = brand_orders.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    lift = (F.lit(1.0) * F.col("n_ab") * F.col("n")) / (
+        F.lit(1.0) * F.col("na") * F.col("nb")
+    )
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_both"),
+            round6_bin(lift).alias("lift"),
+        )
+    )
