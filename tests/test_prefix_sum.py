@@ -95,3 +95,31 @@ def test_x67_plan_no_single_partition_data_window(spark):
             # HashAggregate — i.e. the single partition holds partition
             # totals, not data rows
             assert any("HashAggregate" in x for x in lines[i:]), plan
+
+
+def test_property_matches_naive_on_random_inputs(spark):
+    """Hypothesis sweep: random values, duplicates, negatives, and random
+    partition counts — the decomposition must equal the naive window on
+    every draw (unique (v, k) order)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+        nparts=st.integers(1, 9),
+    )
+    def check(vals, nparts):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k int, v long"
+        )
+        order = [F.desc("v"), F.asc("k")]
+        got = prefix_sum(df, order, F.col("v"), "cum", num_partitions=nparts)
+        want = _naive(df, order, F.col("v"), "cum")
+        assert _rows(got, ["k"]) == _rows(want, ["k"])
+
+    check()
