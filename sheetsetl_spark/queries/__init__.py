@@ -72,5 +72,9 @@ from sheetsetl_spark.queries import analytics_ext  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext2  # noqa: E402,F401
 from sheetsetl_spark.queries import pipeline_ext  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_r5  # noqa: E402,F401
+# Round-6: canonical partsupp TPC-H five (x72-x76) — registered last so
+# the never-verified-first rotation stamps them in r6 while the oldest
+# (r2-era) stamps still fill the rest of the driver window.
+from sheetsetl_spark.queries import tpch_partsupp  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

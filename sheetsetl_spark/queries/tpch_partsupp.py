@@ -1,12 +1,14 @@
 """Canonical-form TPC-H partsupp queries (Q2/Q9/Q11/Q16/Q20) over a
 DETERMINISTIC synthesized partsupp — the r4 verdict's last fidelity gap.
 
-The driver fixture set has no partsupp.parquet and the driver's DuckDB
-views don't include one, so these queries are LOCAL-GATED: they are NOT
-registered in the driver registry (``queries()``/``oracle_sql()``); the
-registry keeps the documented partsupp-free adaptations
-(queries/tpch.py x31-x35, COVERAGE.md adaptation table). Locally,
-tests/test_tpch_partsupp.py proves each canonical form oracle-green.
+DRIVER-REGISTERED as of round 6 (x72-x76): although the driver fixture
+set has no partsupp.parquet, the CTE derivation below needs only
+``part`` and ``supplier`` — both of which ARE driver DuckDB views — so
+each query is a single engine-portable SQL text the driver can run on
+both engines unchanged (r5 verdict next-round item 1). The registry
+also keeps the earlier partsupp-free adaptations (queries/tpch.py
+x31-x35, COVERAGE.md adaptation table); tests/test_tpch_partsupp.py
+additionally proves each canonical form oracle-green locally.
 
 Design: ``PARTSUPP_SQL`` derives partsupp from part x supplier with pure
 integer arithmetic — 4 suppliers per part (``(p_partkey + i) % |S|``,
@@ -150,3 +152,38 @@ def write_partsupp_parquet(spark: SparkSession, sf_dir: str, out_path: str) -> N
     want a physical table, e.g. a local catalog extension)."""
     register_views(spark, sf_dir)
     spark.sql(PARTSUPP_SQL).write.mode("overwrite").parquet(out_path)
+
+
+# --- driver registration (x72-x76) -----------------------------------
+# The SAME SQL text is both the Spark query and the DuckDB oracle —
+# zero translation surface, the strongest cross-engine check in the
+# registry. partsupp derives inside the WITH from part x supplier
+# (driver views), so no extra fixture is needed.
+_REGISTRY_IDS = {
+    "q2_min_cost_supplier": "x72",
+    "q9_product_profit": "x73",
+    "q11_important_stock": "x74",
+    "q16_supplier_part_counts": "x75",
+    "q20_part_promotion": "x76",
+}
+
+
+def _register_canonical() -> None:
+    from sheetsetl_spark.queries import query
+
+    for cname, xid in _REGISTRY_IDS.items():
+        sql = CANONICAL_SQL[cname]
+
+        def fn(spark: SparkSession, sf_dir: str, _n: str = cname) -> DataFrame:
+            return run_canonical(spark, sf_dir, _n)
+
+        fn.__name__ = f"{xid}_{cname}"
+        fn.__doc__ = (
+            f"Canonical TPC-H {cname} over the synthesized partsupp CTE "
+            "(single engine-portable text; reference ships such SQL "
+            "verbatim to MySQL, loader.py:231)."
+        )
+        query(f"{xid}_{cname}", oracle=sql)(fn)
+
+
+_register_canonical()
