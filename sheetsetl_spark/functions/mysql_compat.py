@@ -368,15 +368,15 @@ def mysql_file_to_spark_sql(sql: str) -> str:
         )
     for s in body:
         first = _without_leading_comments(s)
+        violation = _read_only_violation(s)
         if (
-            not _READ_ONLY_RE.match(first)
+            violation is not None
             # SET and CALL get their own, more specific rejections below /
             # in mysql_to_spark_sql
             and not re.match(r"^\s*(SET|CALL)\b", first, re.IGNORECASE)
         ):
-            head = " ".join(first.split())[:60]
             raise UnsupportedMySQLConstruct(
-                f"statement {head!r} is not a read-only query; the "
+                f"statement {violation!r} is not a read-only query; the "
                 "pipeline executes SELECT/WITH/VALUES only (DML/DDL would "
                 "mutate engine state instead of producing a sheet)"
             )
@@ -411,14 +411,111 @@ def _without_leading_comments(stmt: str) -> str:
     return _unmask(masked[i:], slots).lstrip()
 
 
+# CTE-list scanning for the read-only guard: both Spark and MySQL 8
+# accept CTE-PREFIXED DML ("WITH t AS (SELECT 1) INSERT INTO ..."), so
+# checking only the first keyword would let a WITH-wrapped INSERT
+# execute. The guard therefore parses past the CTE definitions and
+# requires the MAIN statement body to be a query too.
+_IDENT_RE = re.compile(r"[A-Za-z_][\w$]*|`[^`]+`")
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _skip_balanced(s: str, i: int) -> int:
+    """``s[i]`` must be '('; return the index just past its matching ')'
+    or -1 if unbalanced. Literals/comments are already masked, so every
+    paren in ``s`` is structural."""
+    depth = 0
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
+def _main_statement_after_ctes(stmt: str) -> str:
+    """For a WITH-prefixed statement, the text AFTER the CTE definition
+    list (the main body whose first keyword decides read-only-ness);
+    for anything else, the statement minus leading comments. Returns ''
+    when the CTE list cannot be parsed — callers treat that as
+    not-read-only (conservative: reject rather than execute)."""
+    masked, slots = _mask_literals(stmt)
+    # comments can't hide keywords from the guard: blank them out
+    s = re.sub(
+        r"\x00(\d+)\x00",
+        lambda m: " " if slots[int(m.group(1))][0] in "-#/" else m.group(0),
+        masked,
+    )
+    m = re.match(r"\s*WITH\b(?:\s+RECURSIVE\b)?", s, re.IGNORECASE)
+    if not m:
+        return _unmask(s, slots).lstrip()
+    i = m.end()
+    while True:
+        i = _skip_ws(s, i)
+        mm = _IDENT_RE.match(s, i)  # CTE name
+        if not mm:
+            return ""
+        i = _skip_ws(s, mm.end())
+        if i < len(s) and s[i] == "(":  # optional (column list)
+            i = _skip_balanced(s, i)
+            if i < 0:
+                return ""
+            i = _skip_ws(s, i)
+        mm = re.match(r"AS\b", s[i:], re.IGNORECASE)
+        if not mm:
+            return ""
+        i = _skip_ws(s, i + mm.end())
+        if i >= len(s) or s[i] != "(":  # CTE body
+            return ""
+        i = _skip_balanced(s, i)
+        if i < 0:
+            return ""
+        i = _skip_ws(s, i)
+        if i < len(s) and s[i] == ",":
+            i += 1
+            continue
+        return _unmask(s[i:], slots).lstrip()
+
+
+#: What a WITH's main body may start with: a query, never another WITH
+#: (top-level WITH-after-WITH is invalid in both engines) and never DML.
+_MAIN_BODY_RE = re.compile(r"^\s*(?:\(|SELECT\b|VALUES\b|TABLE\b)", re.IGNORECASE)
+
+
+def _read_only_violation(stmt: str) -> str | None:
+    """None if ``stmt`` is a read-only query; else the offending head
+    text for the error message. WITH-prefixed statements are checked
+    BOTH at the first keyword and at the main body after the CTE list,
+    so 'WITH t AS (SELECT 1) INSERT INTO ...' (CTE-prefixed DML, legal
+    in Spark and MySQL 8) is rejected like bare INSERT."""
+    first = _without_leading_comments(stmt)
+    if not _READ_ONLY_RE.match(first):
+        return " ".join(first.split())[:60]
+    if re.match(r"\s*WITH\b", first, re.IGNORECASE):
+        main = _main_statement_after_ctes(stmt)
+        if not _MAIN_BODY_RE.match(main):
+            return " ".join(main.split())[:60] or " ".join(first.split())[:60]
+    return None
+
+
 def ensure_read_only(sql: str) -> None:
     """Reject non-query SQL (DML/DDL) with a clear error — used by the
     pipeline shell for Spark-dialect files, where ``spark.sql`` would
     otherwise EXECUTE an INSERT/CREATE/DROP and mutate engine state
-    instead of producing a result sheet."""
-    first = _without_leading_comments(sql)
-    if not _READ_ONLY_RE.match(first):
-        head = " ".join(first.split())[:60]
+    instead of producing a result sheet. CTE-prefixed DML
+    ('WITH ... INSERT INTO ...') is caught by scanning past the CTE
+    list to the main statement body."""
+    head = _read_only_violation(sql)
+    if head is not None:
         raise UnsupportedMySQLConstruct(
             f"statement {head!r} is not a read-only query; the pipeline "
             "executes SELECT/WITH/VALUES only (DML/DDL would mutate "

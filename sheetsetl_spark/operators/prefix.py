@@ -66,7 +66,18 @@ def prefix_sum(
         ranged = df.repartitionByRange(*order_by)
     else:
         ranged = df.repartitionByRange(num_partitions, *order_by)
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # INVARIANT: the local-sums branch and the offsets branch below MUST
+    # observe the SAME pid assignment. repartitionByRange samples its
+    # boundaries per physical exchange, so if the two branches ever
+    # compiled to separate exchanges (exchange reuse disabled, AQE edge
+    # cases, nondeterministic upstream), spark_partition_id() could
+    # differ between them and the broadcast offsets would silently
+    # corrupt the running totals. Persisting the pid-stamped frame pins
+    # ONE materialized assignment that both branches read; scoped_persist
+    # registers it for unpersist when a cache_scope() is active.
+    from sheetsetl_spark.cache import scoped_persist
+
+    with_pid = scoped_persist(ranged.withColumn(_PID, F.spark_partition_id()))
 
     w_local = Window.partitionBy(_PID).orderBy(*order_by)
     local = with_pid.withColumn(_LOCAL, F.sum(value_col).over(w_local))

@@ -52,7 +52,10 @@ class Credentials:
         """True while the access token has at least ``skew`` seconds left
         (oauth2client's access_token_expired has the same early-refresh
         margin)."""
-        return bool(self.access_token) and (now or time.time()) < self.expiry - skew
+        # `now=0.0` (the epoch) is a legitimate test clock — only None
+        # means "use the wall clock"
+        t = time.time() if now is None else now
+        return bool(self.access_token) and t < self.expiry - skew
 
 
 class FileTokenStore:

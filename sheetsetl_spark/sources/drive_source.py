@@ -146,31 +146,58 @@ class DriveCsvStreamReader(DataSourceStreamReader):
     to incremental Structured Streaming ingestion with exactly-once file
     accounting.
 
-    Offsets are the sorted list of file ids already ingested (the Drive
-    API has no monotone change cursor at this surface, so the id set IS
-    the position; checkpointed as JSON by the engine). partitions(start,
-    end) plans one partition per NEW file, so a burst of uploads fans
-    out across executors exactly like the batch reader."""
+    Offsets are the sorted list of file ids already ingested plus an
+    id->name map captured AT LISTING TIME (the Drive API has no monotone
+    change cursor at this surface, so the id set IS the position;
+    checkpointed as JSON by the engine). partitions(start, end) plans
+    one partition per NEW file FROM THE OFFSET ITSELF — no second
+    listing — so a file present in the committed end-offset can never be
+    silently dropped by a listing race: if it is deleted before read(),
+    the task fails loudly (retryable) instead of being recorded as
+    ingested without its data. A burst of uploads fans out across
+    executors exactly like the batch reader.
+
+    Offset growth: both fields are O(files ever seen in the folder) and
+    re-serialized each batch — the same bound as Spark's own
+    FileStreamSource seen-files log. For folders beyond ~100k files
+    front a compaction (move ingested files out of the watched folder),
+    which also matches the reference's operational model of bounded
+    report folders (reference README.md:38-43)."""
 
     def __init__(self, schema: StructType, options: dict):
         self._delegate = DriveCsvReader(schema, options)
 
     def initialOffset(self) -> dict:
-        return {"ingested": []}
-
-    def _current_ids(self) -> list[str]:
-        return [p.file_id for p in self._delegate.partitions()]
+        return {"ingested": [], "names": {}}
 
     def latestOffset(self) -> dict:
-        return {"ingested": sorted(self._current_ids())}
+        listed = self._delegate.partitions()
+        return {
+            "ingested": sorted(p.file_id for p in listed),
+            "names": {p.file_id: p.name for p in listed},
+        }
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         seen = set(start.get("ingested", []))
         new = [i for i in end.get("ingested", []) if i not in seen]
-        by_id = {p.file_id: p for p in self._delegate.partitions()}
-        # a file listed at planning time but deleted before read() simply
-        # isn't in by_id anymore — skip rather than fail the batch
-        return [by_id[i] for i in sorted(new) if i in by_id]
+        names = end.get("names")
+        if names is None:
+            # pre-r6 checkpoint (ids only): one recovery listing for the
+            # names; ids missing from it are files deleted since the
+            # offset was captured — surface the loss instead of hiding it
+            names = {p.file_id: p.name for p in self._delegate.partitions()}
+            gone = [i for i in new if i not in names]
+            if gone:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "gdrive_csv: %d file(s) in the committed offset no "
+                    "longer exist and cannot be ingested: %s",
+                    len(gone),
+                    gone,
+                )
+            new = [i for i in new if i in names]
+        return [DriveFilePartition(i, names.get(i, "")) for i in sorted(new)]
 
     def read(self, partition: DriveFilePartition) -> Iterator[tuple]:
         return self._delegate.read(partition)

@@ -161,3 +161,53 @@ def test_streaming_ingests_only_new_files(spark, drive_with_csvs, tmp_path):
     # committed offset, so nothing is re-ingested
     assert second - first == {("south", "40")}
     assert len(second) == 5
+
+
+def test_stream_partitions_plan_from_offset_not_relisting(drive_with_csvs):
+    """The offset captured at latestOffset time IS the plan: a file
+    deleted between listing and planning must still be planned (read()
+    then fails loudly and retryably) instead of being silently skipped
+    yet permanently recorded as ingested (r5 ADVICE)."""
+    from pyspark.sql.types import StructType
+
+    from sheetsetl_spark.sources.drive_source import DriveCsvStreamReader
+
+    state, base = drive_with_csvs
+    schema = StructType.fromDDL("region string, amount string")
+    reader = DriveCsvStreamReader(
+        schema, {"base_url": base, "folder_id": "folder1"}
+    )
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert set(end["names"]) == set(end["ingested"])
+
+    # delete one file AFTER the offset was captured
+    del state.files["f2"]
+    parts = reader.partitions(start, end)
+    ids = {p.file_id for p in parts}
+    assert "f2" in ids, "deleted-after-listing file must still be planned"
+    by_id = {p.file_id: p.name for p in parts}
+    assert by_id["f2"] == "west.csv"  # name comes from the offset, not a re-list
+
+
+def test_stream_partitions_old_format_offset_logs_loss(drive_with_csvs, caplog):
+    """Pre-r6 checkpoints carry ids only: recovery re-lists once and
+    LOGS any id that no longer exists rather than silently dropping."""
+    import logging
+
+    from pyspark.sql.types import StructType
+
+    from sheetsetl_spark.sources.drive_source import DriveCsvStreamReader
+
+    state, base = drive_with_csvs
+    schema = StructType.fromDDL("region string, amount string")
+    reader = DriveCsvStreamReader(
+        schema, {"base_url": base, "folder_id": "folder1"}
+    )
+    old_end = {"ingested": sorted(state.files)}  # no "names" field
+    del state.files["f3"]
+    with caplog.at_level(logging.WARNING):
+        parts = reader.partitions({"ingested": []}, old_end)
+    ids = {p.file_id for p in parts}
+    assert "f3" not in ids and "f1" in ids
+    assert any("no longer exist" in r.message for r in caplog.records)

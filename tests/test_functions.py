@@ -263,3 +263,55 @@ def test_backslash_escaped_strings_are_masked():
 
     s = "SELECT * FROM t WHERE note = 'it\\'s got LIMIT 1, 2 inside'"
     assert mysql_to_spark_sql(s) == s
+
+
+def test_cte_prefixed_dml_rejects():
+    """Spark 4 and MySQL 8 both accept CTE-prefixed DML, so 'WITH t AS
+    (SELECT 1) INSERT INTO ...' must reject exactly like bare INSERT in
+    BOTH guard entry points (the r5 ADVICE bypass)."""
+    import pytest
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        ensure_read_only,
+        mysql_file_to_spark_sql,
+    )
+
+    bad = [
+        "WITH t AS (SELECT 1) INSERT INTO tgt SELECT * FROM t",
+        "WITH t AS (SELECT 1) DELETE FROM tgt WHERE x IN (SELECT * FROM t)",
+        "WITH t AS (SELECT 1), u (a, b) AS (SELECT 1, 2) UPDATE tgt SET x=1",
+        "with recursive r as (select 1) merge into tgt using r on 1=1"
+        " when matched then delete",
+        "WITH t AS (SELECT 1) REPLACE INTO tgt SELECT 1",
+        # literals/comments can't hide the main body from the scanner
+        "WITH t AS (SELECT ')INSERT' AS s) INSERT INTO tgt SELECT 1",
+        "/* c */ WITH t AS (SELECT 1) -- x\n INSERT INTO tgt SELECT 1",
+        # unparseable CTE list rejects conservatively
+        "WITH t AS SELECT 1 INSERT INTO tgt SELECT 1",
+    ]
+    for q in bad:
+        with pytest.raises(UnsupportedMySQLConstruct, match="read-only"):
+            ensure_read_only(q)
+        with pytest.raises(UnsupportedMySQLConstruct):
+            mysql_file_to_spark_sql(q)
+
+
+def test_cte_prefixed_queries_still_pass():
+    from sheetsetl_spark.functions.mysql_compat import (
+        ensure_read_only,
+        mysql_file_to_spark_sql,
+    )
+
+    good = [
+        "WITH t AS (SELECT 1) SELECT * FROM t",
+        "WITH t AS (SELECT 'INSERT INTO x' AS note) SELECT note FROM t",
+        "WITH t (a, b) AS (SELECT 1, 2), u AS (SELECT a FROM t) SELECT * FROM u",
+        "WITH RECURSIVE r AS (SELECT 1 AS n) SELECT * FROM r",
+        "WITH t AS (SELECT 1) (SELECT * FROM t)",
+        "WITH `weird name` AS (SELECT 1) TABLE nation",
+        "  -- lead comment\n WITH t AS (SELECT (1+(2)) AS v) VALUES (1)",
+    ]
+    for q in good:
+        ensure_read_only(q)
+        mysql_file_to_spark_sql(q)

@@ -123,3 +123,30 @@ def test_property_matches_naive_on_random_inputs(spark):
         assert _rows(got, ["k"]) == _rows(want, ["k"])
 
     check()
+
+
+def test_pid_assignment_is_pinned_by_persist(spark):
+    """The local-sums and offsets branches must read ONE materialized
+    pid assignment (prefix.py INVARIANT comment): repartitionByRange
+    samples boundaries per physical exchange, so split lineage could
+    give the branches different pids and silently corrupt totals. The
+    operator pins the assignment by persisting the pid-stamped frame —
+    assert the persist is actually in the plan, and that the result
+    still matches the naive window when computed under a cache_scope
+    (scope exit unpersists AFTER the action, the supported pattern)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from sheetsetl_spark.cache import cache_scope
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), ((F.col("id") * 13) % 17).alias("v")
+    )
+    with cache_scope() as tracked:
+        got = prefix_sum(df, [F.asc("k")], F.col("v"), "cum", num_partitions=8)
+        assert len(tracked) == 1, "prefix_sum must register exactly one persist"
+        assert tracked[0].storageLevel != StorageLevel.NONE
+        # InMemoryRelation must sit between the range exchange and both branches
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "InMemory" in plan
+        want = _naive(df, [F.asc("k")], F.col("v"), "cum")
+        assert _rows(got, ["k"]) == _rows(want, ["k"])
