@@ -250,6 +250,10 @@ def mysql_to_spark_sql(sql: str) -> str:
       evaluation order; Spark's ``rand(seed)`` is per-partition and
       row-order-dependent, so results would differ silently.
     - ``@var`` / ``@@sysvar`` — server session state Spark doesn't have.
+      (At FILE level, :func:`mysql_file_to_spark_sql` translates the
+      read-only constant case — ``SET @x := 42;`` chains — by inlining;
+      only vars with no constant file-level assignment reach this
+      rejection.)
     - server-state functions (``FOUND_ROWS, LAST_INSERT_ID, DATABASE,
       USER, VERSION, UUID, SLEEP, GET_LOCK, ...`` — the SURVEY B49
       class), ``SQL_CALC_FOUND_ROWS``, ``SELECT ... INTO OUTFILE`` and
@@ -348,20 +352,120 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses (literals already masked)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _apply_var_assignments(stmt: str, env: dict[str, str]) -> None:
+    """Fold one ``SET @a := expr[, @b := expr ...]`` statement into
+    ``env`` (variable name -> expanded constant SQL text).
+
+    Only the read-only monotonic case translates — constant expressions,
+    possibly chaining earlier @vars (expanded at assignment time, so
+    sequential MySQL semantics hold even under re-assignment). Anything
+    that READS state at assignment time (a subquery, a @@sysvar, an
+    unassigned @var) rejects with an actionable message."""
+    masked, slots = _mask_literals(stmt)
+    body = re.sub(r"^\s*SET\b", "", masked, flags=re.IGNORECASE)
+    for part in _split_top_level_commas(body):
+        m = re.match(r"^\s*@(\w+)\s*(?::=|=)\s*(.+?)\s*$", part, re.DOTALL)
+        if not m:
+            head = " ".join(_unmask(part, slots).split())[:60]
+            raise UnsupportedMySQLConstruct(
+                f"unsupported SET assignment {head!r}; only constant "
+                "user-variable assignments (SET @x := <literal "
+                "expression>) are translated"
+            )
+        name, expr = m.group(1), m.group(2)
+        if re.search(r"\bSELECT\b", expr, re.IGNORECASE):
+            raise UnsupportedMySQLConstruct(
+                f"SET @{name} := (SELECT ...) reads tables at assignment "
+                "time (MySQL evaluates it once, against server state); "
+                "inline the subquery into the main query instead"
+            )
+        if "@@" in expr:
+            raise UnsupportedMySQLConstruct(
+                f"SET @{name} reads a @@system variable — MySQL server "
+                "state Spark does not have; inline the intended value"
+            )
+
+        def _chain(mm: re.Match, _n: str = name) -> str:
+            ref = mm.group(0)[1:]
+            if ref not in env:
+                raise UnsupportedMySQLConstruct(
+                    f"user variable @{ref} referenced (in SET @{_n}) "
+                    "before any constant assignment"
+                )
+            return f"({env[ref]})"
+
+        expr = re.sub(r"@\w+", _chain, expr)
+        env[name] = _unmask(expr, slots).strip()
+
+
+def _substitute_user_vars(stmt: str, env: dict[str, str]) -> str:
+    """Inline file-level constant @var assignments into the result
+    statement. Assignment-in-SELECT (``@rt := @rt + x`` — MySQL's
+    running-total idiom, whose value depends on server row order)
+    rejects; @@sysvars and vars never assigned are left in place for
+    :func:`mysql_to_spark_sql`'s rejection backstop."""
+    masked, slots = _mask_literals(stmt)
+    m = re.search(r"@\w+\s*:=", masked)
+    if m:
+        raise UnsupportedMySQLConstruct(
+            f"assignment {m.group(0).strip()!r} inside a SELECT mutates "
+            "per-row session state in server evaluation order (the MySQL "
+            "running-total idiom); use a window function "
+            "(SUM(...) OVER (ORDER BY ...)) instead"
+        )
+
+    def repl(mm: re.Match) -> str:
+        tok = mm.group(0)
+        if tok.startswith("@@") or tok[1:] not in env:
+            return tok
+        return f"({env[tok[1:]]})"
+
+    return _unmask(re.sub(r"@{1,2}\w+", repl, masked), slots)
+
+
 def mysql_file_to_spark_sql(sql: str) -> str:
     """Translate a whole analyst .sql FILE: tolerate a cosmetic preamble
     (``USE db;`` / ``SET NAMES ...;`` — no-ops against the Spark catalog),
-    then translate the single result-producing statement.
+    fold constant user-variable assignments (``SET @x := 42;`` chains,
+    the most common 5.7-era analyst-folder construct) into the query by
+    inlining, then translate the single result-producing statement.
 
     Multiple result statements reject (the pipeline writes ONE sheet per
-    file — the reference's contract, loader.py:152) and stateful SETs
-    (time_zone, sql_mode, @vars) reject rather than silently changing
-    results. Each rejection message names the offending statement so the
-    per-file error log (runner.py sql_error) is actionable."""
+    file — the reference's contract, loader.py:152); stateful SETs
+    (time_zone, sql_mode), non-constant @var assignments, and
+    assignment-in-SELECT reject rather than silently changing results.
+    Each rejection message names the offending statement so the per-file
+    error log (runner.py sql_error) is actionable."""
     stmts = split_statements(sql)
     if not stmts:
         raise UnsupportedMySQLConstruct("file contains no SQL statements")
     body = [s for s in stmts if not _IGNORABLE_STMT_RE.match(s)]
+    env: dict[str, str] = {}
+    rest: list[str] = []
+    for s in body:
+        first = _without_leading_comments(s)
+        if re.match(r"^\s*SET\s+@(?!@)", first, re.IGNORECASE):
+            _apply_var_assignments(first, env)
+        else:
+            rest.append(s)
+    body = rest
     if not body:
         raise UnsupportedMySQLConstruct(
             "file contains only USE/SET preamble statements and no query"
@@ -383,8 +487,8 @@ def mysql_file_to_spark_sql(sql: str) -> str:
         if re.match(r"^\s*SET\b", first, re.IGNORECASE):
             raise UnsupportedMySQLConstruct(
                 f"stateful SET statement {' '.join(s.split())[:60]!r} "
-                "would change result semantics (time_zone/sql_mode/@vars "
-                "are MySQL session state); inline the intended behavior "
+                "would change result semantics (time_zone/sql_mode are "
+                "MySQL session state); inline the intended behavior "
                 "into the query"
             )
     if len(body) > 1:
@@ -394,7 +498,10 @@ def mysql_file_to_spark_sql(sql: str) -> str:
             f"{head!r}...); the pipeline writes one result per file — "
             "split it into one file per statement"
         )
-    return mysql_to_spark_sql(body[0])
+    stmt = body[0]
+    if env or "@" in stmt:
+        stmt = _substitute_user_vars(stmt, env)
+    return mysql_to_spark_sql(stmt)
 
 
 def _without_leading_comments(stmt: str) -> str:

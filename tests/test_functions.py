@@ -315,3 +315,34 @@ def test_cte_prefixed_queries_still_pass():
     for q in good:
         ensure_read_only(q)
         mysql_file_to_spark_sql(q)
+
+
+def test_user_var_constant_chains_translate():
+    """r5 verdict item 6: SET @x := const chains (the 5.7-era analyst
+    idiom) inline into the query; state-reading forms still reject."""
+    import pytest
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_file_to_spark_sql,
+    )
+
+    out = mysql_file_to_spark_sql(
+        "SET @a := 2; SET @b := @a * 10, @c = @b + 1;"
+        " SELECT x FROM t WHERE x BETWEEN @a AND @c"
+    )
+    assert "BETWEEN (2) AND (((2) * 10) + 1)" in " ".join(out.split())
+    # literals containing '@' are untouched
+    out = mysql_file_to_spark_sql(
+        "SET @d := 1; SELECT 'mail@host' AS m FROM t WHERE x = @d"
+    )
+    assert "'mail@host'" in out and "x = (1)" in out
+    with pytest.raises(UnsupportedMySQLConstruct, match="before any constant"):
+        mysql_file_to_spark_sql("SET @a := @zzz + 1; SELECT @a AS a")
+    with pytest.raises(UnsupportedMySQLConstruct, match="system variable"):
+        mysql_file_to_spark_sql("SET @a := @@max_connections; SELECT @a AS a")
+    with pytest.raises(UnsupportedMySQLConstruct, match="only constant"):
+        mysql_file_to_spark_sql("SET @a := 1, time_zone = '+0:00'; SELECT @a AS a")
+    # undefined var in the SELECT still hits the backstop rejection
+    with pytest.raises(UnsupportedMySQLConstruct, match="session state"):
+        mysql_file_to_spark_sql("SET @a := 1; SELECT @other FROM t")

@@ -452,6 +452,28 @@ _ANALYST_ORACLES = {
           ON n_nationkey = t.c_nationkey
         ORDER BY n_name
     """,
+    # --- round-6 corpus widening: constant @var assignment chains
+    # (SET @x := const; ... SELECT ... @x ...) now translate by inlining
+    "var_cutoff": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "var_chain": """
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM orders WHERE o_totalprice > 90000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "var_multi": """
+        SELECT p_size, COUNT(*) AS n
+        FROM part WHERE p_size BETWEEN 5 AND 15
+        GROUP BY p_size ORDER BY p_size
+    """,
+    "var_reassign": """
+        SELECT COUNT(*) AS n_customers FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    """,
 }
 
 
@@ -493,6 +515,10 @@ _REJECT_REASONS = {
     "calc_found_rows": "SQL_CALC_FOUND_ROWS",
     "insert_dml": "not a read-only query",
     "create_ddl": "not a read-only query",
+    # mutation-in-SELECT and table-reading SETs stay rejected even now
+    # that constant @var chains translate
+    "var_select_assign": "inside a SELECT",
+    "var_set_subquery": "reads tables at assignment",
 }
 
 
