@@ -33,17 +33,29 @@ def _checked_norm(vec: str) -> Column:
     A zero-norm vector has no direction: its cosine is 0/0 = NaN, and
     Spark's descending sort ranks NaN FIRST — so one degenerate row
     silently becomes every query's top "neighbor". Same hazard/fix class
-    as pca_moments' width guard (ADVICE r4): the raise_error rides the
-    projection, costing nothing on clean data and turning silent
-    corruption into an actionable failure."""
-    n = F.sqrt(_dot(vec, vec))
-    return F.when(n > 0, n).otherwise(
-        F.raise_error(
-            F.lit(
-                "cosine operators: NULL or zero-norm vector has no "
-                "direction; filter such rows out first"
+    as pca_moments' width guard (ADVICE r4): the raise_error turns
+    silent corruption into an actionable failure.
+
+    The guard lives in ``aggregate``'s ``finish`` lambda, where the
+    squared-norm sum ``s`` is a bound scalar: the d-element fold runs
+    exactly ONCE per row. The naive ``when(n > 0, n).otherwise(raise)``
+    over a full norm expression referenced the fold from both the
+    condition and the branch — measured ~18% slower on the IVF search
+    (r6 guard-cost A/B) when subexpression elimination didn't collapse
+    the duplicate. NaN/NULL sums fail the ``s > 0`` test and raise, same
+    as before."""
+    return F.aggregate(
+        F.zip_with(F.col(vec), F.col(vec), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cosine operators: NULL or zero-norm vector has no "
+                    "direction; filter such rows out first"
+                )
             )
-        )
+        ),
     )
 
 
