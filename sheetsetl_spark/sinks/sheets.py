@@ -130,7 +130,11 @@ class GoogleSheetsSink:
         existing_id = None
         for ff in self._iter_folder():
             if ff.get("mimeType") == SPREADSHEET_MIME and ff.get("name") == name:
+                # duplicate names: update the FIRST match in listing
+                # order — the reference's rule (loader.py:159-163 takes
+                # the first files.list hit), pinned by test
                 existing_id = ff.get("id")
+                break
         if existing_id:
             # .update() doesn't allow the 'parents' prop (loader.py:170)
             meta = {k: v for k, v in metadata.items() if k != "parents"}

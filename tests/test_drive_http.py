@@ -377,3 +377,46 @@ def test_401_forces_refresh_and_retries(tmp_path, token_server):
     files, next_token = client.list_files("folder1")
     assert files == [] and next_token is None
     assert len(state["token_requests"]) == 1  # exactly one forced refresh
+
+
+def test_duplicate_names_update_first_listing_match(spark, fake_drive):
+    """Two sheets with the SAME name (Drive allows duplicates), spread
+    across listing pages: upsert must update the FIRST files.list match
+    — the reference's rule (loader.py:159-163) — and never create a
+    third copy or touch the later duplicate."""
+    from sheetsetl_spark.catalog import register_views
+    from tests.conftest import SF_SMALL
+
+    state, base = fake_drive
+    register_views(spark, SF_SMALL, ("region",))
+    for fid, name in [("f1", "other"), ("f2", "regions"),
+                      ("f3", "другое"), ("f4", "regions")]:
+        state.files[fid] = {
+            "id": fid, "name": name, "mimeType": SPREADSHEET_MIME,
+            "parents": ["folder1"],
+        }
+        state.payloads[fid] = b"old"
+    # PAGE_SIZE=2: f2 sits on page 1, the duplicate f4 on page 2
+    sink = GoogleSheetsSink("folder1", client=_client(base), chunk_size=64)
+    sink.write(spark.table("region"), "regions")
+    assert len(state.files) == 4, "upsert must not create a new file"
+    assert state.payloads["f2"] != b"old", "first match must be updated"
+    assert state.payloads["f4"] == b"old", "later duplicate must be untouched"
+
+
+def test_503_then_short_write_interleaved_on_resume(spark, fake_drive):
+    """A 503 retry followed by a short-write 308 on the SAME session:
+    both recoveries re-send against the session and the final payload is
+    intact — the interleaving a flaky network actually produces."""
+    from sheetsetl_spark.catalog import register_views
+    from tests.conftest import SF_SMALL
+
+    state, base = fake_drive
+    register_views(spark, SF_SMALL, ("region",))
+    state.fail_next_puts = 1  # first PUT -> 503
+    state.short_write_next_put = True  # next PUT -> 308 holding half
+    sink = GoogleSheetsSink("folder1", client=_client(base), chunk_size=64)
+    sink.write(spark.table("region"), "regions")
+    (payload,) = state.payloads.values()
+    assert len(payload.decode().splitlines()) == 6  # header + 5 regions
+    assert state.put_count >= 3  # original + 503 re-send + short-write re-send
