@@ -49,6 +49,10 @@ HEADLINE = [
     "c18_benchmark_decontamination",  # broadcast n-gram eval overlap
     "c19_apply_mix_weights",  # deterministic weighted resampling
     "c20_quality_threshold_filter",  # percentile-cutoff curation
+    # r6 breadth (r5 verdict item 8): track a round-5 surface over time.
+    # First recorded in BENCH_r06 — cross-round totals before r6 cover
+    # the original 26 queries only.
+    "c45_duplicated_passages",  # positioned-gram duplicate-passage mining
 ]
 
 
