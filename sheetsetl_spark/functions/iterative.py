@@ -1,10 +1,13 @@
 """Iterative / recursive query support (SURVEY §2-B B42, §7 risk #5).
 
-MySQL 8.0 analysts get ``WITH RECURSIVE``; Spark (≤4.x) has no recursive
-CTE, so the engine provides the documented workaround: a bounded
-driver-side fixpoint loop over DataFrame steps. The per-iteration work is
-fully distributed; only the (tiny) loop control and emptiness check run
-on the driver.
+MySQL 8.0 analysts get ``WITH RECURSIVE``; Spark 4.1 now ships it
+natively too (SPARK-24497 — queries/recursive.py b42c runs the same
+WITH RECURSIVE text on Spark and DuckDB verbatim). This module remains
+the PROGRAMMATIC form: a bounded driver-side fixpoint loop over
+DataFrame steps, for iterations SQL can't express (per-step operators,
+dynamic convergence predicates) — and b42b pins its semantics equal to
+the native CTE. The per-iteration work is fully distributed; only the
+(tiny) loop control and emptiness check run on the driver.
 
 Scale notes: each iteration's frontier is localCheckpointed to truncate
 lineage (otherwise plan depth grows linearly and planning cost

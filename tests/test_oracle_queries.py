@@ -46,3 +46,16 @@ def test_rows_only_queries_are_deterministic(spark):
         a = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
         b = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
         assert a == b and len(a) > 0, name
+
+
+def test_native_recursive_cte_matches_fixpoint_emulation(spark):
+    """b42c (Spark 4.1 native WITH RECURSIVE) and b42b (driver fixpoint
+    loop, functions/iterative.py) walk the same nation-derived graph:
+    identical results pin the emulation's semantics to the engine's."""
+    native = sorted(
+        map(tuple, QUERIES["b42c_recursive_native"](spark, SF_DIR).collect())
+    )
+    fixpoint = sorted(
+        map(tuple, QUERIES["b42b_recursive_closure"](spark, SF_DIR).collect())
+    )
+    assert native == fixpoint
