@@ -1162,9 +1162,17 @@ def duplicated_passages(
     ).select(id_col, "g.pos", "g.gram")
     if max_gram_df:
         grams = _drop_hot_keys(grams, ["gram"], max_gram_df)
-    gd = grams.groupBy("gram").agg(F.countDistinct(id_col).alias("gdocs"))
+    # distinct-doc count per gram as a WINDOW over the gram partition:
+    # one shuffle of the gram stream and one evaluation of the explode/
+    # slice projection, vs the aggregate-then-self-join form's two of
+    # each (measured ~35% of c45's wall time at sf0.1). Group size =
+    # docs-per-gram, bounded by max_gram_df for boilerplate grams.
+    wg = Window.partitionBy("gram")
     dup = (
-        grams.join(gd.filter(F.col("gdocs") >= min_docs), "gram")
+        grams.withColumn(
+            "__gdocs", F.size(F.collect_set(F.col(id_col)).over(wg))
+        )
+        .filter(F.col("__gdocs") >= min_docs)
         .select(id_col, "pos")
     )
     # gaps-and-islands per document: consecutive duplicated window starts
