@@ -456,18 +456,21 @@ def embedding_neardup_pairs(
     # vector would make the verify cosine 0/0 = NaN, which sorts ABOVE
     # every threshold in a desc comparison — fail loudly instead (the
     # similarity.py::_checked_norm hazard class).
-    raw_norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    norm = F.when(raw_norm > 0, raw_norm).otherwise(
-        F.raise_error(
-            F.lit(
-                "embedding_neardup_pairs: NULL or zero-norm vector has no "
-                "direction; filter such rows out first"
+    # guard in aggregate's finish lambda: the squared-norm sum is a bound
+    # scalar there, so the dim-element fold runs once per row (the
+    # similarity.py::_checked_norm duplicate-evaluation lesson, r6)
+    norm = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "embedding_neardup_pairs: NULL or zero-norm vector has "
+                    "no direction; filter such rows out first"
+                )
             )
-        )
+        ),
     )
     # Signature bits cost num_planes × dim multiply-adds per vector and
     # feed three consumers (banding + both verify sides) — persist so the
