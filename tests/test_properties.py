@@ -261,3 +261,73 @@ def test_shingles_match_python_reference(spark, texts, n):
             for s in {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}:
                 want.add((i, s))
     assert got == want
+
+
+# --- read-only guard: CTE-list scanner (r6) --------------------------------
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+_decoy_literal = st.sampled_from(
+    ["'x'", "'INSERT INTO t'", "') INSERT'", "'it''s'", "'-- note'", "'a,b'"]
+)
+
+
+@st.composite
+def _cte_statement(draw):
+    """A randomized WITH statement: N CTEs (optional column lists, nested
+    parens, keyword-bearing literals) and a main body that is either a
+    query or DML. Returns (sql, is_read_only)."""
+    n = draw(st.integers(1, 4))
+    recursive = draw(st.booleans())
+    parts = []
+    for _ in range(n):
+        name = draw(_ident)
+        cols = draw(st.booleans())
+        lit = draw(_decoy_literal)
+        depth = draw(st.integers(0, 2))
+        body = f"SELECT {'(' * depth}1 + 2{')' * depth} AS c, {lit} AS s"
+        col_list = " (c, s)" if cols else ""
+        parts.append(f"{name}{col_list} AS ({body})")
+    main_is_query = draw(st.booleans())
+    first = parts[0].split(" ", 1)[0].split("(")[0]
+    if main_is_query:
+        main = draw(
+            st.sampled_from(
+                [f"SELECT * FROM {first}", f"(SELECT * FROM {first})",
+                 "VALUES (1)", f"TABLE {first}"]
+            )
+        )
+    else:
+        main = draw(
+            st.sampled_from(
+                [f"INSERT INTO tgt SELECT * FROM {first}",
+                 "DELETE FROM tgt WHERE x = 1",
+                 "UPDATE tgt SET x = 1",
+                 "REPLACE INTO tgt SELECT 1",
+                 "DROP TABLE tgt"]
+            )
+        )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    comment = draw(st.sampled_from(["", "-- c\n", "/* c */ "]))
+    return f"{comment}{kw} {', '.join(parts)} {main}", main_is_query
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=_cte_statement())
+def test_read_only_guard_classifies_random_cte_statements(case):
+    """The CTE scanner must classify EVERY generated WITH statement by
+    its MAIN body — never fooled by keyword-bearing literals, column
+    lists, nesting, or comments, in either direction."""
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        ensure_read_only,
+    )
+
+    sql, is_query = case
+    if is_query:
+        ensure_read_only(sql)  # must not raise
+    else:
+        try:
+            ensure_read_only(sql)
+            raise AssertionError(f"accepted CTE-prefixed DML: {sql!r}")
+        except UnsupportedMySQLConstruct:
+            pass
