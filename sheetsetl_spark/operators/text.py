@@ -135,17 +135,19 @@ def tf_idf_top_terms(
         id_col, F.explode("__toks").alias("term"), F.size("__toks").alias("doc_len")
     )
     tf = term_rows.groupBy(id_col, "term", "doc_len").agg(F.count("*").alias("term_cnt"))
-    df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     # N enters as a broadcast one-row aggregate, not a docs.count() driver
     # action — that action cost a whole extra scan of the corpus before
     # the real job even started.
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
-    # No broadcast hint on df_counts: it is the FULL VOCABULARY (one row
-    # per distinct term) — auto-broadcast when small, but at corpus scale
-    # a forced broadcast of billions of distinct terms would OOM every
-    # executor; the term-keyed shuffle join is the plan that survives.
+    # df per term as COUNT(*) over a term-partitioned window: tf is keyed
+    # by (doc, term), so the frame size IS the distinct-doc count. One
+    # evaluation of tf and one term shuffle, vs the aggregate-then-join
+    # form's two of each (the r6 c45 lesson). Spill-safe at corpus scale:
+    # a stop-word's window group is df rows in the (disk-backed) window
+    # buffer — no collect_set, and no vocabulary-sized broadcast.
+    wterm = Window.partitionBy("term")
     scored = (
-        tf.join(df_counts, "term")
+        tf.withColumn("df", F.count("*").over(wterm))
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
