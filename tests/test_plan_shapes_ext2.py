@@ -124,3 +124,24 @@ def test_r5_analyst_queries_stay_jvm_side(spark):
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, (name, plan)
         assert "Window" not in plan, (name, plan)
+
+
+def test_partsupp_canonical_plans_no_data_sized_nested_loops(spark):
+    """x72-x76 (canonical partsupp forms): the only nested-loop joins in
+    the executed plans are the partsupp CTE's own cross joins against a
+    1-row COUNT scalar and the literal 4-row VALUES — every line is a
+    'Cross' BNLJ, never a theta-join fallback, and no CartesianProduct
+    anywhere. Data-sized joins must plan as hash/sort-merge."""
+    for name in (
+        "x72_q2_min_cost_supplier",
+        "x73_q9_product_profit",
+        "x74_q11_important_stock",
+        "x75_q16_supplier_part_counts",
+        "x76_q20_part_promotion",
+    ):
+        plan = _executed_plan(QUERIES[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, (name, plan)
+        for ln in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in ln:
+                assert "Cross" in ln, (name, ln)
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
