@@ -140,10 +140,16 @@ WHERE s_suppkey IN (
 }
 
 
+#: The only fixture tables the canonical five touch — registering just
+#: these avoids schema/footer reads of unrelated tables (and lets the
+#: randomized-fixture fuzz run them on TPC-H-only fixture dirs).
+_TPCH_TABLES = ("region", "nation", "supplier", "part", "orders", "lineitem")
+
+
 def run_canonical(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Run one canonical query against the parquet fixtures (views are
     (re)registered from ``sf_dir``; partsupp derives in the CTE)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, _TPCH_TABLES)
     return spark.sql(CANONICAL_SQL[name])
 
 

@@ -283,3 +283,123 @@ def test_customer_queries_on_random_fixtures(spark, rows):
     # b24 exercises singleton groups (null var) and constant groups
     # (exactly-zero var via the relative floor)
     _check(spark, d, ["b24_stats_agg", "x53_conditional_agg", "x62_ratio_to_report"])
+
+
+# --- partsupp-shaped (part × supplier CTE derivation + star dims) ----------
+# The canonical TPC-H five (x72-x76) run ONE SQL text on both engines, so
+# equality must hold on ANY coherent fixture — including degenerate ones
+# the TPC-H-ish generator never emits (single supplier, empty lineitem,
+# no EUROPE region, parts that never ship).
+
+_part_row = st.tuples(
+    st.sampled_from(["small blue part", "large green gear", "smallish axle",
+                     "PROMO brass widget", "standard tin bolt"]),
+    st.sampled_from(["Brand#13", "Brand#21", "Brand#42"]),
+    st.sampled_from(["STANDARD", "ECONOMY", "PROMO BURNISHED", "LARGE PLATED"]),
+    st.sampled_from([1, 4, 7, 10, 15, 22, 30, 45, 50]),
+)
+_supp_row = st.tuples(
+    st.integers(-99999, 999999).map(lambda c: c / 100.0),  # acctbal, 2dp
+    st.integers(0, 3),  # nationkey
+)
+_line_row = st.tuples(
+    st.integers(0, 9),  # partkey (may dangle beyond the part table)
+    st.integers(0, 5),  # suppkey (may dangle)
+    st.integers(0, 7),  # orderkey
+    st.integers(1, 50),  # quantity
+    st.integers(100, 999999).map(lambda c: c / 100.0),  # extendedprice
+    st.sampled_from([0.0, 0.05, 0.1]),  # discount
+    st.integers(-200, 600),  # shipdate offset days from 1995-01-01
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    parts=st.lists(_part_row, min_size=1, max_size=10),
+    supps=st.lists(_supp_row, min_size=1, max_size=6),
+    lines=st.lists(_line_row, min_size=0, max_size=25),
+)
+def test_partsupp_canonical_queries_on_random_fixtures(spark, parts, supps, lines):
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(len(parts)), type=pa.int64()),
+            "p_name": pa.array([r[0] for r in parts]),
+            "p_brand": pa.array([r[1] for r in parts]),
+            "p_type": pa.array([r[2] for r in parts]),
+            "p_size": pa.array([r[3] for r in parts], type=pa.int32()),
+            "p_retailprice": pa.array([100.0 + i for i in range(len(parts))]),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(len(supps)), type=pa.int64()),
+            "s_name": pa.array([f"Supplier#{i}" for i in range(len(supps))]),
+            "s_nationkey": pa.array([r[1] for r in supps], type=pa.int32()),
+            "s_acctbal": pa.array([r[0] for r in supps], type=pa.float64()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(4), type=pa.int32()),
+            "n_name": pa.array([f"NATION_{i}" for i in range(4)]),
+            "n_regionkey": pa.array([0, 0, 1, 1], type=pa.int32()),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], type=pa.int32()),
+            "r_name": pa.array(["EUROPE", "ASIA"]),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[2] for r in lines], type=pa.int64()),
+            "l_partkey": pa.array([r[0] for r in lines], type=pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in lines], type=pa.int64()),
+            "l_linenumber": pa.array(range(len(lines)), type=pa.int32()),
+            "l_quantity": pa.array([float(r[3]) for r in lines]),
+            "l_extendedprice": pa.array([r[4] for r in lines]),
+            "l_discount": pa.array([r[5] for r in lines]),
+            "l_tax": pa.array([0.0] * len(lines)),
+            "l_returnflag": pa.array(["N"] * len(lines)),
+            "l_linestatus": pa.array(["O"] * len(lines)),
+            "l_shipdate": pa.array(
+                [datetime(1995, 1, 1) + timedelta(days=r[6]) for r in lines],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(8), type=pa.int64()),
+            "o_custkey": pa.array([0] * 8, type=pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 8),
+            "o_totalprice": pa.array([1000.0] * 8),
+            "o_orderdate": pa.array(
+                [datetime(1994, 6, 1) + timedelta(days=90 * i) for i in range(8)],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 8),
+        }
+    )
+    d = _write_dir(
+        {
+            "part": part,
+            "supplier": supplier,
+            "nation": nation,
+            "region": region,
+            "lineitem": lineitem,
+            "orders": orders,
+        }
+    )
+    _check(
+        spark,
+        d,
+        [
+            "x72_q2_min_cost_supplier",
+            "x73_q9_product_profit",
+            "x74_q11_important_stock",
+            "x75_q16_supplier_part_counts",
+            "x76_q20_part_promotion",
+        ],
+    )
