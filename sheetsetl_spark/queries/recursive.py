@@ -80,7 +80,7 @@ def b42c_recursive_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_oracle_queries.py pins native == fixpoint parity."""
     from sheetsetl_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("nation",))
     return spark.sql(_RECURSIVE_NATIVE_SQL)
 
 
