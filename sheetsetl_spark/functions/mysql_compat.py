@@ -164,6 +164,15 @@ _PIPE_OR_RE = re.compile(r"\|\|")
 _AMP_AND_RE = re.compile(r"&&")
 # Zero-arg now-family functions Spark spells differently.
 _CURDATE_RE = re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE)
+# Infix MOD (``a MOD b``) -> ``%``; the function form MOD(a, b) exists in
+# Spark and is left alone (negative lookahead).
+_MOD_INFIX_RE = re.compile(r"\bMOD\b(?!\s*\()", re.IGNORECASE)
+# Unary BINARY (``WHERE BINARY col = 'x'``) forces case-sensitive
+# comparison in MySQL's default ci collation; Spark comparisons are
+# ALWAYS binary, so stripping the keyword preserves the intended
+# semantics. ``CAST(x AS BINARY)`` is protected first (valid Spark).
+_AS_BINARY_RE = re.compile(r"\bAS\s+BINARY\b", re.IGNORECASE)
+_BINARY_OP_RE = re.compile(r"\bBINARY\s+", re.IGNORECASE)
 _CURTIME_RE = re.compile(r"\bCURTIME\s*\(\s*\)", re.IGNORECASE)
 _SYSDATE_RE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 # Longest-match-at-position alternation: a string consumes any '--' inside
@@ -304,6 +313,11 @@ def mysql_to_spark_sql(sql: str) -> str:
     sql = _CURDATE_RE.sub("CURRENT_DATE", sql)
     sql = _CURTIME_RE.sub("DATE_FORMAT(CURRENT_TIMESTAMP, 'HH:mm:ss')", sql)
     sql = _SYSDATE_RE.sub("CURRENT_TIMESTAMP", sql)
+    sql = _MOD_INFIX_RE.sub("%", sql)
+    sql = _AS_BINARY_RE.sub("\x01AS_BINARY\x01", sql)
+    sql = _BINARY_OP_RE.sub("", sql)
+    sql = sql.replace("\x01AS_BINARY\x01", "AS BINARY")
+    sql = _rewrite_insert_fn(sql)
     sql = _LIMIT_OFFSET_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
 
     def _iv(m: re.Match) -> str:
@@ -350,6 +364,41 @@ def split_statements(sql: str) -> list[str]:
         if without_comments.strip():
             out.append(_unmask(part, slots).strip())
     return out
+
+
+def _rewrite_insert_fn(sql: str) -> str:
+    """MySQL ``INSERT(str, pos, len, newstr)`` (string splice — no Spark
+    equivalent) -> CASE over CHAR_LENGTH/SUBSTRING/CONCAT with MySQL's
+    exact boundary semantics: original string when pos is out of range,
+    replace-to-end when len is negative or runs past the end, NULL in =
+    NULL out. Operates on MASKED text (literals are slot tokens), so a
+    string containing 'INSERT(' is never rewritten. Non-4-arg INSERT(
+    (not the splice form) is left untouched."""
+    pat = re.compile(r"\bINSERT\s*\(", re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i : m.start()])
+        j = _skip_balanced(sql, sql.index("(", m.start()))
+        if j < 0:  # unbalanced: leave for the SQL parser's own error
+            out.append(sql[m.start() :])
+            return "".join(out)
+        args = _split_top_level_commas(sql[sql.index("(", m.start()) + 1 : j - 1])
+        if len(args) != 4:
+            out.append(sql[m.start() : j])
+        else:
+            s_, p_, l_, n_ = (_rewrite_insert_fn(a.strip()) for a in args)
+            out.append(
+                f"CASE WHEN ({p_}) < 1 OR ({p_}) > CHAR_LENGTH({s_}) THEN ({s_})"
+                f" WHEN ({l_}) < 0 OR ({p_}) + ({l_}) > CHAR_LENGTH({s_})"
+                f" THEN CONCAT(SUBSTRING(({s_}), 1, ({p_}) - 1), ({n_}))"
+                f" ELSE CONCAT(SUBSTRING(({s_}), 1, ({p_}) - 1), ({n_}),"
+                f" SUBSTRING(({s_}), ({p_}) + ({l_}))) END"
+            )
+        i = j
 
 
 def _split_top_level_commas(s: str) -> list[str]:

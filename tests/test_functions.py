@@ -346,3 +346,33 @@ def test_user_var_constant_chains_translate():
     # undefined var in the SELECT still hits the backstop rejection
     with pytest.raises(UnsupportedMySQLConstruct, match="session state"):
         mysql_file_to_spark_sql("SET @a := 1; SELECT @other FROM t")
+
+
+def test_mod_binary_and_insert_fn_rewrites(spark):
+    """Infix MOD -> %, unary BINARY stripped (Spark comparisons are
+    already binary), CAST(x AS BINARY) preserved, and MySQL INSERT()
+    string splice translated with the documented boundary semantics."""
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    assert mysql_to_spark_sql("SELECT 7 MOD 2 AS m") == "SELECT 7 % 2 AS m"
+    assert mysql_to_spark_sql("SELECT MOD(7, 2) AS m") == "SELECT MOD(7, 2) AS m"
+    out = mysql_to_spark_sql(
+        "SELECT * FROM t WHERE BINARY c = 'O' AND CAST(x AS BINARY) IS NOT NULL"
+    )
+    assert "BINARY c" not in out and "AS BINARY" in out
+    # literals untouched
+    s = "SELECT 'a MOD b BINARY INSERT(' AS lit"
+    assert mysql_to_spark_sql(s) == s
+    # INSERT INTO (DML keyword, no paren) is not the splice function
+    assert "INSERT INTO" in mysql_to_spark_sql("SELECT 1 -- INSERT INTO note\n")
+    # MySQL-doc truth table, executed on Spark
+    for expr, want in [
+        ("INSERT('Quadratic', 3, 4, 'What')", "QuWhattic"),
+        ("INSERT('Quadratic', -1, 4, 'What')", "Quadratic"),
+        ("INSERT('Quadratic', 3, 100, 'What')", "QuWhat"),
+        ("INSERT('Quadratic', 10, 1, 'X')", "Quadratic"),
+        ("INSERT('abc', 1, 0, 'Z')", "Zabc"),
+        ("INSERT(NULL, 1, 1, 'Z')", None),
+    ]:
+        got = spark.sql(mysql_to_spark_sql(f"SELECT {expr} AS s")).collect()[0]["s"]
+        assert got == want, (expr, got, want)

@@ -474,6 +474,17 @@ _ANALYST_ORACLES = {
         SELECT COUNT(*) AS n_customers FROM customer
         WHERE c_mktsegment = 'BUILDING'
     """,
+    "mysql_idioms": """
+        SELECT o_orderkey % 4 AS bucket, COUNT(*) AS n
+        FROM orders WHERE o_orderstatus = 'O'
+        GROUP BY 1 ORDER BY bucket
+    """,
+    "string_splice": """
+        SELECT CONCAT(SUBSTRING(o_orderpriority, 1, 1), '~',
+                      SUBSTRING(o_orderpriority, 3)) AS spliced,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY spliced
+    """,
 }
 
 
