@@ -250,7 +250,16 @@ def mysql_to_spark_sql(sql: str) -> str:
     - ``||`` -> ``OR`` and ``&&`` -> ``AND`` — MySQL's defaults are
       LOGICAL (PIPES_AS_CONCAT off); Spark's ``||`` is string concat, a
       silent semantic flip if passed through (use CONCAT() for strings);
-    - ``CURDATE()/CURTIME()/SYSDATE()`` -> Spark spellings.
+    - ``CURDATE()/CURTIME()/SYSDATE()`` -> Spark spellings;
+    - infix ``MOD`` -> ``%``; unary ``BINARY`` stripped (Spark compares
+      binary already; ``CAST(x AS BINARY)`` preserved);
+    - ``INSERT(s,pos,len,new)`` -> exact-semantics splice CASE;
+      ``GREATEST/LEAST`` -> any-NULL-arg guard (MySQL returns NULL,
+      Spark ignores NULLs — a silent flip otherwise);
+      ``MONTHNAME/DAYNAME`` -> full-name DATE_FORMAT patterns;
+      ``WEEK(d)`` (mode 0) -> Sunday-week CASE (explicit modes reject);
+      ``TO_DAYS/FROM_DAYS`` -> day-number epoch arithmetic;
+      ``FORMAT(x, d)`` -> ``FORMAT_NUMBER``.
 
     Rejected with :class:`UnsupportedMySQLConstruct` (no faithful Spark
     semantics exist; a clear error beats a silently-different answer):
@@ -317,7 +326,7 @@ def mysql_to_spark_sql(sql: str) -> str:
     sql = _AS_BINARY_RE.sub("\x01AS_BINARY\x01", sql)
     sql = _BINARY_OP_RE.sub("", sql)
     sql = sql.replace("\x01AS_BINARY\x01", "AS BINARY")
-    sql = _rewrite_insert_fn(sql)
+    sql = _rewrite_mysql_fn_calls(sql)
     sql = _LIMIT_OFFSET_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
 
     def _iv(m: re.Match) -> str:
@@ -366,15 +375,13 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
-def _rewrite_insert_fn(sql: str) -> str:
-    """MySQL ``INSERT(str, pos, len, newstr)`` (string splice — no Spark
-    equivalent) -> CASE over CHAR_LENGTH/SUBSTRING/CONCAT with MySQL's
-    exact boundary semantics: original string when pos is out of range,
-    replace-to-end when len is negative or runs past the end, NULL in =
-    NULL out. Operates on MASKED text (literals are slot tokens), so a
-    string containing 'INSERT(' is never rewritten. Non-4-arg INSERT(
-    (not the splice form) is left untouched."""
-    pat = re.compile(r"\bINSERT\s*\(", re.IGNORECASE)
+def _rewrite_call(sql: str, name: str, render) -> str:
+    """Rewrite every ``name(args...)`` call in MASKED text (literals are
+    slot tokens, so a string containing 'NAME(' is never touched) via
+    ``render(args: list[str]) -> str | None`` — None leaves the call
+    as written. Arguments are recursively rewritten first, so nested
+    calls of the same function translate inside-out."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
     out, i = [], 0
     while True:
         m = pat.search(sql, i)
@@ -382,23 +389,116 @@ def _rewrite_insert_fn(sql: str) -> str:
             out.append(sql[i:])
             return "".join(out)
         out.append(sql[i : m.start()])
-        j = _skip_balanced(sql, sql.index("(", m.start()))
+        op = sql.index("(", m.start())
+        j = _skip_balanced(sql, op)
         if j < 0:  # unbalanced: leave for the SQL parser's own error
             out.append(sql[m.start() :])
             return "".join(out)
-        args = _split_top_level_commas(sql[sql.index("(", m.start()) + 1 : j - 1])
-        if len(args) != 4:
-            out.append(sql[m.start() : j])
-        else:
-            s_, p_, l_, n_ = (_rewrite_insert_fn(a.strip()) for a in args)
-            out.append(
-                f"CASE WHEN ({p_}) < 1 OR ({p_}) > CHAR_LENGTH({s_}) THEN ({s_})"
-                f" WHEN ({l_}) < 0 OR ({p_}) + ({l_}) > CHAR_LENGTH({s_})"
-                f" THEN CONCAT(SUBSTRING(({s_}), 1, ({p_}) - 1), ({n_}))"
-                f" ELSE CONCAT(SUBSTRING(({s_}), 1, ({p_}) - 1), ({n_}),"
-                f" SUBSTRING(({s_}), ({p_}) + ({l_}))) END"
-            )
+        args = [
+            _rewrite_call(a.strip(), name, render)
+            for a in _split_top_level_commas(sql[op + 1 : j - 1])
+        ]
+        rendered = render(args)
+        out.append(sql[m.start() : j] if rendered is None else rendered)
         i = j
+
+
+def _render_insert_fn(args: list[str]) -> str | None:
+    """MySQL ``INSERT(str, pos, len, newstr)`` string splice -> CASE over
+    CHAR_LENGTH/SUBSTRING/CONCAT with MySQL's exact boundary semantics:
+    original string when pos is out of range, replace-to-end when len is
+    negative or runs past the end, NULL in = NULL out."""
+    if len(args) != 4:
+        return None
+    s_, p_, l_, n_ = args
+    return (
+        f"CASE WHEN ({p_}) < 1 OR ({p_}) > CHAR_LENGTH({s_}) THEN ({s_})"
+        f" WHEN ({l_}) < 0 OR ({p_}) + ({l_}) > CHAR_LENGTH({s_})"
+        f" THEN CONCAT(SUBSTRING(({s_}), 1, ({p_}) - 1), ({n_}))"
+        f" ELSE CONCAT(SUBSTRING(({s_}), 1, ({p_}) - 1), ({n_}),"
+        f" SUBSTRING(({s_}), ({p_}) + ({l_}))) END"
+    )
+
+
+def _render_null_strict(spark_fn: str):
+    """MySQL GREATEST/LEAST return NULL when ANY argument is NULL; Spark
+    IGNORES NULL arguments — a silent cross-engine answer flip. Wrap the
+    Spark call in an any-arg-NULL guard."""
+
+    def render(args: list[str]) -> str | None:
+        if len(args) < 2:
+            return None
+        nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+        return (
+            f"CASE WHEN {nulls} THEN NULL"
+            f" ELSE {spark_fn}({', '.join(args)}) END"
+        )
+
+    return render
+
+
+def _render_week(args: list[str]) -> str | None:
+    """MySQL ``WEEK(d)`` default mode 0: Sunday-started weeks numbered
+    0-53, where week 1 begins at the year's first Sunday and earlier
+    days are week 0 (property-tested against a Python reference).
+    Explicit-mode WEEK(d, m) rejects — the 8 mode variants are server
+    config, not portable SQL."""
+    if len(args) == 2:
+        raise UnsupportedMySQLConstruct(
+            "WEEK(date, mode) depends on MySQL's default_week_format "
+            "server modes; use WEEK(date) (mode 0) or WEEKOFYEAR(date) "
+            "(ISO) explicitly"
+        )
+    if len(args) != 1:
+        return None
+    d = f"CAST({args[0]} AS DATE)"
+    off = f"((8 - DAYOFWEEK(TRUNC({d}, 'YEAR'))) % 7)"
+    return (
+        f"CASE WHEN DAYOFYEAR({d}) <= {off} THEN 0"
+        f" ELSE CAST(1 + FLOOR((DAYOFYEAR({d}) - {off} - 1) / 7) AS INT) END"
+    )
+
+
+def _rewrite_mysql_fn_calls(sql: str) -> str:
+    """All argument-structural function rewrites (masked text)."""
+    sql = _rewrite_call(sql, "INSERT", _render_insert_fn)
+    sql = _rewrite_call(sql, "GREATEST", _render_null_strict("GREATEST"))
+    sql = _rewrite_call(sql, "LEAST", _render_null_strict("LEAST"))
+    sql = _rewrite_call(sql, "WEEK", _render_week)
+    sql = _rewrite_call(
+        sql,
+        "MONTHNAME",
+        lambda a: f"DATE_FORMAT({a[0]}, 'MMMM')" if len(a) == 1 else None,
+    )
+    sql = _rewrite_call(
+        sql,
+        "DAYNAME",
+        lambda a: f"DATE_FORMAT({a[0]}, 'EEEE')" if len(a) == 1 else None,
+    )
+    sql = _rewrite_call(
+        sql,
+        "TO_DAYS",
+        lambda a: (
+            f"(DATEDIFF(CAST({a[0]} AS DATE), DATE '1970-01-01') + 719528)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    sql = _rewrite_call(
+        sql,
+        "FROM_DAYS",
+        lambda a: (
+            f"DATE_ADD(DATE '1970-01-01', CAST(({a[0]}) - 719528 AS INT))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    sql = _rewrite_call(
+        sql,
+        "FORMAT",
+        lambda a: f"FORMAT_NUMBER({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    return sql
 
 
 def _split_top_level_commas(s: str) -> list[str]:

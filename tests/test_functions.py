@@ -376,3 +376,58 @@ def test_mod_binary_and_insert_fn_rewrites(spark):
     ]:
         got = spark.sql(mysql_to_spark_sql(f"SELECT {expr} AS s")).collect()[0]["s"]
         assert got == want, (expr, got, want)
+
+
+def test_null_strict_greatest_least(spark):
+    """MySQL GREATEST/LEAST return NULL when ANY argument is NULL; Spark
+    ignores NULLs — the translator must close this silent answer flip."""
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    def val(expr):
+        return spark.sql(mysql_to_spark_sql(f"SELECT {expr} AS v")).collect()[0]["v"]
+
+    assert val("GREATEST(1, NULL)") is None
+    assert val("LEAST(1, NULL, 0)") is None
+    assert val("GREATEST(3, 1, 2)") == 3
+    assert val("LEAST(GREATEST(1, NULL), 5)") is None  # nested
+
+
+def test_date_name_week_and_days_functions(spark):
+    """MONTHNAME/DAYNAME full names (Spark's builtins abbreviate),
+    TO_DAYS/FROM_DAYS day-number epoch, FORMAT -> FORMAT_NUMBER, and
+    WEEK() mode 0 vs a Python reference across year boundaries."""
+    from datetime import date, timedelta
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_to_spark_sql,
+    )
+
+    def val(expr):
+        return spark.sql(mysql_to_spark_sql(f"SELECT {expr} AS v")).collect()[0]["v"]
+
+    assert val("MONTHNAME(DATE '1995-03-01')") == "March"
+    assert val("DAYNAME(DATE '1995-03-01')") == "Wednesday"
+    assert val("TO_DAYS(DATE '2007-10-07')") == 733321  # MySQL doc example
+    assert val("FROM_DAYS(733321)") == date(2007, 10, 7)
+    assert val("FORMAT(1234567.891, 2)") == "1,234,567.89"
+
+    import pytest
+
+    with pytest.raises(UnsupportedMySQLConstruct, match="default_week_format"):
+        mysql_to_spark_sql("SELECT WEEK(d, 3) FROM t")
+
+    def mysql_week0(d):
+        jan1 = date(d.year, 1, 1)
+        first_sunday = jan1 + timedelta(days=(6 - jan1.weekday()) % 7)
+        return 0 if d < first_sunday else (d - first_sunday).days // 7 + 1
+
+    import random
+
+    random.seed(7)
+    ds = [date(1990, 1, 1) + timedelta(days=random.randrange(0, 15000)) for _ in range(24)]
+    ds += [date(y, 1, d) for y in (1995, 2000, 2001) for d in (1, 2, 7, 8)]
+    exprs = ", ".join(f"WEEK(DATE '{d}') AS w{i}" for i, d in enumerate(ds))
+    row = spark.sql(mysql_to_spark_sql(f"SELECT {exprs}")).collect()[0]
+    for i, d in enumerate(ds):
+        assert row[f"w{i}"] == mysql_week0(d), str(d)
