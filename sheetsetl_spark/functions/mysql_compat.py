@@ -124,10 +124,8 @@ _INTERVAL_FN_RE = re.compile(
 _SEEDED_RAND_RE = re.compile(r"\bRAND\s*\(\s*[^)\s]", re.IGNORECASE)
 # @user_vars / @@system_vars hold server session state; Spark has none.
 _USER_VAR_RE = re.compile(r"@{1,2}\w+")
-_GROUP_CONCAT_RE = re.compile(
-    r"\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?([^()]+?)(?:\s+SEPARATOR\s+\x00(\d+)\x00)?\s*\)",
-    re.IGNORECASE,
-)
+# GROUP_CONCAT is rewritten by _render_group_concat (balanced-paren
+# scanner — full ORDER BY / SEPARATOR / multi-expr grammar).
 # Server-session-state functions (SURVEY B49 — out of scope by design):
 # a clear rejection beats a Spark parse error or, worse, a silently
 # different answer. Matched only as calls (name followed by '(').
@@ -347,13 +345,8 @@ def mysql_to_spark_sql(sql: str) -> str:
 
     sql = _DATE_FORMAT_RE.sub(_fmt, sql)
 
-    def _gc(m: re.Match) -> str:
-        distinct, expr = m.group(1), m.group(2).strip()
-        sep = slots[int(m.group(3))][1:-1] if m.group(3) is not None else ","
-        collect = "collect_set" if distinct else "collect_list"
-        return f"concat_ws('{sep}', sort_array({collect}({expr})))"
-
-    return _unmask(_GROUP_CONCAT_RE.sub(_gc, sql), slots)
+    sql = _rewrite_call(sql, "GROUP_CONCAT", _render_group_concat(slots), raw=True)
+    return _unmask(sql, slots)
 
 
 def split_statements(sql: str) -> list[str]:
@@ -375,12 +368,15 @@ def split_statements(sql: str) -> list[str]:
     return out
 
 
-def _rewrite_call(sql: str, name: str, render) -> str:
+def _rewrite_call(sql: str, name: str, render, raw: bool = False) -> str:
     """Rewrite every ``name(args...)`` call in MASKED text (literals are
     slot tokens, so a string containing 'NAME(' is never touched) via
     ``render(args: list[str]) -> str | None`` — None leaves the call
     as written. Arguments are recursively rewritten first, so nested
-    calls of the same function translate inside-out."""
+    calls of the same function translate inside-out. With ``raw=True``
+    the renderer receives ``[inner_text]`` unsplit (for grammars whose
+    top-level commas are clause syntax, e.g. GROUP_CONCAT's ORDER BY
+    key list)."""
     pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
     out, i = [], 0
     while True:
@@ -394,13 +390,33 @@ def _rewrite_call(sql: str, name: str, render) -> str:
         if j < 0:  # unbalanced: leave for the SQL parser's own error
             out.append(sql[m.start() :])
             return "".join(out)
-        args = [
-            _rewrite_call(a.strip(), name, render)
-            for a in _split_top_level_commas(sql[op + 1 : j - 1])
-        ]
+        inner = sql[op + 1 : j - 1]
+        if raw:
+            args = [_rewrite_call(inner, name, render, raw=True)]
+        else:
+            args = [
+                _rewrite_call(a.strip(), name, render)
+                for a in _split_top_level_commas(inner)
+            ]
         rendered = render(args)
         out.append(sql[m.start() : j] if rendered is None else rendered)
         i = j
+
+
+def _top_level_search(s: str, pattern: re.Pattern) -> re.Match | None:
+    """First ``pattern`` match sitting at parenthesis depth 0 of ``s``."""
+    depth = [0] * (len(s) + 1)
+    d = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        depth[i + 1] = d
+    for m in pattern.finditer(s):
+        if depth[m.start()] == 0:
+            return m
+    return None
 
 
 def _render_insert_fn(args: list[str]) -> str | None:
@@ -457,6 +473,81 @@ def _render_week(args: list[str]) -> str | None:
         f"CASE WHEN DAYOFYEAR({d}) <= {off} THEN 0"
         f" ELSE CAST(1 + FLOOR((DAYOFYEAR({d}) - {off} - 1) / 7) AS INT) END"
     )
+
+
+_GC_ORDER_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_GC_SEP_RE = re.compile(r"\bSEPARATOR\s+(\x00(\d+)\x00|\S+)\s*$", re.IGNORECASE)
+
+
+def _render_group_concat(slots: list[str]):
+    """GROUP_CONCAT([DISTINCT] expr[, expr...] [ORDER BY k [ASC|DESC],
+    ...] [SEPARATOR s]) with full clause parsing (balanced parens, so
+    function-call arguments work). Without ORDER BY the output is
+    determinized by sorting the values (the repo's long-standing
+    contract); with ORDER BY the requested keys apply — per-key
+    ASC/DESC, MySQL NULL ordering (first when ASC, last when DESC) —
+    and the value itself is the final tie-break, making ties
+    deterministic where MySQL leaves them server-ordered."""
+
+    def render(args: list[str]) -> str | None:
+        s = args[0].strip()
+        distinct = bool(re.match(r"^DISTINCT\b", s, re.IGNORECASE))
+        if distinct:
+            s = s[8:].lstrip()
+        sep = ","
+        msep = _top_level_search(s, _GC_SEP_RE)
+        if msep:
+            if msep.group(2) is None:
+                raise UnsupportedMySQLConstruct(
+                    "GROUP_CONCAT SEPARATOR must be a string literal"
+                )
+            sep = slots[int(msep.group(2))][1:-1]
+            s = s[: msep.start()].rstrip()
+        order = None
+        mo = _top_level_search(s, _GC_ORDER_RE)
+        if mo:
+            order = s[mo.end() :].strip()
+            s = s[: mo.start()].rstrip()
+        vals = [a.strip() for a in _split_top_level_commas(s)]
+        value = vals[0] if len(vals) == 1 else f"CONCAT({', '.join(vals)})"
+        if order is None:
+            collect = "collect_set" if distinct else "collect_list"
+            return f"concat_ws('{sep}', sort_array({collect}({value})))"
+        keys: list[tuple[str, bool]] = []
+        for part in _split_top_level_commas(order):
+            part = part.strip()
+            md = re.search(r"\s+(ASC|DESC)\s*$", part, re.IGNORECASE)
+            if md:
+                keys.append((part[: md.start()].strip(), md.group(1).upper() == "ASC"))
+            else:
+                keys.append((part, True))
+        if len(keys) == 1 and keys[0][0] == value:
+            flag = "" if keys[0][1] else ", false"
+            collect = "collect_set" if distinct else "collect_list"
+            return f"concat_ws('{sep}', sort_array({collect}({value}){flag}))"
+        if distinct:
+            raise UnsupportedMySQLConstruct(
+                "GROUP_CONCAT(DISTINCT x ORDER BY <other key>) is ambiguous "
+                "(one distinct value can pair with many key values); order "
+                "by the expression itself or drop DISTINCT"
+            )
+        fields = [f"({k}) AS gck{i}" for i, (k, _) in enumerate(keys)]
+        fields.append(f"({value}) AS gcv")
+        branches = []
+        for i, (_, asc) in enumerate(keys + [("<value>", True)]):
+            f = "gcv" if i == len(keys) else f"gck{i}"
+            lo, hi = ("-1", "1") if asc else ("1", "-1")
+            branches += [
+                f"WHEN l.{f} IS NULL AND r.{f} IS NOT NULL THEN {lo}",
+                f"WHEN l.{f} IS NOT NULL AND r.{f} IS NULL THEN {hi}",
+                f"WHEN l.{f} < r.{f} THEN {lo}",
+                f"WHEN l.{f} > r.{f} THEN {hi}",
+            ]
+        cmp = f"(l, r) -> CASE {' '.join(branches)} ELSE 0 END"
+        arr = f"array_sort(collect_list(STRUCT({', '.join(fields)})), {cmp})"
+        return f"concat_ws('{sep}', transform({arr}, x -> CAST(x.gcv AS STRING)))"
+
+    return render
 
 
 def _rewrite_mysql_fn_calls(sql: str) -> str:

@@ -431,3 +431,36 @@ def test_date_name_week_and_days_functions(spark):
     row = spark.sql(mysql_to_spark_sql(f"SELECT {exprs}")).collect()[0]
     for i, d in enumerate(ds):
         assert row[f"w{i}"] == mysql_week0(d), str(d)
+
+
+def test_group_concat_full_grammar(spark):
+    """GROUP_CONCAT with ORDER BY (own key, other key, DESC, multi-expr,
+    function-call args) — previously the ORDER BY leaked into
+    collect_list() (invalid SQL) and paren-bearing arguments never
+    matched at all. MySQL NULL ordering (first ASC, last DESC); ties
+    break on the value for determinism."""
+    import pytest
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_to_spark_sql,
+    )
+
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 3, 1),('b', 1, 1),('c', 2, 1),"
+        "(NULL, 9, 1),('a2', NULL, 1) AS t(name, price, k)"
+    ).createOrReplaceTempView("gc_t")
+
+    def val(gc):
+        q = mysql_to_spark_sql(f"SELECT {gc} AS v FROM gc_t GROUP BY k")
+        return spark.sql(q).collect()[0]["v"]
+
+    assert val("GROUP_CONCAT(name)") == "a,a2,b,c"
+    assert val("GROUP_CONCAT(UPPER(name))") == "A,A2,B,C"
+    assert val("GROUP_CONCAT(name ORDER BY name DESC SEPARATOR '; ')") == "c; b; a2; a"
+    assert val("GROUP_CONCAT(name ORDER BY price)") == "a2,b,c,a"  # NULL key first
+    assert val("GROUP_CONCAT(name ORDER BY price DESC)") == "a,c,b,a2"
+    assert val("GROUP_CONCAT(name, '!' ORDER BY price)") == "a2!,b!,c!,a!"
+    assert val("GROUP_CONCAT(DISTINCT name ORDER BY name DESC)") == "c,b,a2,a"
+    with pytest.raises(UnsupportedMySQLConstruct, match="ambiguous"):
+        mysql_to_spark_sql("SELECT GROUP_CONCAT(DISTINCT name ORDER BY price) FROM t")

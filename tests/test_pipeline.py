@@ -485,6 +485,12 @@ _ANALYST_ORACLES = {
                COUNT(*) AS n
         FROM orders GROUP BY 1 ORDER BY spliced
     """,
+    "priority_rollcall": """
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ' > '
+                          ORDER BY o_orderpriority DESC) AS priorities
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
 }
 
 
