@@ -589,6 +589,24 @@ def _rewrite_mysql_fn_calls(sql: str) -> str:
         "FORMAT",
         lambda a: f"FORMAT_NUMBER({a[0]}, {a[1]})" if len(a) == 2 else None,
     )
+    sql = _rewrite_call(
+        sql,
+        "STRCMP",
+        lambda a: (
+            f"CASE WHEN ({a[0]}) < ({a[1]}) THEN -1"
+            f" WHEN ({a[0]}) > ({a[1]}) THEN 1"
+            f" WHEN ({a[0]}) = ({a[1]}) THEN 0 END"
+            if len(a) == 2
+            else None
+        ),
+    )
+    sql = _rewrite_call(
+        sql,
+        "OCT",
+        lambda a: (
+            f"CONV(CAST({a[0]} AS STRING), 10, 8)" if len(a) == 1 else None
+        ),
+    )
     return sql
 
 

@@ -464,3 +464,17 @@ def test_group_concat_full_grammar(spark):
     assert val("GROUP_CONCAT(DISTINCT name ORDER BY name DESC)") == "c,b,a2,a"
     with pytest.raises(UnsupportedMySQLConstruct, match="ambiguous"):
         mysql_to_spark_sql("SELECT GROUP_CONCAT(DISTINCT name ORDER BY price) FROM t")
+
+
+def test_strcmp_and_oct_rewrites(spark):
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    def val(expr):
+        return spark.sql(mysql_to_spark_sql(f"SELECT {expr} AS v")).collect()[0]["v"]
+
+    assert val("STRCMP('a', 'b')") == -1
+    assert val("STRCMP('b', 'a')") == 1
+    assert val("STRCMP('a', 'a')") == 0
+    assert val("STRCMP('a', NULL)") is None
+    assert val("OCT(8)") == "10"
+    assert val("OCT(NULL)") is None
