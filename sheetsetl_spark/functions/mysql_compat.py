@@ -720,6 +720,15 @@ def mysql_file_to_spark_sql(sql: str) -> str:
     for s in body:
         first = _without_leading_comments(s)
         if re.match(r"^\s*SET\s+@(?!@)", first, re.IGNORECASE):
+            if rest:
+                # MySQL executes sequentially: an assignment AFTER the
+                # result statement cannot affect it — folding it would
+                # invert the file's semantics, so reject instead
+                raise UnsupportedMySQLConstruct(
+                    f"SET statement {' '.join(first.split())[:60]!r} "
+                    "appears after the result statement; move variable "
+                    "assignments before the query"
+                )
             _apply_var_assignments(first, env)
         else:
             rest.append(s)

@@ -478,3 +478,20 @@ def test_strcmp_and_oct_rewrites(spark):
     assert val("STRCMP('a', NULL)") is None
     assert val("OCT(8)") == "10"
     assert val("OCT(NULL)") is None
+
+
+def test_set_after_result_statement_rejects():
+    """MySQL runs statements sequentially: SET @x after the SELECT can't
+    affect it, so folding it would invert the file's semantics."""
+    import pytest
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_file_to_spark_sql,
+    )
+
+    with pytest.raises(UnsupportedMySQLConstruct, match="after the result"):
+        mysql_file_to_spark_sql("SELECT 1 AS x; SET @a := 2;")
+    # before-the-query placement still translates
+    out = mysql_file_to_spark_sql("SET @a := 2; SELECT @a AS x")
+    assert "(2)" in out
