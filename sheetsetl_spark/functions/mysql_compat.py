@@ -177,8 +177,12 @@ _SYSDATE_RE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
 # it, a comment consumes any quote inside it — whichever starts first wins.
 # MySQL strings allow backslash escapes (\' \\ ...) and '' doubling; MySQL
 # double-quoted strings are string literals too (ANSI_QUOTES off default).
+# Backtick-quoted IDENTIFIERS are masked as well: they exist precisely to
+# escape reserved names, so a column named `MOD` or `limit 1, 2` must
+# never be touched by keyword rewrites (`` doubling = embedded backtick).
 _STRING_OR_COMMENT_RE = re.compile(
-    r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|--[^\n]*|#[^\n]*|/\*.*?\*/",
+    r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|`(?:[^`]|``)*`"
+    r"|--[^\n]*|#[^\n]*|/\*.*?\*/",
     re.DOTALL,
 )
 # Preamble statements a folder-of-SQL file may carry that are cosmetic
@@ -790,7 +794,9 @@ def _without_leading_comments(stmt: str) -> str:
 # checking only the first keyword would let a WITH-wrapped INSERT
 # execute. The guard therefore parses past the CTE definitions and
 # requires the MAIN statement body to be a query too.
-_IDENT_RE = re.compile(r"[A-Za-z_][\w$]*|`[^`]+`")
+# A CTE name: bare word, backtick-quoted (appears as a mask token once
+# literals/identifiers are masked), or the mask token itself.
+_IDENT_RE = re.compile(r"[A-Za-z_][\w$]*|`[^`]+`|\x00\d+\x00")
 
 
 def _skip_ws(s: str, i: int) -> int:

@@ -495,3 +495,19 @@ def test_set_after_result_statement_rejects():
     # before-the-query placement still translates
     out = mysql_file_to_spark_sql("SET @a := 2; SELECT @a AS x")
     assert "(2)" in out
+
+
+def test_backtick_identifiers_are_masked():
+    """A column named `MOD`/`BINARY`/`limit 1, 2` exists precisely
+    because the bare name clashes with a keyword — rewrites must never
+    fire inside backtick-quoted identifiers."""
+    from sheetsetl_spark.functions.mysql_compat import (
+        ensure_read_only,
+        mysql_to_spark_sql,
+    )
+
+    s = "SELECT `MOD`, `BINARY`, `limit 1, 2`, `WEEK` FROM `orders` WHERE `MOD` > 1"
+    assert mysql_to_spark_sql(s) == s
+    s2 = "SELECT `a``b` FROM t"  # embedded (doubled) backtick
+    assert mysql_to_spark_sql(s2) == s2
+    ensure_read_only("WITH `weird name` AS (SELECT 1) SELECT * FROM `weird name`")
