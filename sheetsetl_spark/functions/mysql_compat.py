@@ -162,6 +162,13 @@ _PIPE_OR_RE = re.compile(r"\|\|")
 _AMP_AND_RE = re.compile(r"&&")
 # Zero-arg now-family functions Spark spells differently.
 _CURDATE_RE = re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE)
+# MySQL's bare STDDEV/STD/VARIANCE aggregates are POPULATION forms;
+# Spark's are SAMPLE forms — numerically different on every input with
+# n > 1, silently. Rewrite the bare names to the explicit _POP forms
+# (the explicit *_POP/*_SAMP spellings agree across engines and are
+# left alone — the pattern requires '(' right after the bare name).
+_STDDEV_RE = re.compile(r"\b(?:STDDEV|STD)\s*\(", re.IGNORECASE)
+_VARIANCE_RE = re.compile(r"\bVARIANCE\s*\(", re.IGNORECASE)
 # Infix MOD (``a MOD b``) -> ``%``; the function form MOD(a, b) exists in
 # Spark and is left alone (negative lookahead).
 _MOD_INFIX_RE = re.compile(r"\bMOD\b(?!\s*\()", re.IGNORECASE)
@@ -324,6 +331,8 @@ def mysql_to_spark_sql(sql: str) -> str:
     sql = _CURDATE_RE.sub("CURRENT_DATE", sql)
     sql = _CURTIME_RE.sub("DATE_FORMAT(CURRENT_TIMESTAMP, 'HH:mm:ss')", sql)
     sql = _SYSDATE_RE.sub("CURRENT_TIMESTAMP", sql)
+    sql = _STDDEV_RE.sub("STDDEV_POP(", sql)
+    sql = _VARIANCE_RE.sub("VAR_POP(", sql)
     sql = _MOD_INFIX_RE.sub("%", sql)
     sql = _AS_BINARY_RE.sub("\x01AS_BINARY\x01", sql)
     sql = _BINARY_OP_RE.sub("", sql)

@@ -511,3 +511,23 @@ def test_backtick_identifiers_are_masked():
     s2 = "SELECT `a``b` FROM t"  # embedded (doubled) backtick
     assert mysql_to_spark_sql(s2) == s2
     ensure_read_only("WITH `weird name` AS (SELECT 1) SELECT * FROM `weird name`")
+
+
+def test_stddev_variance_population_semantics(spark):
+    """MySQL's bare STDDEV/STD/VARIANCE are POPULATION aggregates;
+    Spark's are SAMPLE — a silent numeric flip on every n>1 input. The
+    translator rewrites bare forms to _POP; explicit *_SAMP/*_POP
+    spellings (identical cross-engine) pass through."""
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    q = mysql_to_spark_sql(
+        "SELECT STDDEV(x) AS s, STD(x) AS t, VARIANCE(x) AS v,"
+        " STDDEV_SAMP(x) AS ss, VAR_SAMP(x) AS vs"
+        " FROM VALUES (1.0),(2.0),(3.0) AS vals(x)"
+    )
+    assert "STDDEV_POP(" in q and "VAR_POP(" in q and "STDDEV_SAMP(" in q
+    r = spark.sql(q).collect()[0]
+    assert abs(r["v"] - 2.0 / 3.0) < 1e-12  # population variance
+    assert abs(r["s"] - (2.0 / 3.0) ** 0.5) < 1e-12
+    assert r["t"] == r["s"]
+    assert abs(r["vs"] - 1.0) < 1e-12  # explicit sample form untouched
