@@ -169,6 +169,15 @@ _CURDATE_RE = re.compile(r"\bCURDATE\s*\(\s*\)", re.IGNORECASE)
 # left alone — the pattern requires '(' right after the bare name).
 _STDDEV_RE = re.compile(r"\b(?:STDDEV|STD)\s*\(", re.IGNORECASE)
 _VARIANCE_RE = re.compile(r"\bVARIANCE\s*\(", re.IGNORECASE)
+# MySQL JSON path operators: LHS is a (possibly qualified or masked-
+# backtick) column, RHS must be a string-literal path (masked slot) —
+# which keeps these patterns disjoint from Spark lambda `->` syntax.
+_JSON_ARROW2_RE = re.compile(
+    r"((?:[A-Za-z_][\w.]*)|(?:\x00\d+\x00))\s*->>\s*(\x00\d+\x00)"
+)
+_JSON_ARROW1_RE = re.compile(
+    r"((?:[A-Za-z_][\w.]*)|(?:\x00\d+\x00))\s*->\s*(\x00\d+\x00)"
+)
 # Infix MOD (``a MOD b``) -> ``%``; the function form MOD(a, b) exists in
 # Spark and is left alone (negative lookahead).
 _MOD_INFIX_RE = re.compile(r"\bMOD\b(?!\s*\()", re.IGNORECASE)
@@ -333,6 +342,19 @@ def mysql_to_spark_sql(sql: str) -> str:
     sql = _SYSDATE_RE.sub("CURRENT_TIMESTAMP", sql)
     sql = _STDDEV_RE.sub("STDDEV_POP(", sql)
     sql = _VARIANCE_RE.sub("VAR_POP(", sql)
+    # ``col ->> '$.path'`` (text extraction) -> GET_JSON_OBJECT — exact:
+    # both unquote scalar results. Runs BEFORE any renderer that emits
+    # Spark lambdas (whose `->` must not be confused with the JSON op;
+    # the literal-path requirement keeps the patterns disjoint anyway).
+    sql = _JSON_ARROW2_RE.sub(lambda m: f"GET_JSON_OBJECT({m.group(1)}, {m.group(2)})", sql)
+    m_arrow = _JSON_ARROW1_RE.search(sql)
+    if m_arrow:
+        raise UnsupportedMySQLConstruct(
+            "col -> '$.path' returns QUOTED JSON ('\"v\"'), which Spark's "
+            "text extraction would silently unquote; use ->> (or "
+            "JSON_UNQUOTE(JSON_EXTRACT(...))) for text, or restructure "
+            "around GET_JSON_OBJECT"
+        )
     sql = _MOD_INFIX_RE.sub("%", sql)
     sql = _AS_BINARY_RE.sub("\x01AS_BINARY\x01", sql)
     sql = _BINARY_OP_RE.sub("", sql)
@@ -563,8 +585,37 @@ def _render_group_concat(slots: list[str]):
     return render
 
 
+def _render_json_unquote(args: list[str]) -> str | None:
+    """``JSON_UNQUOTE(JSON_EXTRACT(doc, path))`` — the MySQL text-
+    extraction composite — is exactly GET_JSON_OBJECT."""
+    if len(args) != 1:
+        return None
+    m = re.match(
+        r"^JSON_EXTRACT\s*\((.*)\)$", args[0].strip(), re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return None  # standalone JSON_UNQUOTE: no Spark twin — loud parse error
+    inner = _split_top_level_commas(m.group(1))
+    if len(inner) != 2:
+        return None
+    return f"GET_JSON_OBJECT({inner[0].strip()}, {inner[1].strip()})"
+
+
+def _render_json_extract(args: list[str]):
+    if len(args) == 2:
+        raise UnsupportedMySQLConstruct(
+            "JSON_EXTRACT returns QUOTED JSON ('\"v\"'), which Spark's "
+            "text extraction would silently unquote; use ->> or "
+            "JSON_UNQUOTE(JSON_EXTRACT(...)) — both translate to "
+            "GET_JSON_OBJECT"
+        )
+    return None
+
+
 def _rewrite_mysql_fn_calls(sql: str) -> str:
     """All argument-structural function rewrites (masked text)."""
+    sql = _rewrite_call(sql, "JSON_UNQUOTE", _render_json_unquote)
+    sql = _rewrite_call(sql, "JSON_EXTRACT", _render_json_extract)
     sql = _rewrite_call(sql, "INSERT", _render_insert_fn)
     sql = _rewrite_call(sql, "GREATEST", _render_null_strict("GREATEST"))
     sql = _rewrite_call(sql, "LEAST", _render_null_strict("LEAST"))

@@ -531,3 +531,32 @@ def test_stddev_variance_population_semantics(spark):
     assert abs(r["s"] - (2.0 / 3.0) ** 0.5) < 1e-12
     assert r["t"] == r["s"]
     assert abs(r["vs"] - 1.0) < 1e-12  # explicit sample form untouched
+
+
+def test_json_path_operators(spark):
+    """MySQL ->> and JSON_UNQUOTE(JSON_EXTRACT(...)) translate exactly
+    to GET_JSON_OBJECT; the quoted-JSON forms (-> / bare JSON_EXTRACT)
+    reject rather than silently unquoting."""
+    import pytest
+
+    from sheetsetl_spark.functions.mysql_compat import (
+        UnsupportedMySQLConstruct,
+        mysql_to_spark_sql,
+    )
+
+    spark.sql("""SELECT '{"k": "v"}' AS doc""").createOrReplaceTempView("json_t")
+    q = mysql_to_spark_sql(
+        "SELECT doc ->> '$.k' AS k,"
+        " JSON_UNQUOTE(JSON_EXTRACT(doc, '$.k')) AS k2 FROM json_t"
+    )
+    r = spark.sql(q).collect()[0]
+    assert (r["k"], r["k2"]) == ("v", "v")
+    for bad in (
+        "SELECT doc -> '$.k' FROM json_t",
+        "SELECT JSON_EXTRACT(doc, '$.k') FROM json_t",
+    ):
+        with pytest.raises(UnsupportedMySQLConstruct, match="QUOTED JSON"):
+            mysql_to_spark_sql(bad)
+    # literal containing an arrow is untouched
+    s = "SELECT 'a ->> b' AS lit FROM json_t"
+    assert mysql_to_spark_sql(s) == s
