@@ -3,10 +3,19 @@
 
 Prints exactly one JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {name: median_sec, ...},
+   "spread": {name: [min_sec, max_sec], ...}, "runs": 3, "sf": 0.1}
 
 Each query is materialized with a noop sink (full column evaluation on
 executors, no driver collect) — the honest distributed cost.
+
+Median-of-3 (r6 verdict item 2): two consecutive rounds burned verdict
+time adjudicating single-shot noise (the measured machine-variance band
+is ±6%, SCALE.md). Each query runs in three interleaved passes over the
+full list — interleaving spreads a transient load spike across queries
+instead of concentrating it on one — and the artifact records the
+per-query MEDIAN plus the min/max spread, so a round-over-round delta
+can be read against the same-round spread before calling it a trend.
 """
 
 from __future__ import annotations
@@ -14,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -88,12 +98,27 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(runs):
+        # Operators that persist intermediates (c2b shingles, c2e
+        # signatures) key the cache on the canonicalized plan: without
+        # this, pass 2+ would time a cache READ, not the operator, and
+        # medians would stop being comparable with the r1-r6 single-shot
+        # record. Each pass starts cold, exactly like the old bench.
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - start, 3))
 
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
+    spread = {
+        name: [round(min(vals), 3), round(max(vals), 3)]
+        for name, vals in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -102,6 +127,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -124,6 +124,11 @@ _INTERVAL_FN_RE = re.compile(
 _SEEDED_RAND_RE = re.compile(r"\bRAND\s*\(\s*[^)\s]", re.IGNORECASE)
 # @user_vars / @@system_vars hold server session state; Spark has none.
 _USER_VAR_RE = re.compile(r"@{1,2}\w+")
+# Nondeterministic functions are evaluated ONCE by MySQL's SET but would
+# re-evaluate per reference site under textual inlining — reject in SET.
+_NONDET_SET_FN_RE = re.compile(
+    r"\b(RAND|UUID|UUID_SHORT|SYSDATE|RANDOM_BYTES)\s*\(", re.IGNORECASE
+)
 # GROUP_CONCAT is rewritten by _render_group_concat (balanced-paren
 # scanner — full ORDER BY / SEPARATOR / multi-expr grammar).
 # Server-session-state functions (SURVEY B49 — out of scope by design):
@@ -180,7 +185,9 @@ _JSON_ARROW1_RE = re.compile(
 )
 # Infix MOD (``a MOD b``) -> ``%``; the function form MOD(a, b) exists in
 # Spark and is left alone (negative lookahead).
-_MOD_INFIX_RE = re.compile(r"\bMOD\b(?!\s*\()", re.IGNORECASE)
+# Negative lookbehind for '.', '`', and word chars: ``t.mod`` / ``x.mod``
+# are qualified identifiers, not the infix operator.
+_MOD_INFIX_RE = re.compile(r"(?<![.\w`])MOD(?![\w`])(?!\s*\()", re.IGNORECASE)
 # Unary BINARY (``WHERE BINARY col = 'x'``) forces case-sensitive
 # comparison in MySQL's default ci collation; Spark comparisons are
 # ALWAYS binary, so stripping the keyword preserves the intended
@@ -722,6 +729,19 @@ def _apply_var_assignments(stmt: str, env: dict[str, str]) -> None:
             raise UnsupportedMySQLConstruct(
                 f"SET @{name} reads a @@system variable — MySQL server "
                 "state Spark does not have; inline the intended value"
+            )
+        # MySQL evaluates SET once (one value per session); this translator
+        # inlines the expression TEXT into every reference site, so a
+        # nondeterministic expression would re-evaluate per reference —
+        # a silently different answer. Reject rather than silently differ.
+        nondet = _NONDET_SET_FN_RE.search(expr)
+        if nondet:
+            raise UnsupportedMySQLConstruct(
+                f"SET @{name} := ...{nondet.group(1).upper()}()... is "
+                "nondeterministic: MySQL evaluates SET once per session, "
+                "but this translator inlines the expression per reference "
+                "site, which would re-evaluate it per row; precompute a "
+                "literal value instead"
             )
 
         def _chain(mm: re.Match, _n: str = name) -> str:

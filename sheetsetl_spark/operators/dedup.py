@@ -1134,9 +1134,12 @@ def duplicated_passages(
 
     Plan shape at 100 TB: one corpus scan builds the positioned
     ``min_len``-gram stream (Catalyst sequence/transform/slice lambdas,
-    no Python); gram -> distinct-doc-count is one map-side-combined
-    shuffle (this index IS the dedup structure — same posture as the
-    minhash band table, never an all-pairs stage); the island merge
+    no Python); gram -> distinct-doc-count is ONE shuffle on the gram key
+    computed as dense_rank+max windows over the gram partition — the
+    window buffer is Spark's spill-backed row array, so even a
+    boilerplate gram shared by millions of docs spills rather than OOMs
+    (this index IS the dedup structure — same posture as the minhash band
+    table, never an all-pairs stage); the island merge
     (pos - row_number) runs in a PER-DOCUMENT window, bounded by document
     length. ``max_gram_df`` additionally drops degenerate boilerplate
     grams (license headers) via the standard hot-list anti-join before
@@ -1168,13 +1171,18 @@ def duplicated_passages(
     # distinct-doc count per gram as a WINDOW over the gram partition:
     # one shuffle of the gram stream and one evaluation of the explode/
     # slice projection, vs the aggregate-then-self-join form's two of
-    # each (measured ~35% of c45's wall time at sf0.1). Group size =
-    # docs-per-gram, bounded by max_gram_df for boilerplate grams.
+    # each (measured ~35% of c45's wall time at sf0.1). dense_rank over
+    # (gram ORDER BY doc_id) then max over the same partition = distinct
+    # doc count WITHOUT materializing a per-gram set on the heap (the
+    # earlier collect_set form built an in-memory set per gram — a
+    # boilerplate gram shared by millions of docs would OOM); WindowExec
+    # buffers rows in a spillable array, so a hot gram spills instead.
+    # Both windows share the gram partitioning: one Exchange, one sort.
+    wd = Window.partitionBy("gram").orderBy(id_col)
     wg = Window.partitionBy("gram")
     dup = (
-        grams.withColumn(
-            "__gdocs", F.size(F.collect_set(F.col(id_col)).over(wg))
-        )
+        grams.withColumn("__dr", F.dense_rank().over(wd))
+        .withColumn("__gdocs", F.max("__dr").over(wg))
         .filter(F.col("__gdocs") >= min_docs)
         .select(id_col, "pos")
     )

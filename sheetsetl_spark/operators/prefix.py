@@ -72,12 +72,17 @@ def prefix_sum(
     # compiled to separate exchanges (exchange reuse disabled, AQE edge
     # cases, nondeterministic upstream), spark_partition_id() could
     # differ between them and the broadcast offsets would silently
-    # corrupt the running totals. Persisting the pid-stamped frame pins
-    # ONE materialized assignment that both branches read; scoped_persist
-    # registers it for unpersist when a cache_scope() is active.
-    from sheetsetl_spark.cache import scoped_persist
-
-    with_pid = scoped_persist(ranged.withColumn(_PID, F.spark_partition_id()))
+    # corrupt the running totals. A lazy localCheckpoint pins ONE
+    # materialized assignment that both branches read: lineage is
+    # truncated at the checkpoint (a recompute can never re-sample
+    # boundaries), and — unlike DataFrame.persist, whose CacheManager
+    # entry lives until explicitly unpersisted — the checkpoint blocks
+    # are released by Spark's ContextCleaner as soon as the returned
+    # DataFrame is dropped, so bare call sites (no cache_scope) cannot
+    # leak storage.
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
     w_local = Window.partitionBy(_PID).orderBy(*order_by)
     local = with_pid.withColumn(_LOCAL, F.sum(value_col).over(w_local))

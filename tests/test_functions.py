@@ -346,6 +346,15 @@ def test_user_var_constant_chains_translate():
     # undefined var in the SELECT still hits the backstop rejection
     with pytest.raises(UnsupportedMySQLConstruct, match="session state"):
         mysql_file_to_spark_sql("SET @a := 1; SELECT @other FROM t")
+    # r6 advice: MySQL evaluates SET once; textual inlining would
+    # re-evaluate a nondeterministic expression per reference site —
+    # reject rather than silently differ
+    for fn in ("RAND()", "UUID()", "SYSDATE()", "RAND() * 10"):
+        with pytest.raises(UnsupportedMySQLConstruct, match="nondeterministic"):
+            mysql_file_to_spark_sql(f"SET @a := {fn}; SELECT @a, @a FROM t")
+    # deterministic functions in SET still fold
+    out = mysql_file_to_spark_sql("SET @a := ABS(-3); SELECT @a AS a FROM t")
+    assert "ABS(-3)" in out
 
 
 def test_mod_binary_and_insert_fn_rewrites(spark):
@@ -356,6 +365,12 @@ def test_mod_binary_and_insert_fn_rewrites(spark):
 
     assert mysql_to_spark_sql("SELECT 7 MOD 2 AS m") == "SELECT 7 % 2 AS m"
     assert mysql_to_spark_sql("SELECT MOD(7, 2) AS m") == "SELECT MOD(7, 2) AS m"
+    # r6 advice: qualified identifiers named 'mod' are NOT the infix op
+    assert mysql_to_spark_sql("SELECT t.mod FROM t") == "SELECT t.mod FROM t"
+    assert (
+        mysql_to_spark_sql("SELECT `mod` FROM t WHERE a MOD b = 0")
+        == "SELECT `mod` FROM t WHERE a % b = 0"
+    )
     out = mysql_to_spark_sql(
         "SELECT * FROM t WHERE BINARY c = 'O' AND CAST(x AS BINARY) IS NOT NULL"
     )

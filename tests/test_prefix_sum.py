@@ -87,7 +87,9 @@ def test_x67_plan_no_single_partition_data_window(spark):
     exchange, never an Exchange SinglePartition ahead of a data window."""
     df = QUERIES["x67_running_total"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange rangepartitioning" in plan, plan
+    # the range exchange lives INSIDE the pinned localCheckpoint RDD
+    # (lineage truncated), so the visible plan scans the existing RDD
+    assert "ExistingRDD" in plan, plan
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
@@ -125,28 +127,25 @@ def test_property_matches_naive_on_random_inputs(spark):
     check()
 
 
-def test_pid_assignment_is_pinned_by_persist(spark):
+def test_pid_assignment_is_pinned_by_checkpoint(spark):
     """The local-sums and offsets branches must read ONE materialized
     pid assignment (prefix.py INVARIANT comment): repartitionByRange
     samples boundaries per physical exchange, so split lineage could
     give the branches different pids and silently corrupt totals. The
-    operator pins the assignment by persisting the pid-stamped frame —
-    assert the persist is actually in the plan, and that the result
-    still matches the naive window when computed under a cache_scope
-    (scope exit unpersists AFTER the action, the supported pattern)."""
-    from pyspark.storagelevel import StorageLevel
-
-    from sheetsetl_spark.cache import cache_scope
-
+    operator pins the assignment with a lazy localCheckpoint — assert
+    the checkpoint truncation is actually in the plan (both branches
+    scan the SAME existing RDD, not two fresh exchanges), and that the
+    result matches the naive window. Unlike persist, the checkpoint
+    needs no cache_scope: ContextCleaner frees the blocks once the
+    result DataFrame is dropped, so bare call sites cannot leak."""
     df = spark.range(0, 500).select(
         F.col("id").alias("k"), ((F.col("id") * 13) % 17).alias("v")
     )
-    with cache_scope() as tracked:
-        got = prefix_sum(df, [F.asc("k")], F.col("v"), "cum", num_partitions=8)
-        assert len(tracked) == 1, "prefix_sum must register exactly one persist"
-        assert tracked[0].storageLevel != StorageLevel.NONE
-        # InMemoryRelation must sit between the range exchange and both branches
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "InMemory" in plan
-        want = _naive(df, [F.asc("k")], F.col("v"), "cum")
-        assert _rows(got, ["k"]) == _rows(want, ["k"])
+    got = prefix_sum(df, [F.asc("k")], F.col("v"), "cum", num_partitions=8)
+    # lineage is cut at the checkpoint: the executed plan scans the
+    # pinned RDD and contains NO range exchange of its own
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan.lower()
+    want = _naive(df, [F.asc("k")], F.col("v"), "cum")
+    assert _rows(got, ["k"]) == _rows(want, ["k"])
