@@ -96,7 +96,26 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
-    """Register every fixture table as a temp view (folder-as-catalog)."""
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    case_insensitive: bool = False,
+) -> None:
+    """Register every fixture table as a temp view (folder-as-catalog).
+
+    ``case_insensitive=True`` re-types every string column to the
+    ``UTF8_LCASE`` collation before registering (functions/collation.py)
+    — the MySQL default-ci-collation emulation mode: comparisons,
+    DISTINCT, GROUP BY and ORDER BY in analyst SQL over these views fold
+    case, matching the server the reference delegates to
+    (reference src/loader.py:231). Off by default: binary comparison,
+    the mode every existing oracle checks.
+    """
     for name in tables:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = load_table(spark, sf_dir, name)
+        if case_insensitive:
+            from sheetsetl_spark.functions.collation import ci_collate_strings
+
+            df = ci_collate_strings(df)
+        df.createOrReplaceTempView(name)

@@ -546,3 +546,70 @@ def c47_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             qc.referential("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+@query(
+    "c48_ci_collation",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg,
+             CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+                  ELSE c_name END AS nm,
+             c_acctbal
+      FROM customer)
+    SELECT lower(seg) AS seg_ci,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT lower(nm)) AS n_names,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM c
+    WHERE lower(seg) <> 'machinery'
+    GROUP BY lower(seg)
+    ORDER BY seg_ci
+    """,
+)
+def c48_ci_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-dialect (r6 verdict item 3): MySQL default CASE-INSENSITIVE
+    collation, emulated with Spark 4 string collations rather than
+    lower()-wrapping. The reference's analysts run against ci-collated
+    MySQL (reference src/loader.py:231 delegates verbatim), where
+    ``WHERE seg <> 'machinery'`` also excludes ``'MACHINERY'`` and
+    DISTINCT / GROUP BY fold case — Spark's binary default silently
+    flips all of those answers.
+
+    Mixed-case input is derived deterministically (half the segments
+    lowercased, a third of the names uppercased, keyed on c_custkey), the
+    string columns are re-typed to UTF8_LCASE
+    (functions/collation.py::ci_collate_strings — the same projection
+    ``register_views(case_insensitive=True)`` applies catalog-wide), and
+    then the FILTER, the GROUP BY, and the COUNT(DISTINCT) all run on
+    the collated type with no lower() in sight; the DuckDB oracle is the
+    lower()-folded twin. Output labels are lowercased because a
+    ci-grouped key's representative CASING is nondeterministic (the
+    values compare equal); the fold itself is what's under test."""
+    from sheetsetl_spark.functions.collation import ci_collate_strings
+
+    cust = load_table(spark, sf_dir, "customer")
+    derived = cust.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("nm"),
+        "c_acctbal",
+    )
+    ci = ci_collate_strings(derived)
+    return (
+        ci.filter(F.col("seg") != "machinery")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("nm").alias("n_names"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+        .select(F.lower("seg").alias("seg_ci"), "cnt", "n_names", "sum_bal")
+        .orderBy("seg_ci")
+    )
