@@ -496,24 +496,75 @@ def _render_null_strict(spark_fn: str):
 
 
 def _render_week(args: list[str]) -> str | None:
-    """MySQL ``WEEK(d)`` default mode 0: Sunday-started weeks numbered
-    0-53, where week 1 begins at the year's first Sunday and earlier
-    days are week 0 (property-tested against a Python reference).
-    Explicit-mode WEEK(d, m) rejects — the 8 mode variants are server
-    config, not portable SQL."""
-    if len(args) == 2:
-        raise UnsupportedMySQLConstruct(
-            "WEEK(date, mode) depends on MySQL's default_week_format "
-            "server modes; use WEEK(date) (mode 0) or WEEKOFYEAR(date) "
-            "(ISO) explicitly"
-        )
-    if len(args) != 1:
+    """MySQL ``WEEK(d[, mode])`` for all 8 modes (default 0).
+
+    Decomposition of MySQL's ``calc_week`` (sql/sql_time.cc) into a
+    week-start/anchor formulation, property-tested against an
+    independent Python port of the C algorithm
+    (tests/test_functions.py::test_week_all_modes_property):
+
+    - start day ``s0``: Monday for odd modes, Sunday for even
+      (DAYOFWEEK: Sun=1, so s0 = 2 or 1);
+    - ``week_start(x) = x - ((DAYOFWEEK(x) - s0) mod 7)``;
+    - week 1 of year y starts at ``anchor(jan1) = week_start(jan1+k-1)``
+      where ``k = 4`` for ">= 4 days in the year" modes (1,3,4,6) and
+      ``k = 7`` for "contains the year's first start-day" modes
+      (0,2,5,7) — after MySQL's week_mode() bit-flip for Sunday modes;
+    - ``w = floor((week_start(d) - anchor(jan1)) / 7) + 1``;
+    - days before week 1: modes without the WEEK_YEAR bit (0,1,4,5)
+      return 0; WEEK_YEAR modes (2,3,6,7) return the week number
+      against the PREVIOUS year's anchor (52/53);
+    - WEEK_YEAR modes additionally re-assign a trailing week whose
+      start reaches the NEXT year's anchor to week 1.
+
+    The mode must be an integer literal 0-7 (analyst corpora always
+    write it literally; a column-valued mode rejects)."""
+    if len(args) not in (1, 2):
         return None
+    if len(args) == 2:
+        mode_txt = args[1].strip()
+        if not re.fullmatch(r"[0-7]", mode_txt):
+            raise UnsupportedMySQLConstruct(
+                f"WEEK(date, mode) requires a literal mode 0-7, got "
+                f"{mode_txt!r}"
+            )
+        mode = int(mode_txt)
+    else:
+        mode = 0
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    if not monday_first:  # MySQL week_mode(): flip for Sunday-first
+        first_weekday = not first_weekday
+    s0 = 2 if monday_first else 1
+    k = 7 if first_weekday else 4
+
     d = f"CAST({args[0]} AS DATE)"
-    off = f"((8 - DAYOFWEEK(TRUNC({d}, 'YEAR'))) % 7)"
+    jan1 = f"TRUNC({d}, 'YEAR')"
+
+    def ws(x: str) -> str:
+        return f"DATE_SUB({x}, PMOD(DAYOFWEEK({x}) - {s0}, 7))"
+
+    def anchor(j: str) -> str:
+        return ws(f"DATE_ADD({j}, {k - 1})")
+
+    wsd = ws(d)
+    w_this = f"CAST(FLOOR(DATEDIFF({wsd}, {anchor(jan1)}) / 7) + 1 AS INT)"
+    before_w1 = f"DATEDIFF({wsd}, {anchor(jan1)}) < 0"
+    if week_year:
+        prev = anchor(f"ADD_MONTHS({jan1}, -12)")
+        nxt = anchor(f"ADD_MONTHS({jan1}, 12)")
+        w_prev = f"CAST(FLOOR(DATEDIFF({wsd}, {prev}) / 7) + 1 AS INT)"
+        return (
+            f"CASE WHEN {d} IS NULL THEN NULL"
+            f" WHEN {before_w1} THEN {w_prev}"
+            f" WHEN DATEDIFF({wsd}, {nxt}) >= 0 THEN 1"
+            f" ELSE {w_this} END"
+        )
     return (
-        f"CASE WHEN DAYOFYEAR({d}) <= {off} THEN 0"
-        f" ELSE CAST(1 + FLOOR((DAYOFYEAR({d}) - {off} - 1) / 7) AS INT) END"
+        f"CASE WHEN {d} IS NULL THEN NULL"
+        f" WHEN {before_w1} THEN 0"
+        f" ELSE {w_this} END"
     )
 
 

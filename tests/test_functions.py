@@ -429,8 +429,11 @@ def test_date_name_week_and_days_functions(spark):
 
     import pytest
 
-    with pytest.raises(UnsupportedMySQLConstruct, match="default_week_format"):
-        mysql_to_spark_sql("SELECT WEEK(d, 3) FROM t")
+    # non-literal mode still rejects; literal modes 0-7 translate (below)
+    with pytest.raises(UnsupportedMySQLConstruct, match="literal mode"):
+        mysql_to_spark_sql("SELECT WEEK(d, m) FROM t")
+    with pytest.raises(UnsupportedMySQLConstruct, match="literal mode"):
+        mysql_to_spark_sql("SELECT WEEK(d, 8) FROM t")
 
     def mysql_week0(d):
         jan1 = date(d.year, 1, 1)
@@ -575,3 +578,78 @@ def test_json_path_operators(spark):
     # literal containing an arrow is untouched
     s = "SELECT 'a ->> b' AS lit FROM json_t"
     assert mysql_to_spark_sql(s) == s
+
+
+def test_week_all_modes_property(spark):
+    """WEEK(d, mode) for every mode 0-7 vs an independent Python port of
+    MySQL's calc_week (sql/sql_time.cc) — the SQL renderer uses a
+    week-start/anchor decomposition, the reference below transliterates
+    the C control flow, so agreement across random + boundary dates is
+    two independent derivations meeting."""
+    from calendar import isleap
+    from datetime import date, timedelta
+
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    def calc_week(d, mode):
+        # transliteration of MySQL calc_week + week_mode()
+        monday_first = bool(mode & 1)
+        week_year = bool(mode & 2)
+        first_weekday = bool(mode & 4)
+        if not monday_first:
+            first_weekday = not first_weekday
+        year = d.year
+        daynr = d.toordinal()
+        first_daynr = date(year, 1, 1).toordinal()
+        # calc_weekday(first_daynr, sunday_first = not monday_first)
+        wd_mon0 = date(year, 1, 1).weekday()
+        weekday = (wd_mon0 + 1) % 7 if not monday_first else wd_mon0
+        if d.month == 1 and d.day <= 7 - weekday:
+            if not week_year and (
+                (first_weekday and weekday != 0)
+                or (not first_weekday and weekday >= 4)
+            ):
+                return 0
+            week_year = True
+            year -= 1
+            days = 366 if isleap(year) else 365
+            first_daynr -= days
+            weekday = (weekday + 53 * 7 - days) % 7
+        if (first_weekday and weekday != 0) or (
+            not first_weekday and weekday >= 4
+        ):
+            days = daynr - (first_daynr + (7 - weekday))
+        else:
+            days = daynr - (first_daynr - weekday)
+        if week_year and days >= 52 * 7:
+            weekday = (weekday + (366 if isleap(year) else 365)) % 7
+            if (not first_weekday and weekday < 4) or (
+                first_weekday and weekday == 0
+            ):
+                return 1
+        return days // 7 + 1
+
+    import random
+
+    random.seed(11)
+    ds = [
+        date(1990, 1, 1) + timedelta(days=random.randrange(0, 15000))
+        for _ in range(12)
+    ]
+    # year-boundary gauntlet: every day Dec 26 - Jan 8 around several years
+    for y in (1995, 1999, 2000, 2004, 2016):
+        ds += [date(y, 12, 26) + timedelta(days=i) for i in range(14)]
+    for mode in range(8):
+        exprs = ", ".join(
+            f"WEEK(DATE '{d}', {mode}) AS w{i}" for i, d in enumerate(ds)
+        )
+        row = spark.sql(mysql_to_spark_sql(f"SELECT {exprs}")).collect()[0]
+        for i, d in enumerate(ds):
+            assert row[f"w{i}"] == calc_week(d, mode), (str(d), mode)
+    # WEEK(d) == WEEK(d, 0)
+    row = spark.sql(
+        mysql_to_spark_sql(
+            "SELECT WEEK(DATE '2000-01-02') AS a, WEEK(DATE '2000-01-02', 0) AS b"
+        )
+    ).collect()[0]
+    assert row["a"] == row["b"]

@@ -491,6 +491,49 @@ _ANALYST_ORACLES = {
                           ORDER BY o_orderpriority DESC) AS priorities
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
+    # --- round-7: WEEK(d, mode) 0-7 + date±int (r6 verdict item 5).
+    # iso_weeks checks mode 3 against DuckDB's own independent ISO
+    # implementation; the mode-0/1 twins use the week-start/anchor
+    # arithmetic (the C-port property test in test_functions.py is the
+    # independent check of the formula itself).
+    "iso_weeks": """
+        SELECT CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01'
+        GROUP BY weekofyear(o_orderdate) ORDER BY iso_week
+    """,
+    "sunday_weeks": """
+        SELECT CAST(CASE WHEN o_orderdate < fs THEN 0
+                         ELSE datediff('day', fs, o_orderdate) // 7 + 1 END AS INT) AS wk,
+               COUNT(*) AS n_orders
+        FROM (SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
+                     CAST(date_trunc('year', o_orderdate) AS DATE)
+                       + CAST((7 - isodow(date_trunc('year', o_orderdate))) % 7 AS INT) AS fs
+              FROM orders
+              WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-03-01') t
+        GROUP BY 1 ORDER BY wk
+    """,
+    "monday_weeks": """
+        SELECT CAST(CASE WHEN ws < a THEN 0
+                         ELSE datediff('day', a, ws) // 7 + 1 END AS INT) AS wk_m1,
+               COUNT(*) AS n_orders
+        FROM (SELECT d - CAST(isodow(d) - 1 AS INT) AS ws,
+                     (j1 + 3) - CAST(isodow(j1 + 3) - 1 AS INT) AS a
+              FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                           CAST(date_trunc('year', o_orderdate) AS DATE) AS j1
+                    FROM orders
+                    WHERE o_orderdate >= '1994-01-01'
+                      AND o_orderdate < '1994-03-01') raw) t
+        GROUP BY 1 ORDER BY wk_m1
+    """,
+    "date_plus_int": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-06-01' - 90
+          AND o_orderdate < DATE '1996-06-01' + 7
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
 }
 
 
