@@ -56,10 +56,22 @@ class HttpDriveClient:
         base_url: str,
         token: str | Callable[[], str] = "",
         timeout: float = 30.0,
+        max_rate_limit_retries: int = 4,
+        backoff_base: float = 0.5,
+        backoff_cap: float = 16.0,
+        sleep: Callable[[float], None] | None = None,
     ):
         self.base_url = base_url.rstrip("/")
         self.token = token
         self.timeout = timeout
+        self.max_rate_limit_retries = max_rate_limit_retries
+        self.backoff_base = backoff_base
+        self.backoff_cap = backoff_cap
+        if sleep is None:
+            import time as _time
+
+            sleep = _time.sleep
+        self._sleep = sleep
 
     # -- plumbing ----------------------------------------------------------
     def _bearer(self) -> str:
@@ -78,20 +90,44 @@ class HttpDriveClient:
         body: bytes | None = None,
         headers: dict[str, str] | None = None,
     ):
-        try:
-            req = urllib.request.Request(
-                url, data=body, headers=self._headers(headers), method=method
-            )
-            return urllib.request.urlopen(req, timeout=self.timeout)
-        except urllib.error.HTTPError as e:
-            force = getattr(self.token, "force_refresh", None)
-            if e.code == 401 and callable(force):
-                force()  # stale access token: refresh once and retry
+        """One HTTP call with the two documented recoveries:
+
+        - 401 with a refreshable token provider: ONE forced refresh +
+          retry (expired-mid-run access token);
+        - Google rate limiting — ``429``, or ``403`` whose error body
+          carries reason ``userRateLimitExceeded``/``rateLimitExceeded``
+          (a PLAIN 403 is permission-denied and must NOT retry):
+          bounded exponential backoff (base·2^attempt, capped), with a
+          numeric ``Retry-After`` header, when present, overriding the
+          computed delay — the behavior Google documents for Drive v3
+          and the first wire condition a real deployment hits.
+        """
+        refreshed = False
+        attempt = 0
+        while True:
+            try:
                 req = urllib.request.Request(
                     url, data=body, headers=self._headers(headers), method=method
                 )
                 return urllib.request.urlopen(req, timeout=self.timeout)
-            raise
+            except urllib.error.HTTPError as e:
+                force = getattr(self.token, "force_refresh", None)
+                if e.code == 401 and callable(force) and not refreshed:
+                    refreshed = True  # stale access token: refresh once
+                    force()
+                    continue
+                if (
+                    e.code == 429 or (e.code == 403 and _is_rate_limited(e))
+                ) and attempt < self.max_rate_limit_retries:
+                    delay = _retry_after_seconds(e.headers.get("Retry-After"))
+                    if delay is None:
+                        delay = min(
+                            self.backoff_cap, self.backoff_base * (2**attempt)
+                        )
+                    attempt += 1
+                    self._sleep(delay)
+                    continue
+                raise
 
     # -- DriveClient surface ----------------------------------------------
     def list_files(
@@ -159,6 +195,33 @@ class HttpDriveClient:
             raise
         with resp:
             return json.loads(resp.read().decode()).get("id")
+
+
+def _is_rate_limited(e: urllib.error.HTTPError) -> bool:
+    """True iff a 403's JSON error body names a Drive rate-limit reason.
+    Reads the (single-use) body; safe because every caller either
+    retries with a fresh request or propagates the status code."""
+    try:
+        payload = json.loads(e.read().decode())
+    except Exception:
+        return False
+    errors = (payload.get("error") or {}).get("errors") or []
+    return any(
+        err.get("reason") in ("userRateLimitExceeded", "rateLimitExceeded")
+        for err in errors
+        if isinstance(err, dict)
+    )
+
+
+def _retry_after_seconds(value: str | None) -> float | None:
+    """Numeric Retry-After seconds, else None (HTTP-date form falls back
+    to computed backoff)."""
+    if value is None:
+        return None
+    try:
+        return max(0.0, float(value.strip()))
+    except ValueError:
+        return None
 
 
 def _range_end(range_header: str | None) -> int:

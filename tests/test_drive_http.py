@@ -33,6 +33,9 @@ class _FakeDriveState:
         self.fail_next_puts = 0  # respond 503 to this many PUTs
         self.short_write_next_put = False  # 308 acknowledging half a chunk
         self.put_count = 0
+        # rate-limit injection: list of (status, retry_after, reason)
+        # consumed one per request (PUT and files.list GET alike)
+        self.rate_limit_queue = []
 
     def new_id(self, prefix):
         self.next_id += 1
@@ -54,7 +57,18 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _maybe_rate_limit(self):
+        if not self.state.rate_limit_queue:
+            return False
+        status, retry_after, reason = self.state.rate_limit_queue.pop(0)
+        headers = {"Retry-After": retry_after} if retry_after else {}
+        body = {"error": {"code": status, "errors": [{"reason": reason}]}} if reason else {"error": {"code": status}}
+        self._json(status, body, headers=headers)
+        return True
+
     def do_GET(self):
+        if self._maybe_rate_limit():
+            return
         url = urllib.parse.urlparse(self.path)
         if url.path.startswith("/drive/v3/files/"):
             # alt=media download
@@ -96,18 +110,30 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     def do_POST(self):
+        if self.state.rate_limit_queue:
+            self._read_body()
+            self._maybe_rate_limit()
+            return
         url = urllib.parse.urlparse(self.path)
         if url.path == "/upload/drive/v3/files":
             return self._open_session(None)
         self._json(404, {"error": "not found"})
 
     def do_PATCH(self):
+        if self.state.rate_limit_queue:
+            self._read_body()
+            self._maybe_rate_limit()
+            return
         url = urllib.parse.urlparse(self.path)
         if url.path.startswith("/upload/drive/v3/files/"):
             return self._open_session(url.path.rsplit("/", 1)[1])
         self._json(404, {"error": "not found"})
 
     def do_PUT(self):
+        if self.state.rate_limit_queue:
+            self._read_body()  # drain the chunk before the error response
+            self._maybe_rate_limit()
+            return
         url = urllib.parse.urlparse(self.path)
         if not url.path.startswith("/upload/session/"):
             return self._json(404, {"error": "not found"})
@@ -420,3 +446,61 @@ def test_503_then_short_write_interleaved_on_resume(spark, fake_drive):
     (payload,) = state.payloads.values()
     assert len(payload.decode().splitlines()) == 6  # header + 5 regions
     assert state.put_count >= 3  # original + 503 re-send + short-write re-send
+
+
+# --- rate limiting (403 userRateLimitExceeded / 429 + Retry-After) ---------
+# Google's documented Drive v3 rate-limit responses: the client must back
+# off (honoring a numeric Retry-After when present) and retry a bounded
+# number of times; a PLAIN 403 is permission-denied and must fail fast.
+
+
+def _rl_client(base, **kw):
+    sleeps = []
+    client = HttpDriveClient(base, token="test-token", sleep=sleeps.append, **kw)
+    return client, sleeps
+
+
+def test_429_honors_retry_after(fake_drive):
+    state, base = fake_drive
+    client, sleeps = _rl_client(base)
+    state.rate_limit_queue = [(429, "2", None), (429, "3", None)]
+    files, _ = client.list_files("folder1")
+    assert files == []
+    assert sleeps == [2.0, 3.0]
+
+
+def test_403_rate_limit_reason_backs_off_exponentially(fake_drive):
+    state, base = fake_drive
+    client, sleeps = _rl_client(base, backoff_base=0.5)
+    state.rate_limit_queue = [
+        (403, None, "userRateLimitExceeded"),
+        (403, None, "rateLimitExceeded"),
+    ]
+    session = client.start_upload({"name": "s", "parents": ["folder1"]})
+    assert session and sleeps == [0.5, 1.0]  # base * 2^attempt
+    # chunks retry through rate limiting too
+    state.rate_limit_queue = [(429, "1", None)]
+    fid = client.upload_chunk(session, b"a,b\n1,2\n", 0, 8)
+    assert fid is not None and sleeps[-1] == 1.0
+
+
+def test_plain_403_fails_fast(fake_drive):
+    import urllib.error
+
+    state, base = fake_drive
+    client, sleeps = _rl_client(base)
+    state.rate_limit_queue = [(403, None, "insufficientFilePermissions")]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client.list_files("folder1")
+    assert ei.value.code == 403 and sleeps == []
+
+
+def test_rate_limit_retry_budget_exhausts_loudly(fake_drive):
+    import urllib.error
+
+    state, base = fake_drive
+    client, sleeps = _rl_client(base, max_rate_limit_retries=2)
+    state.rate_limit_queue = [(429, "1", None)] * 10
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        client.list_files("folder1")
+    assert ei.value.code == 429 and len(sleeps) == 2
