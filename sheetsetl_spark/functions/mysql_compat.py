@@ -521,25 +521,47 @@ def _render_week(args: list[str]) -> str | None:
     write it literally; a column-valued mode rejects)."""
     if len(args) not in (1, 2):
         return None
+    mode = _week_mode_literal("WEEK", args)
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    p = _week_parts(args[0], mode)
+    if week_year:
+        return (
+            f"CASE WHEN {p['d']} IS NULL THEN NULL"
+            f" WHEN {p['before_w1']} THEN {p['w_prev']}"
+            f" WHEN {p['into_next']} THEN 1"
+            f" ELSE {p['w_this']} END"
+        )
+    return (
+        f"CASE WHEN {p['d']} IS NULL THEN NULL"
+        f" WHEN {p['before_w1']} THEN 0"
+        f" ELSE {p['w_this']} END"
+    )
+
+
+def _week_mode_literal(fn: str, args: list[str]) -> int:
     if len(args) == 2:
         mode_txt = args[1].strip()
         if not re.fullmatch(r"[0-7]", mode_txt):
             raise UnsupportedMySQLConstruct(
-                f"WEEK(date, mode) requires a literal mode 0-7, got "
+                f"{fn}(date, mode) requires a literal mode 0-7, got "
                 f"{mode_txt!r}"
             )
-        mode = int(mode_txt)
-    else:
-        mode = 0
+        return int(mode_txt)
+    return 0
+
+
+def _week_parts(arg: str, mode: int) -> dict[str, str]:
+    """Shared fragments for WEEK/YEARWEEK: week starts, year anchors,
+    and the three week numbers (this/prev year, next-year predicate)."""
     monday_first = bool(mode & 1)
-    week_year = bool(mode & 2)
     first_weekday = bool(mode & 4)
     if not monday_first:  # MySQL week_mode(): flip for Sunday-first
         first_weekday = not first_weekday
     s0 = 2 if monday_first else 1
     k = 7 if first_weekday else 4
 
-    d = f"CAST({args[0]} AS DATE)"
+    d = f"CAST({arg} AS DATE)"
     jan1 = f"TRUNC({d}, 'YEAR')"
 
     def ws(x: str) -> str:
@@ -549,22 +571,33 @@ def _render_week(args: list[str]) -> str | None:
         return ws(f"DATE_ADD({j}, {k - 1})")
 
     wsd = ws(d)
-    w_this = f"CAST(FLOOR(DATEDIFF({wsd}, {anchor(jan1)}) / 7) + 1 AS INT)"
-    before_w1 = f"DATEDIFF({wsd}, {anchor(jan1)}) < 0"
-    if week_year:
-        prev = anchor(f"ADD_MONTHS({jan1}, -12)")
-        nxt = anchor(f"ADD_MONTHS({jan1}, 12)")
-        w_prev = f"CAST(FLOOR(DATEDIFF({wsd}, {prev}) / 7) + 1 AS INT)"
-        return (
-            f"CASE WHEN {d} IS NULL THEN NULL"
-            f" WHEN {before_w1} THEN {w_prev}"
-            f" WHEN DATEDIFF({wsd}, {nxt}) >= 0 THEN 1"
-            f" ELSE {w_this} END"
-        )
+    prev = anchor(f"ADD_MONTHS({jan1}, -12)")
+    nxt = anchor(f"ADD_MONTHS({jan1}, 12)")
+    return {
+        "d": d,
+        "before_w1": f"DATEDIFF({wsd}, {anchor(jan1)}) < 0",
+        "into_next": f"DATEDIFF({wsd}, {nxt}) >= 0",
+        "w_this": f"CAST(FLOOR(DATEDIFF({wsd}, {anchor(jan1)}) / 7) + 1 AS INT)",
+        "w_prev": f"CAST(FLOOR(DATEDIFF({wsd}, {prev}) / 7) + 1 AS INT)",
+    }
+
+
+def _render_yearweek(args: list[str]) -> str | None:
+    """MySQL ``YEARWEEK(d[, mode])`` -> owning_year*100 + week. MySQL
+    forces the WEEK_YEAR bit regardless of mode (calc_week is called
+    with ``week_mode(mode) | WEEK_YEAR``), so YEARWEEK never returns
+    week 0: boundary days carry the ADJACENT year's numbering
+    (YEARWEEK('1995-01-01') = 199452)."""
+    if len(args) not in (1, 2):
+        return None
+    mode = _week_mode_literal("YEARWEEK", args)
+    p = _week_parts(args[0], mode | 2)
+    y = f"YEAR({p['d']})"
     return (
-        f"CASE WHEN {d} IS NULL THEN NULL"
-        f" WHEN {before_w1} THEN 0"
-        f" ELSE {w_this} END"
+        f"CASE WHEN {p['d']} IS NULL THEN NULL"
+        f" WHEN {p['before_w1']} THEN ({y} - 1) * 100 + {p['w_prev']}"
+        f" WHEN {p['into_next']} THEN ({y} + 1) * 100 + 1"
+        f" ELSE {y} * 100 + {p['w_this']} END"
     )
 
 
@@ -677,6 +710,7 @@ def _rewrite_mysql_fn_calls(sql: str) -> str:
     sql = _rewrite_call(sql, "INSERT", _render_insert_fn)
     sql = _rewrite_call(sql, "GREATEST", _render_null_strict("GREATEST"))
     sql = _rewrite_call(sql, "LEAST", _render_null_strict("LEAST"))
+    sql = _rewrite_call(sql, "YEARWEEK", _render_yearweek)
     sql = _rewrite_call(sql, "WEEK", _render_week)
     sql = _rewrite_call(
         sql,

@@ -75,6 +75,17 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        # In local mode the driver JVM IS the executor: its heap backs
+        # every task's shuffle/aggregate memory across all N threads.
+        # Spark's 1g default starves 32 threads long before the machine
+        # does (measured: 10x-documents hash aggregate fails to grow its
+        # BytesToBytesMap at 1g while 120+ GiB sit idle). On a real
+        # cluster this conf sizes only the driver; executors carry their
+        # own spark.executor.memory.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -653,3 +653,67 @@ def test_week_all_modes_property(spark):
         )
     ).collect()[0]
     assert row["a"] == row["b"]
+
+
+def test_yearweek_all_modes_property(spark):
+    """YEARWEEK(d[, mode]) = owning_year*100 + week, with MySQL's forced
+    WEEK_YEAR bit (boundary days carry the adjacent year's numbering,
+    never week 0) — vs the same Python calc_week port extended to track
+    the owning year."""
+    from calendar import isleap
+    from datetime import date, timedelta
+
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    def calc_yearweek(d, mode):
+        mode |= 2  # MySQL forces WEEK_YEAR for YEARWEEK
+        monday_first = bool(mode & 1)
+        first_weekday = bool(mode & 4)
+        if not monday_first:
+            first_weekday = not first_weekday
+        year = d.year
+        daynr = d.toordinal()
+        first_daynr = date(year, 1, 1).toordinal()
+        wd_mon0 = date(year, 1, 1).weekday()
+        weekday = (wd_mon0 + 1) % 7 if not monday_first else wd_mon0
+        if d.month == 1 and d.day <= 7 - weekday:
+            year -= 1
+            days = 366 if isleap(year) else 365
+            first_daynr -= days
+            weekday = (weekday + 53 * 7 - days) % 7
+        if (first_weekday and weekday != 0) or (
+            not first_weekday and weekday >= 4
+        ):
+            days = daynr - (first_daynr + (7 - weekday))
+        else:
+            days = daynr - (first_daynr - weekday)
+        if days >= 52 * 7:
+            wd_next = (weekday + (366 if isleap(year) else 365)) % 7
+            if (not first_weekday and wd_next < 4) or (
+                first_weekday and wd_next == 0
+            ):
+                return (year + 1) * 100 + 1
+        return year * 100 + days // 7 + 1
+
+    import random
+
+    random.seed(13)
+    ds = [
+        date(1990, 1, 1) + timedelta(days=random.randrange(0, 15000))
+        for _ in range(8)
+    ]
+    for y in (1995, 2000, 2016):
+        ds += [date(y, 12, 28) + timedelta(days=i) for i in range(10)]
+    # MySQL doc example
+    assert calc_yearweek(date(1987, 1, 1), 0) == 198652
+    for mode in range(8):
+        exprs = ", ".join(
+            f"YEARWEEK(DATE '{d}', {mode}) AS w{i}" for i, d in enumerate(ds)
+        )
+        row = spark.sql(mysql_to_spark_sql(f"SELECT {exprs}")).collect()[0]
+        for i, d in enumerate(ds):
+            assert row[f"w{i}"] == calc_yearweek(d, mode), (str(d), mode)
+    row = spark.sql(
+        mysql_to_spark_sql("SELECT YEARWEEK(DATE '1987-01-01') AS a")
+    ).collect()[0]
+    assert row["a"] == 198652
