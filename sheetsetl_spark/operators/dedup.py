@@ -434,6 +434,14 @@ def embedding_neardup_pairs(
     planes = hyperplanes(num_planes, dim)
     plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
 
+    # HOF (zip_with + aggregate) DELIBERATELY, not a flat unrolled Add
+    # chain: an unrolled num_planes×dim expression (~6k literal nodes)
+    # is ~1.5x faster per ROW in an isolated projection, but blows up
+    # Catalyst analysis/canonicalization/codegen across this composite
+    # pipeline (sig is re-referenced by banding + both verify sides and
+    # re-planned per AQE stage) — measured c2e 3.5s -> 13.4s at sf0.1
+    # from DRIVER-side planning alone (r7 A/B, SCALE.md). Compact HOF
+    # plans win end-to-end; revisit only if Spark codegens lambdas.
     vec = F.col(vec_col).cast("array<double>")
     bits = F.concat_ws(
         "",

@@ -220,36 +220,27 @@ def cosine_topk_lsh(
                 > 0
             ).cast("int"),
         )
-        # norm once per row here, not per candidate pair in the verify
-        return df.select(
-            F.col(id_col).alias(out),
-            vec.alias(f"{out}_v"),
-            F.when(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(vec, vec, lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                )
-                > 0,
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(vec, vec, lambda x, y: x * y),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                ),
-            )
-            .otherwise(
+        # norm once per row here, not per candidate pair in the verify;
+        # the guard lives in aggregate's FINISH lambda so the d-element
+        # fold runs once (this site previously evaluated it twice inside
+        # when/sqrt — the r6 _checked_norm duplicate-fold lesson).
+        norm = F.aggregate(
+            F.zip_with(vec, vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+            lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
                 F.raise_error(
                     F.lit(
                         "cosine_topk_lsh: NULL or zero-norm vector has no "
                         "direction; filter such rows out first"
                     )
                 )
-            )
-            .alias(f"{out}_n"),
+            ),
+        )
+        return df.select(
+            F.col(id_col).alias(out),
+            vec.alias(f"{out}_v"),
+            norm.alias(f"{out}_n"),
             F.concat_ws("", bits).alias(f"{out}_bits"),
         )
 
