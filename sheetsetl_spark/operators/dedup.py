@@ -402,6 +402,73 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _embedding_signatures(
+    vectors: DataFrame,
+    num_planes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    err_label: str,
+) -> DataFrame:
+    """Per-vector hyperplane signature projection shared by the batch
+    pair-finder and the incremental index: (vec_id, v, nrm, bits).
+
+    HOF (zip_with + aggregate) DELIBERATELY, not a flat unrolled Add
+    chain: an unrolled num_planes×dim expression (~6k literal nodes) is
+    ~1.5x faster per ROW in an isolated projection, but blows up
+    Catalyst analysis/canonicalization/codegen across the composite
+    pipelines that re-reference this frame and re-plan per AQE stage —
+    measured c2e 3.5s -> 13.4s at sf0.1 from DRIVER-side planning alone
+    (r7 A/B, SCALE.md). Compact HOF plans win end-to-end; revisit only
+    if Spark codegens lambdas.
+
+    ||v|| is computed ONCE here and carried to every verify consumer.
+    Guarded: a NULL/zero-norm vector would make a verify cosine
+    0/0 = NaN, which sorts ABOVE every threshold in a desc comparison —
+    fail loudly instead (the similarity.py::_checked_norm hazard class);
+    the guard lives in aggregate's FINISH lambda, so the dim-element
+    fold runs once per row (the r6 duplicate-evaluation lesson)."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim)
+    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    vec = F.col(vec_col).cast("array<double>")
+    bits = F.concat_ws(
+        "",
+        F.transform(
+            plane_lits,
+            lambda row: F.when(
+                F.aggregate(
+                    F.zip_with(row, vec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    norm = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+        lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{err_label}: NULL or zero-norm vector has no "
+                    "direction; filter such rows out first"
+                )
+            )
+        ),
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("v"),
+        norm.alias("nrm"),
+        bits.alias("bits"),
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.98,
@@ -426,66 +493,17 @@ def embedding_neardup_pairs(
 
     Output: (vec_a, vec_b, sim) with vec_a < vec_b and sim >= threshold.
     """
-    from sheetsetl_spark.operators.similarity import hyperplanes
-
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rows_per_band = num_planes // bands
-    planes = hyperplanes(num_planes, dim)
-    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
-
-    # HOF (zip_with + aggregate) DELIBERATELY, not a flat unrolled Add
-    # chain: an unrolled num_planes×dim expression (~6k literal nodes)
-    # is ~1.5x faster per ROW in an isolated projection, but blows up
-    # Catalyst analysis/canonicalization/codegen across this composite
-    # pipeline (sig is re-referenced by banding + both verify sides and
-    # re-planned per AQE stage) — measured c2e 3.5s -> 13.4s at sf0.1
-    # from DRIVER-side planning alone (r7 A/B, SCALE.md). Compact HOF
-    # plans win end-to-end; revisit only if Spark codegens lambdas.
-    vec = F.col(vec_col).cast("array<double>")
-    bits = F.concat_ws(
-        "",
-        F.transform(
-            plane_lits,
-            lambda row: F.when(
-                F.aggregate(
-                    F.zip_with(row, vec, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ),
-    )
-    # ||v|| computed ONCE per vector here and carried through to the
-    # verify stage — re-deriving dot(v,v) per candidate pair side would
-    # repeat that work candidate-many times. Guarded: a NULL/zero-norm
-    # vector would make the verify cosine 0/0 = NaN, which sorts ABOVE
-    # every threshold in a desc comparison — fail loudly instead (the
-    # similarity.py::_checked_norm hazard class).
-    # guard in aggregate's finish lambda: the squared-norm sum is a bound
-    # scalar there, so the dim-element fold runs once per row (the
-    # similarity.py::_checked_norm duplicate-evaluation lesson, r6)
-    norm = F.aggregate(
-        F.zip_with(vec, vec, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-        lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
-            F.raise_error(
-                F.lit(
-                    "embedding_neardup_pairs: NULL or zero-norm vector has "
-                    "no direction; filter such rows out first"
-                )
-            )
-        ),
-    )
     # Signature bits cost num_planes × dim multiply-adds per vector and
     # feed three consumers (banding + both verify sides) — persist so the
     # projection runs once instead of three times.
-    sig = scoped_persist(vectors.select(
-        F.col(id_col).alias("vec_id"), vec.alias("v"), norm.alias("nrm"), bits.alias("bits")
-    ))
+    sig = scoped_persist(
+        _embedding_signatures(
+            vectors, num_planes, dim, id_col, vec_col, "embedding_neardup_pairs"
+        )
+    )
     band_arr = F.array(
         *[F.substring("bits", b * rows_per_band + 1, rows_per_band) for b in range(bands)]
     )
@@ -527,6 +545,104 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
     )
+
+
+def embedding_band_index(
+    vectors: DataFrame,
+    num_planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The STORED index for incremental embedding near-dup: one row per
+    (vector, band) — (vec_id, v, nrm, band_idx, band_val).
+
+    Unlike the text index (minhash_band_table stores signatures only —
+    re-deriving shingles would rescan history TEXT), the vector itself
+    rides along: embeddings are compact (dim doubles ≈ the signature's
+    own footprint), and storing them buys EXACT cosine verification at
+    ingest time instead of a Hamming-agreement estimate, whose sd at 32
+    planes (~0.09 in cos-angle) is far too loose for a 0.98 threshold.
+    Persist this frame (e.g. parquet partitioned by band_idx) and append
+    survivors' rows after each ingest; per-ingest cost is then
+    O(new + collisions) with no history rescan."""
+    if num_planes % bands:
+        raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
+    rpb = num_planes // bands
+    sig = _embedding_signatures(
+        vectors, num_planes, dim, id_col, vec_col, "embedding_band_index"
+    )
+    band_arr = F.array(
+        *[F.substring("bits", b * rpb + 1, rpb) for b in range(bands)]
+    )
+    return sig.select(
+        "vec_id", "v", "nrm", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+
+
+def incremental_embedding_neardup_filter(
+    new_vectors: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.98,
+    num_planes: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup against a MAINTAINED band index
+    (:func:`embedding_band_index`): drop new-batch vectors whose EXACT
+    cosine to any colliding indexed vector reaches ``threshold``; return
+    the surviving new rows. The vector twin of
+    :func:`incremental_neardup_filter_sig` (same ingest shape as the
+    reference-scale story: candidates from a band equi-join against the
+    stored index, verification only on collisions, O(new + collisions)
+    per ingest, no history rescan).
+
+    ``max_bucket_size`` caps degenerate index buckets before the join
+    (a hot band value shared by millions of history vectors would make
+    the join quadratic in that bucket); over-cap rows just can't match
+    via that band — the standard recall trade. Default ``None``
+    preserves exact parity with the c49 oracle twin."""
+    if max_bucket_size is not None:
+        index = _drop_hot_keys(index, ["band_idx", "band_val"], max_bucket_size)
+    new_bands = embedding_band_index(
+        new_vectors, num_planes=num_planes, bands=bands, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    old = index.select(
+        F.col("vec_id").alias("old_id"),
+        F.col("v").alias("old_v"),
+        F.col("nrm").alias("old_n"),
+        "band_idx",
+        "band_val",
+    )
+    new = new_bands.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("new_v"),
+        F.col("nrm").alias("new_n"),
+        "band_idx",
+        "band_val",
+    )
+    candidates = (
+        new.join(old, ["band_idx", "band_val"])
+        .select("new_id", "new_v", "new_n", "old_id", "old_v", "old_n")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("new_v", "old_v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        candidates.withColumn("sim", dot / (F.col("new_n") * F.col("old_n")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_vectors.join(dups, id_col, "left_anti")
 
 
 def simhash64(

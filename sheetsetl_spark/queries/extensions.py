@@ -252,6 +252,108 @@ def _embedding_neardup_oracle(
     """
 
 
+def _embedding_incremental_oracle(
+    threshold: float, num_planes: int = 32, bands: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of the c49 index-maintained incremental embedding
+    dedup: rebuilds the stored band index verbatim (same inlined
+    hyperplanes), the same planted new batch (perturbed near-dups of
+    vec_id < 20 that must DROP, coordinate-rolled copies of 20 <= vec_id
+    < 60 that must SURVIVE), the band equi-join, exact-cosine verify,
+    and the anti-join."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    rpb = num_planes // bands
+    pert = ", ".join(repr(v) for v in _neardup_pert(dim))
+
+    def bit_exprs(src: str) -> str:
+        return ",\n      ".join(
+            "CASE WHEN LIST_DOT_PRODUCT(["
+            + ", ".join(repr(v) for v in row)
+            + f"]::DOUBLE[], {src}) > 0 THEN '1' ELSE '0' END"
+            for row in hyperplanes(num_planes, dim)
+        )
+
+    return f"""
+    WITH hist AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    newb AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(generate_series(1, {dim}),
+                            i -> (embedding::DOUBLE[])[i] + ([{pert}]::DOUBLE[])[i]) AS v
+      FROM embeddings WHERE vec_id < 20
+      UNION ALL
+      SELECT vec_id + 2000000,
+             (embedding::DOUBLE[])[{dim - 6}:{dim}] || (embedding::DOUBLE[])[1:{dim - 7}]
+      FROM embeddings WHERE vec_id >= 20 AND vec_id < 60
+    ),
+    hsig AS (SELECT vec_id, v, CONCAT({bit_exprs('v')}) AS bits FROM hist),
+    nsig AS (SELECT vec_id, v, CONCAT({bit_exprs('v')}) AS bits FROM newb),
+    hstack AS (
+      SELECT vec_id, v, band_idx,
+             SUBSTRING(bits, band_idx * {rpb} + 1, {rpb}) AS band_val
+      FROM hsig, (SELECT UNNEST(generate_series(0, {bands - 1})) AS band_idx)
+    ),
+    nstack AS (
+      SELECT vec_id, v, band_idx,
+             SUBSTRING(bits, band_idx * {rpb} + 1, {rpb}) AS band_val
+      FROM nsig, (SELECT UNNEST(generate_series(0, {bands - 1})) AS band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT n.vec_id AS new_id, n.v AS nv, h.vec_id AS old_id, h.v AS hv
+      FROM nstack n
+      JOIN hstack h ON n.band_idx = h.band_idx AND n.band_val = h.band_val
+    ),
+    dups AS (
+      SELECT DISTINCT new_id FROM cand
+      WHERE LIST_DOT_PRODUCT(nv, hv)
+              / (SQRT(LIST_DOT_PRODUCT(nv, nv)) * SQRT(LIST_DOT_PRODUCT(hv, hv)))
+            >= {threshold}
+    )
+    SELECT vec_id FROM newb
+    WHERE vec_id NOT IN (SELECT new_id FROM dups)
+    """
+
+
+@query(
+    "c49_incremental_embedding_neardup",
+    oracle=_embedding_incremental_oracle(threshold=0.98),
+)
+def c49_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49: index-maintained INCREMENTAL embedding near-dup — the vector
+    twin of c38's signature index path. History vectors live in a stored
+    hyperplane band index (operators/dedup.py::embedding_band_index,
+    vectors ride along so verification is EXACT cosine, not a Hamming
+    estimate); a new ingest batch is signatured, band-joined against the
+    index, cosine-verified only on collisions, and anti-joined —
+    O(new + collisions) per ingest with no history rescan, the shape an
+    embedding-dedup pipeline needs when history is 100 TB and the daily
+    batch is 0.1% of it. The planted batch makes both outcomes
+    observable: perturbed copies of vec_id < 20 (sim ≈ 0.997) must DROP;
+    coordinate-rolled copies of 20 <= vec_id < 60 (isometric, so
+    near-orthogonal to everything) must SURVIVE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert_lit = F.array(*[F.lit(v) for v in _neardup_pert()])
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),
+    )
+    rolled = base.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 60)).select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 64 - 6, 7), F.slice("embedding", 1, 64 - 7)
+        ).alias("embedding"),
+    )
+    newb = planted.unionAll(rolled)
+    index = dedup.embedding_band_index(base, num_planes=32, bands=4, dim=64)
+    survivors = dedup.incremental_embedding_neardup_filter(
+        newb, index, threshold=0.98, num_planes=32, bands=4, dim=64
+    )
+    return survivors.select("vec_id")
+
+
 @query("c2e_embedding_neardup", oracle=_embedding_neardup_oracle(threshold=0.98))
 def c2e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2: embedding-cosine near-dup — hyperplane-LSH blocking + exact

@@ -487,6 +487,116 @@ class SignatureDedupIngestForeachBatch:
         )
 
 
+class EmbeddingDedupIngestForeachBatch:
+    """Streaming ingest with index-maintained EMBEDDING near-dup
+    filtering — the vector twin of :class:`SignatureDedupIngestForeachBatch`
+    (and the dedup-flavored companion of :class:`IvfIndexIngestForeachBatch`):
+    alongside the history parquet it maintains the hyperplane band index
+    (operators/dedup.py::embedding_band_index — vectors ride along, so
+    verification is EXACT cosine, not a Hamming estimate) and filters
+    each micro-batch against that index alone. Per-ingest cost is
+    O(new + collisions) with no history rescan.
+
+    Intra-batch near-dups resolve smaller-id-wins via the batch-local
+    pair finder (the batch is small; its band join is cheap). Replay
+    contract matches the other ingests: history and index partitions are
+    keyed by __batch_id, excluded from the filter on replay, and
+    rewritten via dynamic partition overwrite — re-running a batch id
+    is idempotent."""
+
+    def __init__(
+        self,
+        history_dir: str,
+        index_dir: str,
+        threshold: float = 0.98,
+        num_planes: int = 32,
+        bands: int = 4,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_bucket_size: int | None = None,
+    ):
+        self.history_dir = history_dir
+        self.index_dir = index_dir
+        self.threshold = threshold
+        self.num_planes = num_planes
+        self.bands = bands
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.max_bucket_size = max_bucket_size
+        self.batches_seen: list[int] = []
+
+    def _has_parquet(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators.dedup import (
+            embedding_band_index,
+            embedding_neardup_pairs,
+            incremental_embedding_neardup_filter,
+        )
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+
+        # intra-batch near-dups: smaller id wins
+        intra = embedding_neardup_pairs(
+            batch_df, threshold=self.threshold, num_planes=self.num_planes,
+            bands=self.bands, dim=self.dim, id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
+        new_vecs = batch_df.join(
+            intra.select(F.col("vec_b").alias(self.id_col)).distinct(),
+            self.id_col, "left_anti",
+        )
+
+        if self._has_parquet(self.index_dir):
+            index = (
+                spark.read.parquet(self.index_dir)
+                .filter(F.col("__batch_id") != batch_id)  # replay safety
+                .drop("__batch_id")
+            )
+            new_vecs = incremental_embedding_neardup_filter(
+                new_vecs, index,
+                threshold=self.threshold, num_planes=self.num_planes,
+                bands=self.bands, dim=self.dim, id_col=self.id_col,
+                vec_col=self.vec_col, max_bucket_size=self.max_bucket_size,
+            )
+
+        (
+            new_vecs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.history_dir)
+        )
+        if not self._has_parquet(self.history_dir):
+            # empty FIRST batch: no data files -> nothing to index, and
+            # the read-back below would fail schema inference
+            return
+        survivors = spark.read.parquet(self.history_dir).filter(
+            F.col("__batch_id") == batch_id
+        ).drop("__batch_id")
+        (
+            embedding_band_index(
+                survivors, num_planes=self.num_planes, bands=self.bands,
+                dim=self.dim, id_col=self.id_col, vec_col=self.vec_col,
+            )
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.index_dir)
+        )
+
+
 class IvfIndexIngestForeachBatch:
     """Streaming maintenance of the persisted IVF index
     (operators/similarity.py::write_ivf_index): each micro-batch of new

@@ -527,6 +527,13 @@ _ANALYST_ORACLES = {
                       AND o_orderdate < '1994-03-01') raw) t
         GROUP BY 1 ORDER BY wk_m1
     """,
+    "iso_yearweek": """
+        SELECT CAST(yearweek(o_orderdate) AS INT) AS iso_yw,
+               COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= '1994-12-01' AND o_orderdate < '1995-02-01'
+        GROUP BY yearweek(o_orderdate) ORDER BY iso_yw
+    """,
     "date_plus_int": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders

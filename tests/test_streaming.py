@@ -570,3 +570,64 @@ def test_transform_with_state_import_gate_is_actionable(spark):
     ev = spark.createDataFrame([(1, 2.0)], "user_id long, value double")
     with pytest.raises(ImportError, match="applyInPandasWithState"):
         stateful_user_totals_tws(ev)
+
+
+def test_embedding_dedup_ingest_maintains_index(spark, tmp_path):
+    """Vector twin of the signature-index ingest: cross-batch embedding
+    near-dups drop via the stored band index (exact-cosine verify on
+    collisions only), intra-batch dups resolve smaller-id-wins, the
+    index grows with survivors, and replay is idempotent."""
+    import math
+
+    from sheetsetl_spark.streaming import EmbeddingDedupIngestForeachBatch
+
+    dim = 64
+
+    def unit(axis):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        return v
+
+    def tilted(axis, eps=0.01):
+        # near-dup of unit(axis): cosine ~ 1/sqrt(1+eps^2) ~ 0.99995
+        v = unit(axis)
+        v[(axis + 1) % dim] = eps
+        n = math.sqrt(1 + eps * eps)
+        return [x / n for x in v]
+
+    hist = str(tmp_path / "vhistory")
+    idx = str(tmp_path / "vindex")
+    ingest = EmbeddingDedupIngestForeachBatch(hist, idx, threshold=0.98)
+
+    schema = "vec_id long, embedding array<double>"
+    # batch 0: two distinct directions + an intra-batch near-dup of id 1
+    b0 = spark.createDataFrame(
+        [(1, unit(0)), (2, unit(7)), (3, tilted(0))], schema
+    )
+    # batch 1: near-dup of history id 2 (must drop) + a novel direction
+    b1 = spark.createDataFrame([(4, tilted(7)), (5, unit(23))], schema)
+    ingest(b0, 0)
+    ingest(b1, 1)
+    got = {r["vec_id"] for r in spark.read.parquet(hist).collect()}
+    assert got == {1, 2, 5}  # 3 lost intra-batch to 1; 4 to indexed 2
+    idx_df = spark.read.parquet(idx)
+    assert {r["vec_id"] for r in idx_df.select("vec_id").collect()} == {1, 2, 5}
+    assert idx_df.count() == 3 * 4  # bands per survivor
+    # replay batch 1: history and index unchanged
+    ingest(b1, 1)
+    assert {r["vec_id"] for r in spark.read.parquet(hist).collect()} == {1, 2, 5}
+    assert spark.read.parquet(idx).count() == 3 * 4
+
+
+def test_embedding_dedup_ingest_empty_first_batch(spark, tmp_path):
+    from sheetsetl_spark.streaming import EmbeddingDedupIngestForeachBatch
+
+    hist = str(tmp_path / "vhistory")
+    idx = str(tmp_path / "vindex")
+    ingest = EmbeddingDedupIngestForeachBatch(hist, idx, threshold=0.98)
+    ingest(spark.createDataFrame([], "vec_id long, embedding array<double>"), 0)
+    v = [0.0] * 64
+    v[5] = 1.0
+    ingest(spark.createDataFrame([(9, v)], "vec_id long, embedding array<double>"), 1)
+    assert {r["vec_id"] for r in spark.read.parquet(hist).collect()} == {9}
+    assert {r["vec_id"] for r in spark.read.parquet(idx).collect()} == {9}
