@@ -393,27 +393,33 @@ def synthesize_ppm_media(
     width: int = 4,
     height: int = 4,
     target_rows_per_batch: int = 1024,
+    pixel_fn=None,
+    id_offset: int = 0,
 ) -> DataFrame:
     """Deterministic P6-PPM media corpus derived from an id column: pixel
-    byte j of image ``id`` is ``(id*7 + j) % 256``. Gives every fixture
-    row a REAL decodable image payload so the full binary pipeline
-    (decode → resize → feature-extract) runs end-to-end — and, because
-    the pixels are closed-form, the whole pipeline stays expressible as a
-    SQL oracle. Emits MEDIA_SCHEMA rows (kind='image')."""
+    byte j of image ``id`` is ``pixel_fn(id, j) % 256`` (default
+    ``id*7 + j``, the c5b formula). Gives every fixture row a REAL
+    decodable image payload so the full binary pipeline (decode → resize
+    → feature-extract) runs end-to-end — and, because the pixels are
+    closed-form, the whole pipeline stays expressible as a SQL oracle.
+    ``id_offset`` shifts the emitted media_id (planted-copy idiom: same
+    pixels, distinct id). Emits MEDIA_SCHEMA rows (kind='image')."""
     n_bytes = width * height * 3
+    if pixel_fn is None:
+        pixel_fn = lambda i, j: i * 7 + j  # noqa: E731 - the c5b formula
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
+                    "media_id": ids + id_offset,
                     "kind": "image",
                     "payload": [
                         encode_ppm(
                             width,
                             height,
-                            bytes((int(i) * 7 + j) % 256 for j in range(n_bytes)),
+                            bytes(pixel_fn(int(i), j) % 256 for j in range(n_bytes)),
                         )
                         for i in ids
                     ],
@@ -427,3 +433,108 @@ def synthesize_ppm_media(
     spark = df.sparkSession
     _cap_arrow_batch(spark, target_rows_per_batch)
     return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def image_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded pixels: per
+    image, grayscale each pixel as the INTEGER mean ``(r+g+b) // 3``
+    (integer so a SQL oracle can replicate it bit-for-bit), then one bit
+    per horizontal neighbor pair — bit ``row*(w-1)+c`` (LSB first) is 1
+    iff ``g[row,c] < g[row,c+1]``. Returns (id, width, height, dhash
+    BIGINT). The standard practice of resizing to a small fixed grid
+    first is :func:`resize_images` composed in front of this.
+
+    Runs inside Arrow ``mapInPandas`` over the binary payload column —
+    payload bytes never reach the driver and are projected away here.
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, width int, height int, dhash long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = _sniff_decode(bytes(payload))
+                px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                g = px.astype(np.int64).sum(axis=2) // 3
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).reshape(-1)
+                ids.append(int(i))
+                ws.append(w)
+                hs.append(h)
+                hashes.append(int((bits << np.arange(bits.size)).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "dhash": hashes}
+            )
+
+    spark = media.sparkSession
+    _cap_arrow_batch(spark, target_rows_per_batch)
+    return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """EXACT image near-duplicate pairs: dHash + banded Hamming join.
+
+    The 64-bit dhash is split into ``bands`` contiguous bit bands; by
+    pigeonhole, any pair within Hamming distance ``max_hamming`` agrees
+    EXACTLY on at least one band whenever ``bands > max_hamming`` — so
+    the (band_idx, band_val) equi-join generates every qualifying pair
+    (recall 1, this is exact blocking, not LSH) and verification is just
+    ``bit_count(xor) <= max_hamming`` on the candidates. At corpus scale
+    this is the same posture as the minhash band join: candidates from
+    an equi-join, never all-pairs. Output: (img_a, img_b, hamming) with
+    img_a < img_b.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole recall guarantee"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = image_dhash(media, id_col=id_col, payload_col=payload_col)
+    stacked = h.select(
+        F.col(id_col),
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = stacked.select(
+        F.col(id_col).alias("img_a"), F.col("dhash").alias("ha"), "band_idx", "band_val"
+    )
+    right = stacked.select(
+        F.col(id_col).alias("img_b"), F.col("dhash").alias("hb"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", "ha", "hb")
+        .distinct()
+        .select(
+            "img_a",
+            "img_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -2448,6 +2448,89 @@ def c33_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_coverage(docs, vocab_size=100)
 
 
+def _image_neardup_oracle(width: int = 5, height: int = 4, max_hamming: int = 1) -> str:
+    """DuckDB twin of c50: recomputes every image's dHash closed-form
+    from the synthesized pixel arithmetic (same trick as c5b) and
+    brute-forces all pairs — legitimate as an oracle because the banded
+    Hamming join is EXACT (pigeonhole: bands > max_hamming), so blocked
+    and brute-force answers must be identical."""
+
+    def gray(pi: int, pert: bool) -> str:
+        terms = " + ".join(
+            f"((base*31 + (({j}*{j})%251)*7 + {16 if pert and j < 3 else 0}) % 256)"
+            for j in (3 * pi, 3 * pi + 1, 3 * pi + 2)
+        )
+        return f"(({terms}) // 3)"
+
+    def dhash(pert: bool) -> str:
+        bits = []
+        for row in range(height):
+            for c in range(width - 1):
+                pi = row * width + c
+                idx = row * (width - 1) + c
+                bits.append(
+                    f"(CASE WHEN {gray(pi, pert)} < {gray(pi + 1, pert)} "
+                    f"THEN {1 << idx} ELSE 0 END)"
+                )
+        return "(" + " + ".join(bits) + ")::BIGINT"
+
+    return f"""
+    WITH dh AS (
+      SELECT doc_id AS img_id, {dhash(False)} AS d
+      FROM (SELECT doc_id AS base, doc_id FROM documents) t
+      UNION ALL
+      SELECT doc_id + 1000000, {dhash(True)}
+      FROM (SELECT doc_id AS base, doc_id FROM documents WHERE doc_id < 25) t
+    )
+    SELECT a.img_id AS img_a, b.img_id AS img_b,
+           CAST(bit_count(xor(a.d, b.d)) AS INT) AS hamming
+    FROM dh a JOIN dh b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.d, b.d)) <= {max_hamming}
+    """
+
+
+@query("c50_image_neardup", oracle=_image_neardup_oracle())
+def c50_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C2: image near-duplicate detection over REAL binary payloads —
+    dHash (grayscale row-gradient bits) computed by decoding each
+    synthesized P6 PPM inside Arrow mapInPandas
+    (operators/multimodal.py::image_dhash), then EXACT banded Hamming
+    blocking (operators/multimodal.py::image_neardup_pairs): the 64-bit
+    hash splits into bands > max_hamming, so by pigeonhole every pair
+    within the Hamming budget agrees on a full band — candidates come
+    from a (band_idx, band_val) equi-join, never all-pairs, and the
+    result is EXACT (hash-checked against a brute-force DuckDB twin that
+    recomputes the pixel arithmetic closed-form). Planted near-dups:
+    each doc_id < 25 gets a +1e6 copy with its first PIXEL brightened —
+    that flips at most dHash bit 0, so every planted pair lands within
+    Hamming 1 alongside whatever natural collisions the corpus has."""
+    from sheetsetl_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pf(i: int, j: int) -> int:
+        return i * 31 + ((j * j) % 251) * 7
+
+    def pf_pert(i: int, j: int) -> int:
+        return pf(i, j) + (16 if j < 3 else 0)
+
+    base = mm.synthesize_ppm_media(docs, "doc_id", width=5, height=4, pixel_fn=pf)
+    pert = mm.synthesize_ppm_media(
+        docs.filter(F.col("doc_id") < 25),
+        "doc_id",
+        width=5,
+        height=4,
+        pixel_fn=pf_pert,
+        id_offset=1000000,
+    )
+    pairs = mm.image_neardup_pairs(
+        base.unionAll(pert), max_hamming=1, bands=2
+    )
+    return pairs.select(
+        "img_a", "img_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @query(
     "c5b_image_pipeline",
     # The whole binary pipeline is closed-form (synthesized pixel j of

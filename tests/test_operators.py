@@ -1100,3 +1100,39 @@ def test_quality_checks_all_green_and_empty_list(spark):
     assert all(r["passed"] and r["violations"] == 0 for r in rows)
     with pytest.raises(ValueError, match="empty constraint"):
         qc.check_constraints(df, [])
+
+
+def test_image_dhash_and_neardup_pairs(spark):
+    """dHash over real PPM decode: identical images → hamming 0, a
+    one-pixel brightening → hamming <= 1, unrelated images excluded;
+    the banded blocking is validated against its pigeonhole contract."""
+    import pytest as _pytest
+
+    rows = []
+    for mid, bump in ((1, 0), (2, 0), (3, 16)):
+        # image 1 == image 2; image 3 = image 1 with pixel 0 brightened
+        rgb = bytes(
+            ((7 * j * j) % 251 + (bump if j < 3 else 0)) % 256 for j in range(60)
+        )
+        rows.append((mid, "image", multimodal.encode_ppm(5, 4, rgb), None))
+    # image 9: unrelated pixels
+    rows.append(
+        (9, "image", multimodal.encode_ppm(5, 4, bytes((j * 97 + 13) % 256 for j in range(60))), None)
+    )
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    h = {r["media_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+    assert h[1] == h[2]
+    assert bin(h[1] ^ h[3]).count("1") <= 1
+
+    got = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in multimodal.image_neardup_pairs(media, max_hamming=1, bands=2).collect()
+    }
+    assert got[(1, 2)] == 0 and (1, 3) in got and (2, 3) in got
+    assert all(9 not in pair for pair in got)
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.image_neardup_pairs(media, max_hamming=2, bands=2)
+    with _pytest.raises(ValueError, match="divide 64"):
+        multimodal.image_neardup_pairs(media, max_hamming=1, bands=3)
