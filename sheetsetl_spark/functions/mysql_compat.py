@@ -193,6 +193,16 @@ _MOD_INFIX_RE = re.compile(r"(?<![.\w`])MOD(?![\w`])(?!\s*\()", re.IGNORECASE)
 # ALWAYS binary, so stripping the keyword preserves the intended
 # semantics. ``CAST(x AS BINARY)`` is protected first (valid Spark).
 _AS_BINARY_RE = re.compile(r"\bAS\s+BINARY\b", re.IGNORECASE)
+# Simple operands (identifier chains, masked literals/backtick names)
+# get WRAPPED in an explicit binary collation instead of stripped: in
+# default binary mode that is a no-op, but over ci-collated views
+# (register_views(case_insensitive=True)) it preserves the analyst's
+# explicit case-SENSITIVE override — which is the entire point of
+# writing BINARY on a ci server. Complex operands fall through to the
+# strip (binary-mode-correct; rare in analyst SQL).
+_BINARY_SIMPLE_RE = re.compile(
+    r"\bBINARY\s+((?:\w+\.)*\w+|\x00\d+\x00)", re.IGNORECASE
+)
 _BINARY_OP_RE = re.compile(r"\bBINARY\s+", re.IGNORECASE)
 _CURTIME_RE = re.compile(r"\bCURTIME\s*\(\s*\)", re.IGNORECASE)
 _SYSDATE_RE = re.compile(r"\bSYSDATE\s*\(\s*\)", re.IGNORECASE)
@@ -364,6 +374,7 @@ def mysql_to_spark_sql(sql: str) -> str:
         )
     sql = _MOD_INFIX_RE.sub("%", sql)
     sql = _AS_BINARY_RE.sub("\x01AS_BINARY\x01", sql)
+    sql = _BINARY_SIMPLE_RE.sub(lambda m: f"COLLATE({m.group(1)}, 'UTF8_BINARY')", sql)
     sql = _BINARY_OP_RE.sub("", sql)
     sql = sql.replace("\x01AS_BINARY\x01", "AS BINARY")
     sql = _rewrite_mysql_fn_calls(sql)

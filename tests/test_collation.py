@@ -78,6 +78,28 @@ def test_register_views_ci_mode_runs_unmodified_analyst_sql(spark):
     register_views(spark, SF_SMALL)
 
 
+def test_binary_override_stays_case_sensitive_in_ci_mode(spark):
+    """MySQL's unary BINARY is the analyst's explicit case-SENSITIVE
+    override on a ci server. The translator wraps simple operands in
+    COLLATE(x, 'UTF8_BINARY') — a no-op over default binary views, but
+    over ci views it restores binary comparison, exactly the server
+    behavior."""
+    from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
+
+    sql = mysql_to_spark_sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE BINARY c_mktsegment = 'building'"
+    )
+    assert "COLLATE(c_mktsegment, 'UTF8_BINARY')" in sql
+    register_views(spark, SF_SMALL, case_insensitive=True)
+    assert spark.sql(sql).collect()[0]["n"] == 0  # override beats ci views
+    plain = mysql_to_spark_sql(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'building'"
+    )
+    assert spark.sql(plain).collect()[0]["n"] > 0
+    register_views(spark, SF_SMALL)  # restore binary views
+    assert spark.sql(sql).collect()[0]["n"] == 0
+
+
 def test_ci_order_by_folds_case(spark):
     df = spark.createDataFrame(
         [("b",), ("A",), ("a",), ("B",)], "v string"
