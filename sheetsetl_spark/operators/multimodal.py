@@ -463,6 +463,12 @@ def image_dhash(
             ids, ws, hs, hashes = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 w, h, rgb = _sniff_decode(bytes(payload))
+                if h * (w - 1) > 63:
+                    raise ValueError(
+                        f"image_dhash: {w}x{h} yields {h * (w - 1)} gradient "
+                        "bits, over the 63-bit BIGINT budget; resize to a "
+                        "small canonical grid first (resize_images)"
+                    )
                 px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
                 g = px.astype(np.int64).sum(axis=2) // 3
                 bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).reshape(-1)
