@@ -1136,3 +1136,26 @@ def test_image_dhash_and_neardup_pairs(spark):
         multimodal.image_neardup_pairs(media, max_hamming=2, bands=2)
     with _pytest.raises(ValueError, match="divide 64"):
         multimodal.image_neardup_pairs(media, max_hamming=1, bands=3)
+
+
+def test_resize_then_dhash_canonical_pipeline(spark):
+    """The standard dHash pipeline: images of DIFFERENT sizes resize to
+    one canonical grid (real nearest-neighbor ppm_resizer), then hash —
+    a scaled-up copy of an image lands on the same dhash as its
+    original."""
+    rgb_small = bytes((j * 37 + 11) % 256 for j in range(5 * 4 * 3))
+    small = multimodal.encode_ppm(5, 4, rgb_small)
+    # 2x nearest-neighbor upscale of the same image
+    big = multimodal.ppm_resizer(small, 10, 8)
+    media = spark.createDataFrame(
+        [(1, "image", small, None), (2, "image", big, None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    canonical = multimodal.resize_images(media, 5, 4, resize_fn=multimodal.ppm_resizer)
+    h = {r["media_id"]: r["dhash"] for r in multimodal.image_dhash(canonical).collect()}
+    assert h[1] == h[2]
+    # oversize guard: hashing the 10x8 directly would need 72 bits
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="63-bit"):
+        multimodal.image_dhash(media).collect()
