@@ -485,6 +485,140 @@ def image_dhash(
     return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
 
 
+def synthesize_ppm_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 5,
+    height: int = 4,
+    n_frames: int = 3,
+    pixel_fn=None,
+    id_offset: int = 0,
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Deterministic 'video' corpus: ``n_frames`` concatenated P6 frames
+    per id, frame f's byte j = ``pixel_fn(id, f, j) % 256`` (closed-form,
+    so the whole frame-fingerprint pipeline stays SQL-oracle-able).
+    Emits MEDIA_SCHEMA rows (kind='video', meta.n_frames set)."""
+    n_bytes = width * height * 3
+    if pixel_fn is None:
+        pixel_fn = lambda i, f, j: i * 7 + f * 101 + j  # noqa: E731
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids + id_offset,
+                    "kind": "video",
+                    "payload": [
+                        b"".join(
+                            encode_ppm(
+                                width,
+                                height,
+                                bytes(
+                                    pixel_fn(int(i), f, j) % 256
+                                    for j in range(n_bytes)
+                                ),
+                            )
+                            for f in range(n_frames)
+                        )
+                        for i in ids
+                    ],
+                    "meta": [
+                        {"width": width, "height": height, "sample_rate": None, "n_frames": n_frames}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    spark = df.sparkSession
+    _cap_arrow_batch(spark, target_rows_per_batch)
+    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def video_frame_dhashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_frames: int = 0,
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Per-frame perceptual fingerprints for video payloads: split the
+    concatenated-P6 stream (:func:`ppm_frame_extractor` — real header
+    parsing, ``max_frames`` caps the scan as a corruption guard), dHash
+    each frame with the same integer-mean/row-gradient recipe as
+    :func:`image_dhash`. One output row per (video, frame):
+    (id, frame_idx, width, height, dhash)."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, frame_idx int, width int, height int, dhash long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ws, hs, hashes = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                for f, frame in enumerate(
+                    ppm_frame_extractor(bytes(payload), max_frames)
+                ):
+                    w, h, rgb = parse_ppm(frame)
+                    if h * (w - 1) > 63:
+                        raise ValueError(
+                            f"video_frame_dhashes: {w}x{h} frame yields "
+                            f"{h * (w - 1)} gradient bits, over the 63-bit "
+                            "budget; resize frames first"
+                        )
+                    px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                    g = px.astype(np.int64).sum(axis=2) // 3
+                    bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).reshape(-1)
+                    ids.append(int(i))
+                    fidx.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    hashes.append(int((bits << np.arange(bits.size)).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": fidx,
+                    "width": ws,
+                    "height": hs,
+                    "dhash": hashes,
+                }
+            )
+
+    spark = media.sparkSession
+    _cap_arrow_batch(spark, target_rows_per_batch)
+    return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    min_shared_frames: int = 2,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_frames: int = 0,
+) -> DataFrame:
+    """Video near-duplicate pairs by shared frame fingerprints: two
+    videos pair when they share >= ``min_shared_frames`` DISTINCT frame
+    dhash values (the shot-level fingerprint-overlap shape). Candidates
+    come from the frame-hash EQUI-JOIN — a pair is only ever considered
+    if some frame hash collides, never all-pairs — and the count of
+    distinct shared hashes per pair is one grouped aggregate over the
+    join. Output: (vid_a, vid_b, shared_frames) with vid_a < vid_b."""
+    fh = video_frame_dhashes(
+        media, id_col=id_col, payload_col=payload_col, max_frames=max_frames
+    )
+    sets = fh.select(F.col(id_col).alias("vid"), "dhash").distinct()
+    a = sets.select(F.col("vid").alias("vid_a"), "dhash")
+    b = sets.select(F.col("vid").alias("vid_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.countDistinct("dhash").cast("int").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )
+
+
 def image_neardup_pairs(
     media: DataFrame,
     max_hamming: int = 1,

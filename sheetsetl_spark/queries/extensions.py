@@ -2531,6 +2531,99 @@ def c50_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_neardup_oracle(
+    width: int = 5, height: int = 4, n_frames: int = 3, min_shared: int = 2
+) -> str:
+    """DuckDB twin of c51: per-frame dHashes recomputed closed-form from
+    the synthesized pixel arithmetic, frame-hash self-join, distinct
+    shared-hash count per pair."""
+
+    def gray(pi: int, f: int, pert: bool) -> str:
+        shift = 64 if pert and f == n_frames - 1 else 0
+        terms = " + ".join(
+            f"((base*29 + {f}*101 + (({j}*{j})%251)*7 + {shift}) % 256)"
+            for j in (3 * pi, 3 * pi + 1, 3 * pi + 2)
+        )
+        return f"(({terms}) // 3)"
+
+    def dhash(f: int, pert: bool) -> str:
+        bits = []
+        for row in range(height):
+            for c in range(width - 1):
+                pi = row * width + c
+                idx = row * (width - 1) + c
+                bits.append(
+                    f"(CASE WHEN {gray(pi, f, pert)} < {gray(pi + 1, f, pert)} "
+                    f"THEN {1 << idx} ELSE 0 END)"
+                )
+        return "(" + " + ".join(bits) + ")::BIGINT"
+
+    base_sel = "(SELECT doc_id % 40 AS base, doc_id FROM documents) t"
+    pert_sel = (
+        "(SELECT doc_id % 40 AS base, doc_id FROM documents WHERE doc_id < 15) t"
+    )
+    branches = [
+        f"SELECT doc_id AS vid, {dhash(f, False)} AS d FROM {base_sel}"
+        for f in range(n_frames)
+    ] + [
+        f"SELECT doc_id + 1000000, {dhash(f, True)} FROM {pert_sel}"
+        for f in range(n_frames)
+    ]
+    union = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH fh AS (
+      {union}
+    ),
+    sets AS (SELECT DISTINCT vid, d FROM fh)
+    SELECT a.vid AS vid_a, b.vid AS vid_b,
+           CAST(COUNT(DISTINCT a.d) AS INT) AS shared_frames
+    FROM sets a JOIN sets b ON a.d = b.d AND a.vid < b.vid
+    GROUP BY a.vid, b.vid
+    HAVING COUNT(DISTINCT a.d) >= {min_shared}
+    """
+
+
+@query("c51_video_neardup", oracle=_video_neardup_oracle())
+def c51_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C2: video near-duplicate detection by shared frame
+    fingerprints — each synthesized 3-frame P6 'video' is split by REAL
+    header parsing inside mapInPandas, every frame dHashed
+    (operators/multimodal.py::video_frame_dhashes), and two videos pair
+    when they share >= 2 distinct frame hashes
+    (video_neardup_pairs) — candidates only ever come from the
+    frame-hash equi-join, never all-pairs, the shot-level fingerprint
+    shape that survives a billion-video corpus. Planted structure:
+    videos sharing doc_id % 40 are identical (3 shared frames); each
+    doc_id < 15 also gets a +1e6 copy whose LAST frame is brightened —
+    sharing exactly the first two frames, it still pairs at
+    min_shared_frames=2 while the changed frame drops out."""
+    from sheetsetl_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pf(i: int, f: int, j: int) -> int:
+        return (i % 40) * 29 + f * 101 + ((j * j) % 251) * 7
+
+    def pf_pert(i: int, f: int, j: int) -> int:
+        return pf(i, f, j) + (64 if f == 2 else 0)
+
+    base = mm.synthesize_ppm_video(
+        docs, "doc_id", width=5, height=4, n_frames=3, pixel_fn=pf
+    )
+    pert = mm.synthesize_ppm_video(
+        docs.filter(F.col("doc_id") < 15),
+        "doc_id",
+        width=5,
+        height=4,
+        n_frames=3,
+        pixel_fn=pf_pert,
+        id_offset=1000000,
+    )
+    return mm.video_neardup_pairs(
+        base.unionAll(pert), min_shared_frames=2
+    ).select("vid_a", "vid_b", "shared_frames")
+
+
 @query(
     "c5b_image_pipeline",
     # The whole binary pipeline is closed-form (synthesized pixel j of

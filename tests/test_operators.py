@@ -1159,3 +1159,38 @@ def test_resize_then_dhash_canonical_pipeline(spark):
 
     with _pytest.raises(Exception, match="63-bit"):
         multimodal.image_dhash(media).collect()
+
+
+def test_video_frame_dhashes_and_neardup(spark):
+    """Frame-split via real P6 header parsing; shared-frame pairing:
+    identical videos share all frames, a last-frame edit still pairs at
+    min_shared_frames=2 but drops at 3."""
+    def vid(mid, shift_last=0):
+        frames = b"".join(
+            multimodal.encode_ppm(
+                5, 4,
+                bytes(((j * 37 + f * 101) + (shift_last if f == 2 else 0)) % 256
+                      for j in range(60)),
+            )
+            for f in range(3)
+        )
+        return (mid, "video", frames, None)
+
+    media = spark.createDataFrame(
+        [vid(1), vid(2), vid(3, shift_last=64)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    fh = multimodal.video_frame_dhashes(media).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in fh} == {
+        (m, f) for m in (1, 2, 3) for f in (0, 1, 2)
+    }
+    pairs2 = {
+        (r["vid_a"], r["vid_b"]): r["shared_frames"]
+        for r in multimodal.video_neardup_pairs(media, min_shared_frames=2).collect()
+    }
+    assert pairs2[(1, 2)] == 3 and pairs2[(1, 3)] == 2 and pairs2[(2, 3)] == 2
+    pairs3 = {
+        (r["vid_a"], r["vid_b"])
+        for r in multimodal.video_neardup_pairs(media, min_shared_frames=3).collect()
+    }
+    assert pairs3 == {(1, 2)}
