@@ -485,6 +485,159 @@ def image_dhash(
     return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
 
 
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal PCM16 mono RIFF/WAVE encoder (pure struct math)."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(payload: bytes):
+    """Parse PCM16 mono WAV by walking RIFF chunks: returns
+    (sample_rate, numpy int16 samples). Rejects non-PCM16-mono."""
+    import struct
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
+            bits = struct.unpack("<H", chunk[14:16])[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits}); "
+                    "PCM16 mono only"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(chunk, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, data
+
+
+def synthesize_wav_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 1024,
+    sample_rate: int = 8000,
+    sample_fn=None,
+    id_offset: int = 0,
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Deterministic PCM16 audio corpus: sample t of clip ``id`` is
+    ``sample_fn(id, t)`` (default a bounded closed-form wave), so the
+    whole decode→fingerprint pipeline stays SQL-oracle-able. Emits
+    MEDIA_SCHEMA rows (kind='audio', meta.sample_rate set)."""
+    if sample_fn is None:
+        sample_fn = lambda i, t: ((i * 13 + ((t * t) % 509) * 3) % 4096) - 2048  # noqa: E731
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids + id_offset,
+                    "kind": "audio",
+                    "payload": [
+                        encode_wav(
+                            sample_rate,
+                            (sample_fn(int(i), t) for t in range(n_samples)),
+                        )
+                        for i in ids
+                    ],
+                    "meta": [
+                        {"width": None, "height": None, "sample_rate": sample_rate, "n_frames": None}
+                        for _ in ids
+                    ],
+                }
+            )
+
+    spark = df.sparkSession
+    _cap_arrow_batch(spark, target_rows_per_batch)
+    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def audio_energy_hash(
+    media: DataFrame,
+    window: int = 32,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    target_rows_per_batch: int = 1024,
+) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded PCM: split the samples
+    into fixed ``window``-sample frames, per-frame energy = sum of
+    ABSOLUTE sample values (exact int64 — deliberately the time-domain
+    cousin of spectral-band fingerprints, chosen because integer energy
+    is bit-reproducible in a SQL oracle where an FFT is not), then one
+    bit per adjacent-frame energy delta: bit w (LSB first) is 1 iff
+    ``energy[w] < energy[w+1]``. Returns (id, sample_rate, n_samples,
+    ehash BIGINT). Trailing partial frames are dropped; > 64 frames
+    rejects (63-bit budget) — pick ``window`` accordingly."""
+    import numpy as np
+
+    out_schema = f"{id_col} long, sample_rate int, n_samples int, ehash long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, hashes = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, samples = parse_wav(bytes(payload))
+                n_frames = len(samples) // window
+                if n_frames - 1 > 63:
+                    raise ValueError(
+                        f"audio_energy_hash: {n_frames} frames exceeds the "
+                        "63-bit budget; raise window"
+                    )
+                e = (
+                    np.abs(samples[: n_frames * window].astype(np.int64))
+                    .reshape(n_frames, window)
+                    .sum(axis=1)
+                )
+                bits = (e[:-1] < e[1:]).astype(np.int64)
+                ids.append(int(i))
+                rates.append(rate)
+                ns.append(len(samples))
+                hashes.append(int((bits << np.arange(bits.size)).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "sample_rate": rates, "n_samples": ns, "ehash": hashes}
+            )
+
+    spark = media.sparkSession
+    _cap_arrow_batch(spark, target_rows_per_batch)
+    return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    window: int = 32,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """EXACT audio near-duplicate pairs: energy-delta fingerprint +
+    the shared banded Hamming join (:func:`_banded_hamming_pairs` —
+    pigeonhole recall 1, candidates from an equi-join, never
+    all-pairs). Output: (clip_a, clip_b, hamming) with clip_a < clip_b."""
+    h = audio_energy_hash(
+        media, window=window, id_col=id_col, payload_col=payload_col
+    )
+    return _banded_hamming_pairs(
+        h, "ehash", id_col, max_hamming, bands, "clip_a", "clip_b"
+    )
+
+
 def synthesize_ppm_video(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -638,6 +791,27 @@ def image_neardup_pairs(
     an equi-join, never all-pairs. Output: (img_a, img_b, hamming) with
     img_a < img_b.
     """
+    h = image_dhash(media, id_col=id_col, payload_col=payload_col)
+    return _banded_hamming_pairs(
+        h, "dhash", id_col, max_hamming, bands, "img_a", "img_b"
+    )
+
+
+def _banded_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    bands: int,
+    a_name: str,
+    b_name: str,
+) -> DataFrame:
+    """EXACT Hamming-bounded pairs over a 64-bit hash column via banded
+    blocking: with ``bands > max_hamming``, pigeonhole guarantees every
+    qualifying pair agrees exactly on at least one contiguous bit band —
+    candidates come from the (band_idx, band_val) equi-join, never
+    all-pairs, and verification is ``bit_count(xor) <= max_hamming``.
+    Shared by the image-dHash and audio-energy-hash near-dup paths."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands={bands} must exceed max_hamming={max_hamming} for the "
@@ -647,33 +821,32 @@ def image_neardup_pairs(
         raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
-    h = image_dhash(media, id_col=id_col, payload_col=payload_col)
-    stacked = h.select(
+    stacked = hashes.select(
         F.col(id_col),
-        "dhash",
+        F.col(hash_col).alias("__h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("dhash"), b * width).bitwiseAND(F.lit(mask))
+                    F.shiftright(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
                     for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_val"),
     )
     left = stacked.select(
-        F.col(id_col).alias("img_a"), F.col("dhash").alias("ha"), "band_idx", "band_val"
+        F.col(id_col).alias(a_name), F.col("__h").alias("ha"), "band_idx", "band_val"
     )
     right = stacked.select(
-        F.col(id_col).alias("img_b"), F.col("dhash").alias("hb"), "band_idx", "band_val"
+        F.col(id_col).alias(b_name), F.col("__h").alias("hb"), "band_idx", "band_val"
     )
     return (
         left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("img_a") < F.col("img_b"))
-        .select("img_a", "img_b", "ha", "hb")
+        .filter(F.col(a_name) < F.col(b_name))
+        .select(a_name, b_name, "ha", "hb")
         .distinct()
         .select(
-            "img_a",
-            "img_b",
+            a_name,
+            b_name,
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

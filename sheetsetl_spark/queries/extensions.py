@@ -2624,6 +2624,75 @@ def c51_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vid_a", "vid_b", "shared_frames")
 
 
+_AUDIO_NEARDUP_ORACLE = """
+    WITH clips AS (
+      SELECT doc_id AS cid, doc_id AS base, 0 AS pert FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id < 20
+    ),
+    en AS (
+      SELECT cid, t // 32 AS w,
+             SUM(ABS(((base*13 + ((t*t)%509)*3) % 4096) - 2048
+                     + CASE WHEN pert = 1 AND t >= 992 THEN 64 ELSE 0 END)) AS e
+      FROM clips, (SELECT UNNEST(generate_series(0, 1023)) AS t) ts
+      GROUP BY cid, t // 32
+    ),
+    eh AS (
+      SELECT cid, CAST(SUM(bit) AS BIGINT) AS h FROM (
+        SELECT cid, w,
+               CASE WHEN e < LEAD(e) OVER (PARTITION BY cid ORDER BY w)
+                    THEN (1::BIGINT << w) ELSE 0 END AS bit
+        FROM en) b
+      WHERE w < 31
+      GROUP BY cid
+    )
+    SELECT a.cid AS clip_a, b.cid AS clip_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+    FROM eh a JOIN eh b ON a.cid < b.cid
+    WHERE bit_count(xor(a.h, b.h)) <= 1
+    """
+
+
+@query("c52_audio_neardup", oracle=_AUDIO_NEARDUP_ORACLE)
+def c52_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C2: audio near-duplicate detection over REAL binary payloads —
+    each synthesized PCM16 WAV is decoded by walking its RIFF chunks
+    inside Arrow mapInPandas (operators/multimodal.py::parse_wav), its
+    windowed-energy delta fingerprint computed in exact int64 arithmetic
+    (audio_energy_hash — the time-domain cousin of spectral-band
+    fingerprints, integer so the DuckDB twin reproduces it bit-for-bit
+    where an FFT could not), then EXACT banded Hamming blocking
+    (audio_neardup_pairs / _banded_hamming_pairs: pigeonhole recall 1,
+    candidates only from the band equi-join). Planted near-dups: each
+    doc_id < 20 gets a +1e6 copy with its LAST 32-sample window nudged
+    louder — flipping at most fingerprint bit 30, so every planted pair
+    lands within Hamming 1."""
+    from sheetsetl_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def sfn(i: int, t: int) -> int:
+        return ((i * 13 + ((t * t) % 509) * 3) % 4096) - 2048
+
+    def sfn_pert(i: int, t: int) -> int:
+        return sfn(i, t) + (64 if t >= 992 else 0)
+
+    base = mm.synthesize_wav_audio(docs, "doc_id", n_samples=1024, sample_fn=sfn)
+    pert = mm.synthesize_wav_audio(
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id",
+        n_samples=1024,
+        sample_fn=sfn_pert,
+        id_offset=1000000,
+    )
+    pairs = mm.audio_neardup_pairs(
+        base.unionAll(pert), max_hamming=1, bands=2, window=32
+    )
+    return pairs.select(
+        "clip_a", "clip_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @query(
     "c5b_image_pipeline",
     # The whole binary pipeline is closed-form (synthesized pixel j of

@@ -1194,3 +1194,42 @@ def test_video_frame_dhashes_and_neardup(spark):
         for r in multimodal.video_neardup_pairs(media, min_shared_frames=3).collect()
     }
     assert pairs3 == {(1, 2)}
+
+
+def test_wav_codec_roundtrip_and_audio_neardup(spark):
+    """PCM16 WAV encode/parse roundtrip (RIFF chunk walk), exact
+    windowed-energy fingerprints, and the banded Hamming pairing:
+    identical clips → hamming 0, a last-window loudness nudge →
+    hamming <= 1, unrelated clips excluded."""
+    import numpy as np
+    import pytest as _pytest
+
+    samples = [((t * t) % 509) - 250 for t in range(256)]
+    wav = multimodal.encode_wav(8000, samples)
+    rate, back = multimodal.parse_wav(wav)
+    assert rate == 8000 and list(back) == samples
+    with _pytest.raises(ValueError, match="RIFF"):
+        multimodal.parse_wav(b"not a wav")
+
+    def clip(base, bump_last=0):
+        return [
+            ((base * 13 + ((t * t) % 509) * 3) % 4096) - 2048
+            + (bump_last if t >= 224 else 0)
+            for t in range(256)
+        ]
+
+    rows = [
+        (1, "audio", multimodal.encode_wav(8000, clip(5)), None),
+        (2, "audio", multimodal.encode_wav(8000, clip(5)), None),
+        (3, "audio", multimodal.encode_wav(8000, clip(5, bump_last=64)), None),
+        (9, "audio", multimodal.encode_wav(8000, list(np.arange(256) % 97 - 48)), None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    h = {r["media_id"]: r["ehash"] for r in multimodal.audio_energy_hash(media, window=32).collect()}
+    assert h[1] == h[2] and bin(h[1] ^ h[3]).count("1") <= 1
+    got = {
+        (r["clip_a"], r["clip_b"]): r["hamming"]
+        for r in multimodal.audio_neardup_pairs(media, max_hamming=1, bands=2, window=32).collect()
+    }
+    assert got[(1, 2)] == 0 and (1, 3) in got and (2, 3) in got
+    assert all(9 not in p for p in got)
