@@ -638,6 +638,63 @@ def audio_neardup_pairs(
     )
 
 
+def incremental_hamming_neardup_filter(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+    max_hamming: int = 1,
+    bands: int = 2,
+) -> DataFrame:
+    """Incremental near-dup against a MAINTAINED fingerprint index:
+    return the ``new_hashes`` rows whose hash is NOT within
+    ``max_hamming`` of any indexed hash. Generic over 64-bit
+    fingerprints — the image-dHash and audio-energy-hash paths share it
+    (same pigeonhole-exact banding as :func:`_banded_hamming_pairs`).
+    Per-ingest cost is O(new + collisions): candidates come from the
+    band equi-join against the stored index, never a history rescan —
+    the media twin of dedup.py's text/embedding incremental filters."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole recall guarantee"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands={bands} must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def stack(df: DataFrame, name: str, h: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(name),
+            F.col(hash_col).alias(h),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col(hash_col), b * width).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    new = stack(new_hashes, "new_id", "hn")
+    old = stack(index_hashes, "old_id", "ho")
+    dups = (
+        new.join(old, ["band_idx", "band_val"])
+        .select("new_id", "hn", "ho")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("hn").bitwiseXOR(F.col("ho"))) <= max_hamming
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_hashes.join(dups, id_col, "left_anti")
+
+
 def synthesize_ppm_video(
     df: DataFrame,
     id_col: str = "doc_id",

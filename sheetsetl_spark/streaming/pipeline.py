@@ -597,6 +597,101 @@ class EmbeddingDedupIngestForeachBatch:
         )
 
 
+class MediaDedupIngestForeachBatch:
+    """Streaming media ingest with index-maintained FINGERPRINT
+    dedup — the binary-payload member of the incremental-dedup family
+    (text: :class:`SignatureDedupIngestForeachBatch`; vectors:
+    :class:`EmbeddingDedupIngestForeachBatch`). ``fingerprint_fn`` maps
+    a media micro-batch to (id, ..., hash) rows — default
+    ``multimodal.image_dhash``; pass ``audio_energy_hash`` (or any
+    64-bit fingerprinting stage) for other modalities. Each batch is
+    fingerprinted once; intra-batch and batch-vs-index near-dups drop
+    via the pigeonhole-exact banded Hamming join
+    (multimodal.incremental_hamming_neardup_filter); survivors' media
+    rows append to history and their HASHES (not payloads) to the
+    index, so the index stays tiny however large the media bytes are.
+    Same __batch_id replay-idempotence contract as the other ingests."""
+
+    def __init__(
+        self,
+        history_dir: str,
+        index_dir: str,
+        fingerprint_fn=None,
+        hash_col: str = "dhash",
+        max_hamming: int = 1,
+        bands: int = 2,
+        id_col: str = "media_id",
+    ):
+        self.history_dir = history_dir
+        self.index_dir = index_dir
+        self.fingerprint_fn = fingerprint_fn
+        self.hash_col = hash_col
+        self.max_hamming = max_hamming
+        self.bands = bands
+        self.id_col = id_col
+        self.batches_seen: list[int] = []
+
+    def _has_parquet(self, path: str) -> bool:
+        import os
+
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators import multimodal as mm
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+        fp = self.fingerprint_fn or mm.image_dhash
+
+        hashes = fp(batch_df).select(self.id_col, self.hash_col)
+        # intra-batch: smaller id wins via the pairwise banded join
+        intra = mm._banded_hamming_pairs(
+            hashes, self.hash_col, self.id_col, self.max_hamming, self.bands,
+            "m_a", "m_b",
+        )
+        keep = hashes.join(
+            intra.select(F.col("m_b").alias(self.id_col)).distinct(),
+            self.id_col, "left_anti",
+        )
+        if self._has_parquet(self.index_dir):
+            index = (
+                spark.read.parquet(self.index_dir)
+                .filter(F.col("__batch_id") != batch_id)  # replay safety
+                .drop("__batch_id")
+            )
+            keep = mm.incremental_hamming_neardup_filter(
+                keep, index, hash_col=self.hash_col, id_col=self.id_col,
+                max_hamming=self.max_hamming, bands=self.bands,
+            )
+        survivors = batch_df.join(
+            keep.select(self.id_col), self.id_col, "left_semi"
+        )
+        (
+            survivors.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.history_dir)
+        )
+        if not self._has_parquet(self.history_dir):
+            return  # empty first batch: nothing to index
+        back = spark.read.parquet(self.history_dir).filter(
+            F.col("__batch_id") == batch_id
+        ).drop("__batch_id")
+        (
+            fp(back).select(self.id_col, self.hash_col)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.index_dir)
+        )
+
+
 class IvfIndexIngestForeachBatch:
     """Streaming maintenance of the persisted IVF index
     (operators/similarity.py::write_ivf_index): each micro-batch of new

@@ -631,3 +631,36 @@ def test_embedding_dedup_ingest_empty_first_batch(spark, tmp_path):
     ingest(spark.createDataFrame([(9, v)], "vec_id long, embedding array<double>"), 1)
     assert {r["vec_id"] for r in spark.read.parquet(hist).collect()} == {9}
     assert {r["vec_id"] for r in spark.read.parquet(idx).collect()} == {9}
+
+
+def test_media_dedup_ingest_maintains_fingerprint_index(spark, tmp_path):
+    """Binary-payload member of the incremental-dedup family: image
+    batches dedupe against the stored dHash index (payloads never enter
+    the index), intra-batch smaller-id-wins, replay idempotent."""
+    from sheetsetl_spark.operators import multimodal as mm
+    from sheetsetl_spark.streaming import MediaDedupIngestForeachBatch
+
+    def img(mid, bump=0):
+        rgb = bytes(((j * 37 + 11) + (bump if j < 3 else 0)) % 256 for j in range(60))
+        return (mid, "image", mm.encode_ppm(5, 4, rgb), None)
+
+    def other(mid):
+        return (mid, "image", mm.encode_ppm(5, 4, bytes((j * 97 + 13) % 256 for j in range(60))), None)
+
+    hist = str(tmp_path / "mhistory")
+    idx = str(tmp_path / "mindex")
+    ingest = MediaDedupIngestForeachBatch(hist, idx, max_hamming=1, bands=2)
+
+    b0 = spark.createDataFrame([img(1), img(2), other(5)], schema=mm.MEDIA_SCHEMA)
+    b1 = spark.createDataFrame([img(7, bump=16), other(8)], schema=mm.MEDIA_SCHEMA)
+    ingest(b0, 0)
+    ingest(b1, 1)
+    got = {r["media_id"] for r in spark.read.parquet(hist).collect()}
+    # 2 lost intra-batch to 1; 7 (one-pixel variant) lost to indexed 1;
+    # 8 duplicates 5's pixels and is dropped against the index
+    assert got == {1, 5}
+    idx_df = spark.read.parquet(idx)
+    assert {r["media_id"] for r in idx_df.collect()} == {1, 5}
+    assert set(idx_df.columns) >= {"media_id", "dhash"}
+    ingest(b1, 1)  # replay
+    assert {r["media_id"] for r in spark.read.parquet(hist).collect()} == {1, 5}
