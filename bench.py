@@ -63,6 +63,11 @@ HEADLINE = [
     # First recorded in BENCH_r06 — cross-round totals before r6 cover
     # the original 26 queries only.
     "c45_duplicated_passages",  # positioned-gram duplicate-passage mining
+    # r7 breadth: the new incremental/media dedup tier. First recorded in
+    # BENCH_r07 — cross-round totals before r7 cover the prior 27 only.
+    "c49_incremental_embedding_neardup",  # stored-band-index ingest filter
+    "c50_image_neardup",  # dHash + exact banded Hamming blocking
+    "c52_audio_neardup",  # PCM windowed-energy fingerprint dedup
 ]
 
 

@@ -486,10 +486,14 @@ def image_dhash(
 
 
 def encode_wav(sample_rate: int, samples) -> bytes:
-    """Minimal PCM16 mono RIFF/WAVE encoder (pure struct math)."""
+    """Minimal PCM16 mono RIFF/WAVE encoder (struct header + one
+    vectorized little-endian cast for the sample data)."""
     import struct
 
-    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    import numpy as np
+
+    data = np.asarray(list(samples) if not hasattr(samples, "astype") else samples)
+    data = data.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
@@ -537,10 +541,17 @@ def synthesize_wav_audio(
 ) -> DataFrame:
     """Deterministic PCM16 audio corpus: sample t of clip ``id`` is
     ``sample_fn(id, t)`` (default a bounded closed-form wave), so the
-    whole decode→fingerprint pipeline stays SQL-oracle-able. Emits
-    MEDIA_SCHEMA rows (kind='audio', meta.sample_rate set)."""
+    whole decode→fingerprint pipeline stays SQL-oracle-able.
+    ``sample_fn`` is called ONCE per clip with ``t`` as a numpy int64
+    index array — write it with elementwise arithmetic (`%`, `*`,
+    comparisons) and it vectorizes for free; a per-sample Python loop
+    here was measured at ~7s for 5k clips x 1k samples at bench SF.
+    Emits MEDIA_SCHEMA rows (kind='audio', meta.sample_rate set)."""
+    import numpy as np
+
     if sample_fn is None:
         sample_fn = lambda i, t: ((i * 13 + ((t * t) % 509) * 3) % 4096) - 2048  # noqa: E731
+    t_idx = np.arange(n_samples, dtype=np.int64)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -550,10 +561,7 @@ def synthesize_wav_audio(
                     "media_id": ids + id_offset,
                     "kind": "audio",
                     "payload": [
-                        encode_wav(
-                            sample_rate,
-                            (sample_fn(int(i), t) for t in range(n_samples)),
-                        )
+                        encode_wav(sample_rate, np.asarray(sample_fn(int(i), t_idx)))
                         for i in ids
                     ],
                     "meta": [

@@ -2671,11 +2671,13 @@ def c52_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def sfn(i: int, t: int) -> int:
+    # t arrives as a numpy index array (synthesize_wav_audio vectorizes
+    # per clip) — elementwise arithmetic only, so both forms broadcast
+    def sfn(i, t):
         return ((i * 13 + ((t * t) % 509) * 3) % 4096) - 2048
 
-    def sfn_pert(i: int, t: int) -> int:
-        return sfn(i, t) + (64 if t >= 992 else 0)
+    def sfn_pert(i, t):
+        return sfn(i, t) + 64 * (t >= 992)
 
     base = mm.synthesize_wav_audio(docs, "doc_id", n_samples=1024, sample_fn=sfn)
     pert = mm.synthesize_wav_audio(

@@ -1233,3 +1233,22 @@ def test_wav_codec_roundtrip_and_audio_neardup(spark):
     }
     assert got[(1, 2)] == 0 and (1, 3) in got and (2, 3) in got
     assert all(9 not in p for p in got)
+
+
+def test_wav_codec_property_roundtrip():
+    """Hypothesis sweep: encode/parse roundtrips arbitrary int16 sample
+    arrays (odd lengths exercise RIFF word-alignment padding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, rate):
+        wav = multimodal.encode_wav(rate, samples)
+        got_rate, got = multimodal.parse_wav(wav)
+        assert got_rate == rate and list(got) == samples
+
+    check()
