@@ -76,5 +76,8 @@ from sheetsetl_spark.queries import analytics_r5  # noqa: E402,F401
 # the never-verified-first rotation stamps them in r6 while the oldest
 # (r2-era) stamps still fill the rest of the driver window.
 from sheetsetl_spark.queries import tpch_partsupp  # noqa: E402,F401
+# Round-7 batch 2: retrieval fusion / winnowing / PQ — registered last
+# for the same never-verified-first rotation reason.
+from sheetsetl_spark.queries import retrieval_ext  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

@@ -1,0 +1,109 @@
+"""Round-7 retrieval/fingerprinting extensions: hybrid RRF search
+(lexical BM25 + dense cosine fused by reciprocal rank), MOSS-style
+winnowing fingerprints, and product-quantization ANN — the remaining
+rungs of a production retrieval + dedup stack on top of c2/c3/c26.
+
+Every query is a Catalyst-only DataFrame program with a DuckDB oracle
+twin following the registry determinism contract
+(sheetsetl_spark/queries/__init__.py): float scores round to 6 dp
+FIRST, then accumulate in exact DECIMAL where summed, and every
+ordering carries an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.queries import query
+
+_RRF_TERMS = ("spark", "shuffle", "vector")
+_RRF_POOL = 100
+_RRF_K0 = 60
+
+
+@query(
+    "c53_hybrid_rrf_search",
+    oracle=f"""
+    WITH params AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    term_rows AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+             UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, ANY_VALUE(dl) AS dl, COUNT(*) AS tf
+      FROM term_rows
+      WHERE term IN ({", ".join(f"'{t}'" for t in _RRF_TERMS)})
+      GROUP BY doc_id, term
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS c
+      FROM tf JOIN dfc ON tf.term = dfc.term, params
+    ),
+    lex_scored AS (
+      SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM contrib GROUP BY doc_id
+    ),
+    lex_top AS (
+      SELECT doc_id, lex_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        FROM lex_scored
+      ) WHERE lex_rank <= {_RRF_POOL}
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    d_scored AS (
+      SELECT vec_id AS doc_id,
+             LIST_DOT_PRODUCT(qv, embedding::DOUBLE[])
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv))
+                  * SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])))
+               AS sim
+      FROM embeddings, q WHERE vec_id <> 0
+    ),
+    dense_top AS (
+      SELECT doc_id, dense_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+        FROM d_scored
+      ) WHERE dense_rank <= {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, lex_rank, dense_rank,
+             COALESCE(1.0 / ({_RRF_K0} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K0} + dense_rank), 0.0) AS rrf
+      FROM lex_top l FULL OUTER JOIN dense_top d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           FLOOR(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf_score,
+           CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(dense_rank AS INTEGER) AS dense_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+    WHERE rn <= 10
+    """,
+)
+def c53_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C26 (retrieval tier): hybrid search — BM25 for the query bag
+    {spark, shuffle, vector} and embedding-cosine for the stored query
+    vector (vec_id 0), fused by reciprocal-rank fusion, k0=60
+    (operators/retrieval.py::hybrid_rrf_search). Each retriever emits a
+    bounded top-100 pool via TakeOrderedAndProject; fusion's windows and
+    full-outer join run on those bounded pools only — the fusion cost is
+    O(pool) regardless of corpus size."""
+    from sheetsetl_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval.hybrid_rrf_search(
+        docs, emb, list(_RRF_TERMS), query_vec_id=0, k=10, pool=_RRF_POOL
+    )
