@@ -8,7 +8,7 @@ narrow projections, aggregations with map-side partials. No Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny function-word list used by the quality/stopword heuristics.
@@ -618,4 +618,106 @@ def domain_mix_report(
         "n_tokens",
         F.round(F.col("n_docs") / F.col("__docs"), 6).alias("doc_share"),
         F.round(F.col("n_tokens") / F.col("__toks"), 6).alias("token_share"),
+    )
+
+
+def winnow_selected(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The winnowing selection itself: distinct selected fingerprints
+    per document, as (id, n_grams, fp_pos, fp_hash) rows.
+
+    See :func:`winnow_fingerprints` for the algorithm, portability, and
+    scale notes; this is the reusable core (candidate generation for a
+    local-fingerprint dedup join, and the surface the guarantee property
+    test exercises)."""
+    max_pos = 99_999_999
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("bigint")
+    key = F.concat(
+        F.lpad(h.cast("string"), 19, "0"),
+        F.lpad((F.lit(max_pos) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    stream = docs.select(
+        F.col(id_col),
+        (F.size(toks) - k + 1).alias("n_grams"),
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select(id_col, "n_grams", "pos", key.alias("key"))
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    selected = (
+        stream.withColumn("wkey", F.min("key").over(frame))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(id_col, "n_grams", "wkey")
+        .distinct()
+    )
+    return selected.select(
+        id_col,
+        "n_grams",
+        (F.lit(max_pos) - F.substring("wkey", 20, 8).cast("int")).alias("fp_pos"),
+        F.substring("wkey", 1, 19).cast("bigint").alias("fp_hash"),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprint statistics per document.
+
+    Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03 — public
+    algorithm) selects, from every window of ``w`` consecutive k-gram
+    hashes, the minimum hash (rightmost position on ties). The selected
+    set is a position-robust document sketch with two guarantees: any
+    shared substring of >= w+k-1 tokens yields a shared fingerprint, and
+    the expected density is 2/(w+1) of all grams. It is the
+    local-fingerprinting complement to MinHash (c2b, a global sketch).
+
+    Engine-portable argmin: rightmost-min-of-window needs an argmin with
+    a POSITION tiebreak, which neither engine's MIN exposes directly.
+    Both sides therefore order by one sort key string,
+    ``lpad(hash, 19) || lpad(MAX_POS - pos, 8)`` — zero-padded decimal
+    digits compare like numbers, and inverting pos makes the
+    lexicographic MIN pick the *largest* position among equal hashes.
+    One MIN over a rows-following frame per window start; distinct keys
+    are the fingerprints. Hashes are the 60-bit md5-prefix family
+    (same as count_min_sketch_estimates), bit-identical in DuckDB.
+
+    Scale shape: one explode of the gram stream, ONE shuffle (window
+    partitioned by document), a distinct bounded by selected
+    fingerprints (~2/(w+1) of grams), and a per-document aggregate.
+    Nothing is corpus-global; documents winnow independently.
+
+    Output: (id, n_grams, n_windows, n_fingerprints, n_distinct_hashes,
+    fp_density) for documents with at least one full window; density is
+    fingerprints / windows, rounded to 6 dp.
+    """
+    selected = winnow_selected(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    return (
+        selected.select(id_col, "n_grams", "fp_hash")
+        .groupBy(id_col, "n_grams")
+        .agg(
+            F.count("*").cast("int").alias("n_fingerprints"),
+            F.countDistinct("fp_hash").cast("int").alias("n_distinct_hashes"),
+        )
+        .select(
+            id_col,
+            F.col("n_grams").cast("int").alias("n_grams"),
+            (F.col("n_grams") - w + 1).cast("int").alias("n_windows"),
+            "n_fingerprints",
+            "n_distinct_hashes",
+            F.round(
+                F.col("n_fingerprints") / (F.col("n_grams") - w + 1), 6
+            ).alias("fp_density"),
+        )
     )

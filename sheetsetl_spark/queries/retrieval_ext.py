@@ -107,3 +107,57 @@ def c53_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf_search(
         docs, emb, list(_RRF_TERMS), query_vec_id=0, k=10, pool=_RRF_POOL
     )
+
+
+@query(
+    "c54_winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, LEN(w) - 5 + 1 AS n_grams, gs.pos,
+             ARRAY_TO_STRING(w[gs.pos + 1 : gs.pos + 5], ' ') AS gram
+      FROM toks, LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(0, LEN(w) - 5)) AS pos) gs
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, pos,
+             LPAD(CAST(('0x' || SUBSTRING(MD5(gram), 1, 15))::BIGINT AS VARCHAR),
+                  19, '0')
+               || LPAD(CAST(99999999 - pos AS VARCHAR), 8, '0') AS key
+      FROM grams
+    ),
+    winmin AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+      FROM keyed
+    ),
+    selected AS (
+      SELECT DISTINCT doc_id, n_grams, wkey
+      FROM winmin WHERE pos <= n_grams - 4
+    )
+    SELECT doc_id,
+           CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(n_grams - 4 + 1 AS INTEGER) AS n_windows,
+           CAST(COUNT(*) AS INTEGER) AS n_fingerprints,
+           CAST(COUNT(DISTINCT CAST(SUBSTRING(wkey, 1, 19) AS BIGINT))
+                AS INTEGER) AS n_distinct_hashes,
+           ROUND(COUNT(*) / CAST(n_grams - 4 + 1 AS DOUBLE), 6) AS fp_density
+    FROM selected GROUP BY doc_id, n_grams
+    """,
+)
+def c54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C4 (fingerprinting tier): MOSS winnowing over 5-gram 60-bit
+    md5-prefix hashes, window w=4 (operators/text.py::
+    winnow_fingerprints) — the local-fingerprint sketch guaranteeing any
+    shared run of >= 8 tokens produces a shared fingerprint, at ~2/(w+1)
+    expected density. The rightmost-min-per-window selection itself is
+    hash-checked: both engines pick fingerprints via the same
+    zero-padded (hash, inverted-pos) sort key, so a one-position
+    selection drift flips the row hash."""
+    from sheetsetl_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.winnow_fingerprints(docs, k=5, w=4)

@@ -1252,3 +1252,60 @@ def test_wav_codec_property_roundtrip():
         assert got_rate == rate and list(got) == samples
 
     check()
+
+
+def _py_winnow(text: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
+    """Reference winnowing (Schleimer et al. fig. 5 semantics): for each
+    full window of w gram hashes, select the rightmost minimum."""
+    import hashlib
+
+    toks = text.split(" ")
+    hashes = []
+    for i in range(len(toks) - k + 1):
+        gram = " ".join(toks[i : i + k])
+        hashes.append(int(hashlib.md5(gram.encode()).hexdigest()[:15], 16))
+    out = set()
+    for s in range(len(hashes) - w + 1):
+        window = hashes[s : s + w]
+        m = min(window)
+        p = max(i for i, h in enumerate(window) if h == m)
+        out.add((s + p, m))
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    from sheetsetl_spark.operators import text as text_ops
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        # repeated tokens force hash ties inside windows -> exercises the
+        # rightmost-tiebreak encoding in the sort key
+        "a a a a a a a a a a b a a a a a a a a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.fp_pos, r.fp_hash)
+        for r in text_ops.winnow_selected(df, k=5, w=4).collect()
+    }
+    want = {
+        (i, pos, h) for i, t in enumerate(texts) for pos, h in _py_winnow(t)
+    }
+    assert got == want
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Any shared token run of length >= w+k-1 (= 8 here) must yield at
+    least one shared fingerprint hash — the winnowing detection
+    guarantee that makes it a sound dedup candidate generator."""
+    from sheetsetl_spark.operators import text as text_ops
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    a = "one two three four five " + shared + " six seven eight nine"
+    b = "red green blue yellow purple orange " + shared + " cyan magenta"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = text_ops.winnow_selected(df, k=5, w=4).collect()
+    h1 = {r.fp_hash for r in rows if r.doc_id == 1}
+    h2 = {r.fp_hash for r in rows if r.doc_id == 2}
+    assert h1 & h2
