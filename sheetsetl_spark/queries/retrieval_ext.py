@@ -161,3 +161,86 @@ def c54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.winnow_fingerprints(docs, k=5, w=4)
+
+
+# 64 codebook entries per subspace, ids valid at every SF (< 500);
+# 7 coprime to 499 makes the stride hit 64 distinct ids.
+_PQ_SEEDS = tuple((3 + 7 * j) % 499 for j in range(64))
+
+
+@query(
+    "c55_topk_cosine_pq",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    unit AS (
+      SELECT vid,
+             LIST_TRANSFORM(v, x -> x / SQRT(LIST_DOT_PRODUCT(v, v))) AS u
+      FROM base
+    ),
+    seeds(seed_id, j) AS (VALUES
+      {", ".join(f"({sid}, {j})" for j, sid in enumerate(_PQ_SEEDS))}),
+    subs AS (
+      SELECT vid, gs.s, u[gs.s * 8 + 1 : gs.s * 8 + 8] AS sv
+      FROM unit, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS s) gs
+    ),
+    codebook AS (
+      SELECT j, sb.s AS cs, sb.sv AS cv,
+             LIST_DOT_PRODUCT(sb.sv, sb.sv) AS bb
+      FROM subs sb JOIN seeds ON sb.vid = seed_id
+    ),
+    enc AS (
+      SELECT vid, s, CAST(MIN(key) % 100 AS INTEGER) AS code
+      FROM (
+        SELECT sb.vid, sb.s,
+               (CAST(FLOOR((bb - 2 * LIST_DOT_PRODUCT(sv, cv))
+                           * 1000000.0 + 0.5) AS BIGINT) + 10000000)
+                 * 100 + j AS key
+        FROM subs sb JOIN codebook ON sb.s = cs
+      ) GROUP BY vid, s
+    ),
+    qsub AS (SELECT s, sv AS qv FROM subs WHERE vid = 0),
+    adc AS (
+      SELECT cs, j, ROUND(LIST_DOT_PRODUCT(qv, cv), 6) AS contrib
+      FROM qsub JOIN codebook ON qsub.s = cs
+    ),
+    scored AS (
+      SELECT vid,
+             CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS pq_score
+      FROM enc JOIN adc ON enc.s = cs AND enc.code = adc.j
+      WHERE vid <> 0 GROUP BY vid
+    ),
+    short AS (
+      SELECT vid, pq_score FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY pq_score DESC, vid) AS srn
+        FROM scored
+      ) WHERE srn <= 50
+    ),
+    rer AS (
+      SELECT sh.vid, sh.pq_score,
+             LIST_DOT_PRODUCT(u, (SELECT u FROM unit WHERE vid = 0)) AS sim
+      FROM short sh JOIN unit USING (vid)
+    )
+    SELECT vid AS neighbor_id,
+           CAST(rn AS INTEGER) AS pq_rank,
+           FLOOR(sim * 1000000.0 + 0.5) / 1000000.0 AS sim,
+           pq_score
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY sim DESC, vid) AS rn
+          FROM rer)
+    WHERE rn <= 10
+    """,
+)
+def c55_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 (ANN tier, 5th rung): product-quantization top-k cosine —
+    8 subspaces x 64 sampled centroids, asymmetric-distance shortlist
+    (50) + exact re-rank (operators/similarity.py::cosine_topk_pq).
+    Codes are 6 bits/subspace = 6 bytes/vector vs 256 for raw floats,
+    the memory-bound regime IVF/LSH don't reach. The codebook is
+    rebuilt from the table by BOTH engines (sampled subvectors, seed
+    ids in the query text), so encode, ADC scoring, and the re-rank are
+    hash-checked end to end, not just the final ranking."""
+    from sheetsetl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_pq(emb, query_vec_id=0, seed_ids=list(_PQ_SEEDS))

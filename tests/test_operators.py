@@ -1309,3 +1309,23 @@ def test_winnowing_shared_run_guarantee(spark):
     h1 = {r.fp_hash for r in rows if r.doc_id == 1}
     h2 = {r.fp_hash for r in rows if r.doc_id == 2}
     assert h1 & h2
+
+
+def test_pq_shortlist_rerank_recall(spark):
+    """PQ ADC shortlist + exact re-rank must recover most of the true
+    top-10 (deterministic: 1.0 at this fixture; the bound leaves noise
+    headroom). Direct 6-bit ADC ranking alone is far weaker — the test
+    pins that the two-stage shape, not luck, provides the recall."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    seeds = [(3 + 7 * j) % 499 for j in range(64)]
+    pq = {
+        r.neighbor_id
+        for r in similarity.cosine_topk_pq(emb, 0, seeds, k=10).collect()
+    }
+    exact = {
+        r.neighbor_id
+        for r in similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=10
+        ).collect()
+    }
+    assert len(pq & exact) / 10 >= 0.8
