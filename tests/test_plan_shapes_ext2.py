@@ -145,3 +145,41 @@ def test_partsupp_canonical_plans_no_data_sized_nested_loops(spark):
             if "BroadcastNestedLoopJoin" in ln:
                 assert "Cross" in ln, (name, ln)
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_hybrid_rrf_pools_are_take_ordered(spark):
+    """c53's two retriever pools must be TakeOrderedAndProject (bounded
+    per-partition heaps), and the fusion full-outer join of the two
+    bounded pools must not sort-merge a data-sized relation."""
+    df = QUERIES["c53_hybrid_rrf_search"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, plan
+
+
+def test_winnowing_single_doc_shuffle(spark):
+    """c54's winnowing selection is one window shuffle on the document
+    key plus the per-document aggregates — no join, no Python, and the
+    gram stream stays in Catalyst lambdas."""
+    df = QUERIES["c54_winnowing_fingerprints"](spark, SF_SMALL)
+    df.collect()
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+    # every Exchange repartitions on doc_id (window + agg reuse the key)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" in ln, ln
+
+
+def test_pq_codebook_and_adc_broadcast(spark):
+    """c55's codebook/ADC-table joins and the shortlist re-rank must all
+    broadcast the bounded side — a SortMergeJoin anywhere means the
+    corpus got shuffled against a 512-row table."""
+    df = QUERIES["c55_topk_cosine_pq"](spark, SF_SMALL)
+    df.collect()
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
