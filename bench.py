@@ -68,6 +68,8 @@ HEADLINE = [
     "c49_incremental_embedding_neardup",  # stored-band-index ingest filter
     "c50_image_neardup",  # dHash + exact banded Hamming blocking
     "c52_audio_neardup",  # PCM windowed-energy fingerprint dedup
+    "c53_hybrid_rrf_search",  # BM25 + dense-cosine RRF fusion
+    "c55_topk_cosine_pq",  # PQ ADC shortlist + exact re-rank
 ]
 
 

@@ -79,5 +79,6 @@ from sheetsetl_spark.queries import tpch_partsupp  # noqa: E402,F401
 # Round-7 batch 2: retrieval fusion / winnowing / PQ — registered last
 # for the same never-verified-first rotation reason.
 from sheetsetl_spark.queries import retrieval_ext  # noqa: E402,F401
+from sheetsetl_spark.queries import graph_ext  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

@@ -1,0 +1,99 @@
+"""Round-7 graph extensions: fixed-round PageRank over the
+customer<->supplier interaction graph derived from orders x lineitem.
+
+The oracle is an UNROLLED CTE chain (one contribution + sum + update
+triple per round, generated below) so DuckDB re-walks every iteration's
+arithmetic under the same 6-dp round-then-decimal-sum contract the
+Spark operator uses — the whole trajectory is hash-checked, not just
+the final ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.queries import query
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    # repr() keeps the float literals bit-identical to the Spark plan's
+    # (1.0 - 0.85 in Python is 0.15000000000000002, NOT the double that
+    # the SQL literal 0.15 parses to).
+    resid, d = repr(1.0 - damping), repr(damping)
+    rnd = "1000000.0 + 0.5) / 1000000.0"
+    parts = [
+        """directed AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+             's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM directed
+      UNION SELECT b AS src, a AS dst FROM directed
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT node, FLOOR(1.0 / n * """
+        + rnd
+        + """ AS pr FROM nodes, nn
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (
+      SELECT dst, FLOOR(pr / outdeg * {rnd} AS c
+      FROM edges JOIN r{k - 1} ON src = node JOIN outdeg USING (src)
+    ),
+    s{k} AS (
+      SELECT dst, CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM c{k} GROUP BY dst
+    ),
+    r{k} AS (
+      SELECT node,
+             FLOOR(({resid} / n + {d} * COALESCE(s, 0.0)) * {rnd} AS pr
+      FROM nodes LEFT JOIN s{k} ON node = dst, nn
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT node, pr FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+      FROM r{iters}
+    ) WHERE rn <= 25
+    """
+
+
+@query("c56_pagerank", oracle=_pagerank_oracle(_PR_ITERS, _PR_DAMPING))
+def c56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative tier: 5-round damped PageRank (d=0.85) over the
+    symmetrized customer<->supplier graph (operators/graph.py::
+    pagerank) — distinct trade relationships from orders x lineitem as
+    edges, so the rank surfaces the most systemically-connected
+    parties. One dst-keyed shuffle per round, broadcast node count,
+    rank state distributed throughout; top-25 via
+    TakeOrderedAndProject."""
+    from sheetsetl_spark.operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    directed = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = directed.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(directed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ranks = graph.pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.orderBy(F.col("pr").desc(), F.col("node")).limit(25)
