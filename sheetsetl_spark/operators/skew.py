@@ -40,3 +40,43 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return l_salted.join(r_replicated, [*on, _SALT], how).drop(_SALT)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    max_salt: int = 32,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: the table an engineer reads before
+    choosing between plain shuffle, AQE skew split, and salted_join.
+
+    For the ``top`` hottest keys: row count, corpus share, skew ratio
+    (count / mean-rows-per-key), and the salt factor that would level
+    that key's partition back to the mean (capped at ``max_salt`` —
+    beyond that the key wants the broadcast or AQE path, not salting).
+
+    Scale shape: one map-side-combining groupBy on the key; totals are a
+    broadcast one-row re-aggregate of the key-count table (the corpus is
+    scanned once); top-N via TakeOrderedAndProject. The report is
+    O(distinct keys) intermediate, O(top) output.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("__total"), F.count("*").alias("__keys")
+    )
+    ratio = F.col("cnt") / (F.col("__total").cast("double") / F.col("__keys"))
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(ratio, 6).alias("skew_ratio"),
+            F.least(F.ceil(ratio), F.lit(max_salt)).cast("int").alias("suggested_salt"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(top)
+    )

@@ -721,3 +721,50 @@ def winnow_fingerprints(
             ).alias("fp_density"),
         )
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The statistic one BPE merge round maximizes: adjacent
+    character-pair frequencies over the corpus vocabulary, weighted by
+    word occurrence (Sennrich et al., ACL'16 — public algorithm). The
+    top pair is the next merge a tokenizer trained on this corpus would
+    learn; the table is the induction step's whole input.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    map-side-combining groupBy over the token stream), so the pair
+    explosion runs over distinct words x word length, not corpus
+    tokens — the same vocabulary-sized intermediate as tf-idf (c4e).
+    Top-N via TakeOrderedAndProject.
+
+    Output: (pair, occurrences, n_words) for the ``top`` most frequent
+    pairs, ties broken by pair text.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pair_stream = words.select(
+        "word",
+        "wcnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("word") - 2),
+                lambda i: F.col("word").substr(i + 1, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pair_stream.groupBy("pair")
+        .agg(
+            F.sum("wcnt").alias("occurrences"),
+            F.countDistinct("word").cast("int").alias("n_words"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("pair"))
+        .limit(top)
+    )

@@ -97,3 +97,33 @@ def c56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(directed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     ranks = graph.pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
     return ranks.orderBy(F.col("pr").desc(), F.col("node")).limit(25)
+
+
+@query(
+    "c57_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    stats AS (SELECT SUM(cnt) AS total, COUNT(*) AS keys FROM counts)
+    SELECT key, cnt,
+           ROUND(cnt / CAST(total AS DOUBLE), 6) AS share,
+           ROUND(cnt / (CAST(total AS DOUBLE) / keys), 6) AS skew_ratio,
+           CAST(LEAST(CEIL(cnt / (CAST(total AS DOUBLE) / keys)), 32)
+                AS INTEGER) AS suggested_salt
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+      FROM counts, stats
+    ) WHERE rn <= 10
+    """,
+)
+def c57_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tooling: key-skew diagnostics over the events feed's
+    user_id (operators/skew.py::skew_report) — the hottest keys, their
+    corpus share, skew ratio vs the mean key, and the salt factor that
+    would level each (the decision input for salted_join/x38 vs AQE's
+    skew split). One keyed aggregate + broadcast totals; O(top) output."""
+    from sheetsetl_spark.operators import skew
+
+    events = load_table(spark, sf_dir, "events")
+    return skew.skew_report(events, "user_id", top=10)

@@ -244,3 +244,37 @@ def c55_topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_pq(emb, query_vec_id=0, seed_ids=list(_PQ_SEEDS))
+
+
+@query(
+    "c58_bpe_merge_candidates",
+    oracle="""
+    WITH words AS (
+      SELECT term AS word, COUNT(*) AS wcnt FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+      ) GROUP BY term HAVING LEN(term) >= 2
+    ),
+    pair_stream AS (
+      SELECT word, wcnt, SUBSTRING(word, g.i, 2) AS pair
+      FROM words, LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(1, LEN(word) - 1)) AS i) g
+    )
+    SELECT pair, occurrences, n_words FROM (
+      SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS occurrences,
+             CAST(COUNT(DISTINCT word) AS INTEGER) AS n_words,
+             ROW_NUMBER() OVER (ORDER BY SUM(wcnt) DESC, pair) AS rn
+      FROM pair_stream GROUP BY pair
+    ) WHERE rn <= 20
+    """,
+)
+def c58_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (tokenizer-induction tier): the adjacent character-pair
+    frequency table a BPE trainer's first merge round reads
+    (operators/text.py::bpe_merge_candidates) — complements c4f (which
+    APPLIES a BPE-ish segmentation) with the statistic that LEARNS one.
+    Corpus collapses to vocabulary before the pair explosion, so the
+    heavy stage is O(distinct words), not O(corpus tokens)."""
+    from sheetsetl_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_merge_candidates(docs, top=20)
