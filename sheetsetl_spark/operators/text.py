@@ -380,6 +380,61 @@ def bm25_scores(
     )
 
 
+def _cms_buckets(width: int, depth: int) -> Column:
+    """Per-token bucket array: bucket_i = md5-prefix-60bit("i:token") mod
+    width — the engine-portable hash family shared with the DuckDB twin."""
+
+    def p60(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+    return F.array(
+        *[
+            F.pmod(p60(F.concat_ws(":", F.lit(str(i)), F.col("token"))), F.lit(width))
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_cells(
+    docs: DataFrame,
+    width: int = 1024,
+    depth: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """The (depth, bucket, cnt) cell table of a count-min sketch over the
+    corpus token stream — <= depth x width rows regardless of input.
+
+    CMS is a LINEAR sketch: the cell table of a union of corpora is the
+    cell-wise SUM of their tables, so incremental maintenance (the
+    streaming SketchIngestForeachBatch) stores per-batch cells and
+    merges by groupBy-sum with zero approximation drift vs a one-shot
+    build."""
+    toks = docs.select(F.explode(tokens(text_col)).alias("token"))
+    cells = toks.select(F.posexplode(_cms_buckets(width, depth)).alias("depth", "bucket"))
+    return cells.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_probe_estimates(
+    spark,
+    sketch: DataFrame,
+    probe_tokens: list[str],
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """(token, cms_est) for each probe against a (depth, bucket, cnt)
+    sketch table: min over depth rows of the probed buckets."""
+    probes = spark.createDataFrame([(t,) for t in probe_tokens], ["token"]).select(
+        "token",
+        F.posexplode(_cms_buckets(width, depth)).alias("depth", "bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["depth", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
 def count_min_sketch_estimates(
     docs: DataFrame,
     probe_tokens: list[str],
@@ -409,39 +464,10 @@ def count_min_sketch_estimates(
     per token in both engines.
     """
 
-    def p60(c: Column) -> Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
-
     toks = docs.select(F.explode(tokens(text_col)).alias("token"))
-    buckets = F.array(
-        *[
-            F.pmod(p60(F.concat_ws(":", F.lit(str(i)), F.col("token"))), F.lit(width))
-            for i in range(depth)
-        ]
-    )
-    cells = toks.select(F.posexplode(buckets).alias("depth", "bucket"))
-    sketch = cells.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
-
-    probes = docs.sparkSession.createDataFrame(
-        [(t,) for t in probe_tokens], ["token"]
-    ).select(
-        "token",
-        F.posexplode(
-            F.array(
-                *[
-                    F.pmod(
-                        p60(F.concat_ws(":", F.lit(str(i)), F.col("token"))), F.lit(width)
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("depth", "bucket"),
-    )
-    est = (
-        F.broadcast(probes)
-        .join(sketch, ["depth", "bucket"])
-        .groupBy("token")
-        .agg(F.min("cnt").alias("cms_est"))
+    sketch = cms_cells(docs, width=width, depth=depth, text_col=text_col)
+    est = cms_probe_estimates(
+        docs.sparkSession, sketch, probe_tokens, width=width, depth=depth
     )
     exact = (
         toks.filter(F.col("token").isin(probe_tokens))

@@ -749,3 +749,75 @@ class IvfIndexIngestForeachBatch:
             .partitionBy("cent_id", "__batch_id")
             .parquet(self.index_dir)
         )
+
+
+class SketchIngestForeachBatch:
+    """Incrementally maintained count-min sketch over a document stream.
+
+    Each micro-batch's token stream reduces to its (depth, bucket, cnt)
+    cell increments (operators/text.py::cms_cells) and is written to the
+    sketch store partitioned by batch id — CMS is a LINEAR sketch, so
+    the groupBy-sum merge of all partitions is EXACTLY the sketch a
+    one-shot build over the full history would produce (no approximation
+    drift from incremental maintenance; tested). Per-batch cost is one
+    scan of the batch plus a <= depth x width write: nothing rescans
+    history, the shape that holds when history is 100 TB.
+
+    Replay contract: dynamic partition overwrite keyed by batch id —
+    reprocessing a batch rewrites its own cell partition instead of
+    double-counting (tested).
+
+    Read side: :meth:`merged_sketch` / :meth:`estimates` — heavy-hitter
+    estimates from the merged store with the usual CMS guarantee
+    (est >= exact, error <= 2N/width at confidence 1-(1/2)^depth).
+    """
+
+    def __init__(
+        self,
+        sketch_dir: str,
+        width: int = 1024,
+        depth: int = 4,
+        text_col: str = "text",
+    ):
+        self.sketch_dir = sketch_dir
+        self.width = width
+        self.depth = depth
+        self.text_col = text_col
+        self.batches_seen: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators.text import cms_cells
+
+        self.batches_seen.append(batch_id)
+        cells = cms_cells(
+            batch_df, width=self.width, depth=self.depth, text_col=self.text_col
+        )
+        (
+            cells.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.sketch_dir)
+        )
+
+    def merged_sketch(self, spark) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(self.sketch_dir)
+            .groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def estimates(self, spark, probe_tokens: list[str]) -> DataFrame:
+        from sheetsetl_spark.operators.text import cms_probe_estimates
+
+        return cms_probe_estimates(
+            spark,
+            self.merged_sketch(spark),
+            probe_tokens,
+            width=self.width,
+            depth=self.depth,
+        )

@@ -664,3 +664,84 @@ def test_media_dedup_ingest_maintains_fingerprint_index(spark, tmp_path):
     assert set(idx_df.columns) >= {"media_id", "dhash"}
     ingest(b1, 1)  # replay
     assert {r["media_id"] for r in spark.read.parquet(hist).collect()} == {1, 5}
+
+
+def test_sketch_ingest_merge_equals_one_shot(spark, tmp_path):
+    """CMS linearity end-to-end: the merged incremental sketch is CELL-
+    IDENTICAL to a one-shot build over the full corpus (not just close —
+    the linear-sketch property makes incremental maintenance exact), and
+    probe estimates agree. Replay of a batch must not double-count."""
+    from sheetsetl_spark.operators.text import cms_cells
+    from sheetsetl_spark.streaming import SketchIngestForeachBatch
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    parts = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    ingest = SketchIngestForeachBatch(str(tmp_path / "sketch"), width=256, depth=4)
+    for i, p in enumerate(parts):
+        ingest(p, i)
+    merged = {
+        (r.depth, r.bucket): r.cnt
+        for r in ingest.merged_sketch(spark).collect()
+    }
+    one_shot = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_cells(docs, width=256, depth=4).collect()
+    }
+    assert merged == one_shot
+    # replay idempotence: rewriting batch 1's partition changes nothing
+    ingest(parts[1], 1)
+    replayed = {
+        (r.depth, r.bucket): r.cnt
+        for r in ingest.merged_sketch(spark).collect()
+    }
+    assert replayed == one_shot
+    # estimates carry the CMS overestimate guarantee vs exact counts
+    est = {r.token: r.cms_est for r in ingest.estimates(spark, ["table", "row"]).collect()}
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.token: r.cnt
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(["table", "row"]))
+        .groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    for t, x in exact.items():
+        assert est[t] >= x
+
+
+def test_sketch_ingest_from_stream(spark, tmp_path):
+    """Drive SketchIngestForeachBatch from a real file stream
+    (availableNow, one file per trigger): the merged sketch equals the
+    one-shot build over everything the stream delivered."""
+    from sheetsetl_spark.operators.text import cms_cells
+    from sheetsetl_spark.streaming import SketchIngestForeachBatch
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    for i in range(3):
+        docs.filter(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+    ingest = SketchIngestForeachBatch(str(tmp_path / "sketch"), width=256, depth=4)
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = {
+        (r.depth, r.bucket): r.cnt for r in ingest.merged_sketch(spark).collect()
+    }
+    one_shot = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_cells(docs, width=256, depth=4).collect()
+    }
+    assert merged == one_shot
+    assert len(ingest.batches_seen) >= 2  # maxFilesPerTrigger split it up
