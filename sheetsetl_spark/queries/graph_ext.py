@@ -127,3 +127,61 @@ def c57_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return skew.skew_report(events, "user_id", top=10)
+
+
+def _bloom_pos_sql(i: int, key: str, width: int) -> str:
+    return (
+        f"('0x' || SUBSTRING(MD5(CONCAT('{i}:', CAST({key} AS VARCHAR))), 1, 15))"
+        f"::BIGINT % {width}"
+    )
+
+
+_BLOOM_WIDTH = 16384
+_BLOOM_K = 3
+
+
+@query(
+    "c59_bloom_prefilter",
+    oracle=f"""
+    WITH build AS (
+      SELECT o_orderkey AS bk FROM orders WHERE o_totalprice > 450000
+    ),
+    bits AS (
+      SELECT DISTINCT {_bloom_pos_sql('i', 'bk', _BLOOM_WIDTH).replace("'i:'", "CAST(i AS VARCHAR) || ':'")} AS pos
+      FROM build, (SELECT UNNEST(GENERATE_SERIES(0, {_BLOOM_K - 1})) AS i) d
+    ),
+    ann AS (
+      SELECT l_returnflag,
+             {" AND ".join(f"({_bloom_pos_sql(i, 'l_orderkey', _BLOOM_WIDTH)} IN (SELECT pos FROM bits))" for i in range(_BLOOM_K))}
+               AS pass,
+             l_orderkey IN (SELECT bk FROM build) AS is_true
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(pass AS INT)) AS BIGINT) AS n_passed,
+           CAST(SUM(CAST(is_true AS INT)) AS BIGINT) AS n_true,
+           CAST(SUM(CAST(pass AND NOT is_true AS INT)) AS BIGINT) AS n_false_pos,
+           ROUND(SUM(CAST(pass AND NOT is_true AS INT))
+                 / CAST(SUM(CAST(NOT is_true AS INT)) AS DOUBLE), 6) AS fpr
+    FROM ann GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def c59_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tooling: bloom-filter join pre-filter accounting
+    (operators/bloom.py::bloom_fpr_report) — a 16384-bit k=3 filter
+    built from the high-value orders keys prunes the lineitem probe
+    WITHOUT shuffling it (k broadcast joins against the bounded
+    position table), and the report measures rows passed, true members,
+    false positives, and the realized FPR per return flag. No false
+    negatives by construction (pytest-pinned); the FPR here is the
+    width/k sizing feedback a real deployment tunes on."""
+    from sheetsetl_spark.operators import bloom
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_totalprice") > 450000)
+    return bloom.bloom_fpr_report(
+        li, build, "l_orderkey", "o_orderkey", "l_returnflag",
+        width=_BLOOM_WIDTH, k=_BLOOM_K,
+    )

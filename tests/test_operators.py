@@ -1329,3 +1329,31 @@ def test_pq_shortlist_rerank_recall(spark):
         ).collect()
     }
     assert len(pq & exact) / 10 >= 0.8
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """The bloom pass-set must be a SUPERSET of the exact semi-join —
+    a bloom filter never drops a true member."""
+    from sheetsetl_spark.operators import bloom
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    build = orders.filter(F.col("o_totalprice") > 450000)
+    passed = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in bloom.bloom_prefilter(
+            li, build, "l_orderkey", "o_orderkey", width=1024, k=3
+        ).select("l_orderkey", "l_linenumber").collect()
+    }
+    exact = {
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.join(
+            build.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "semi",
+        ).select("l_orderkey", "l_linenumber").collect()
+    }
+    assert exact <= passed
+    # and at this deliberately undersized width, it is a STRICT superset
+    # (false positives exist) — the report has something to measure
+    assert len(passed) > len(exact)

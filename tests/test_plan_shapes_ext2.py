@@ -183,3 +183,23 @@ def test_pq_codebook_and_adc_broadcast(spark):
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_never_shuffles(spark):
+    """c59's probe stream must be pruned in place: every join on the
+    probe path is a BroadcastHashJoin and the lineitem side reaches the
+    final aggregate with only its own groupBy Exchange."""
+    df = QUERIES["c59_bloom_prefilter"](spark, SF_SMALL)
+    df.collect()
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan
+    # all four joins (3 bloom positions + the truth annotation) broadcast
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    # the only hash Exchanges are on the BOUNDED sides (bits dedup /
+    # true-keys dedup) and the final group aggregate — never a shuffle
+    # of the probe stream itself
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert (
+                "pos#" in ln or "l_orderkey#" in ln or "l_returnflag" in ln
+            ), ln
