@@ -82,3 +82,45 @@ def pagerank(
             )
         )
     return r
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    top: int = 20,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Market-basket co-occurrence: the most frequent unordered item
+    pairs sharing a group (order, session, document...).
+
+    Scale shape: the pair stream is a SELF-EQUI-JOIN on the group key —
+    fanout is bounded by group size, quadratic only within a group, so
+    the optional ``max_group_size`` cap (the max_bucket_size precedent
+    from MinHash-LSH) drops degenerate mega-groups before they square.
+    Items are deduped per group first (one map-side-combining distinct),
+    the a<b predicate halves the pair stream at the join, and top-N is
+    TakeOrderedAndProject.
+
+    Output: (item_a, item_b, n_groups) for the ``top`` pairs, ties
+    broken by (item_a, item_b).
+    """
+    items = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_group_size is not None:
+        sizes = items.groupBy("g").agg(F.count("*").alias("__gs"))
+        items = (
+            items.join(sizes, "g")
+            .filter(F.col("__gs") <= max_group_size)
+            .drop("__gs")
+        )
+    a = items.select("g", F.col("item").alias("item_a"))
+    b = items.select("g", F.col("item").alias("item_b"))
+    pairs = a.join(b, "g").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy(F.col("n_groups").desc(), F.col("item_a"), F.col("item_b"))
+        .limit(top)
+    )

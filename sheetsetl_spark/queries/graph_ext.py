@@ -185,3 +185,34 @@ def c59_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, build, "l_orderkey", "o_orderkey", "l_returnflag",
         width=_BLOOM_WIDTH, k=_BLOOM_K,
     )
+
+
+@query(
+    "c60_copurchase_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+    )
+    SELECT item_a, item_b, n_groups FROM (
+      SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item_a, item_b) AS rn
+      FROM pairs GROUP BY item_a, item_b
+    ) WHERE rn <= 20
+    """,
+)
+def c60_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket tier: top co-purchased part pairs across orders
+    (operators/graph.py::cooccurrence_pairs) — the association-mining
+    primitive (the candidate-generation step of apriori's second pass).
+    Per-order distinct items first, self-equi-join on the order key with
+    the a<b half-pair predicate, so fanout is quadratic only within an
+    order (TPC-H baskets are <= 7 lines; the operator's max_group_size
+    cap guards real-world degenerate baskets)."""
+    from sheetsetl_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey", top=20)
