@@ -1,25 +1,16 @@
-"""Graph ranking operators: fixed-round PageRank over an edge list.
+"""Graph operators: fixed-iteration weighted PageRank.
 
-Parity note: the reference (src/loader.py) delegates querying to MySQL
-and has no graph capability; this extends the engine's iterative tier
-(c2f min-label connected components, b42b/b42c recursive closure) with
-the canonical damped random-surfer ranking (Brin & Page '98 — public
-algorithm), the shape any link/citation/interaction importance job at
-corpus scale takes.
+Complements operators/dedup.py::connected_components (the other iterative
+graph primitive): PageRank ranks nodes by stationary visit probability —
+domain authority for crawl prioritization, influence scoring over
+citation/link graphs in corpus curation.
 
-Determinism contract: every per-round float (the contribution
-r(u)/outdeg(u) and the updated rank) rounds to 6 dp immediately, and
-in-edge contributions accumulate in exact DECIMAL — so both engines
-walk bit-identical rank vectors round by round, and the DuckDB twin
-(an unrolled CTE chain) hash-checks every iteration's arithmetic, not
-just the final ordering.
-
-Scale shape: one shuffle per round (contributions grouped by dst);
-out-degrees computed once; the node count enters as a broadcast
-one-row aggregate. Rank state is O(nodes) and stays distributed —
-nothing is collected. For deep iteration counts, localCheckpoint the
-rank frame per round (the c2f frontier pattern) to keep lineage flat;
-at the fixed shallow depth used here plain lineage is cheaper.
+Scale design: each iteration is one join of the edge list against the
+current rank vector (both keyed on src — co-partitioned after the first
+shuffle) plus one aggregation keyed on dst. No driver-side state, no
+collect; iteration count is fixed and small, so the plan stays static
+(checkpoint between rounds past ~10 iterations, like
+functions/iterative.py does for the recursive fixpoint).
 """
 
 from __future__ import annotations
@@ -30,23 +21,102 @@ from pyspark.sql import functions as F
 
 def pagerank(
     edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    deterministic_fold: bool = True,
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` fixed rounds from a uniform start.
+
+    rank_{t+1}(v) = (1-d)/N + d * sum_{(u,v) in E} rank_t(u) * w(u,v) / out_w(u)
+
+    (no dangling-mass redistribution: every src in ``edges`` has
+    out-weight by construction; nodes with no in-edges settle at
+    (1-d)/N).
+
+    ``deterministic_fold=True`` sums each node's incoming contributions
+    in src order via an explicit sorted fold, so the double arithmetic is
+    bit-identical on ANY partitioning and engine — that makes the full
+    iterative pipeline DuckDB-hash-checkable. The fold materializes one
+    array per destination node, fine up to ~1e5 in-degree hubs; for
+    power-law web graphs pass ``deterministic_fold=False`` to use a
+    plain associative sum (order-dependent in the last ulp, still
+    convergent — standard practice at that scale).
+    """
+    # explode, not self-union: the union form would evaluate the edges
+    # subtree twice (it may itself be a join pipeline)
+    nodes = (
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
+        .distinct()
+    )
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("__ow"))
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    e = edges.join(outw, src).select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        (F.col(weight) / F.col("__ow")).alias("__share"),
+    )
+    for _ in range(iters):
+        contrib = e.join(ranks, e["__src"] == ranks["node"]).select(
+            F.col("__dst").alias("node"),
+            "__src",
+            (F.col("rank") * F.col("__share")).alias("__c"),
+        )
+        if deterministic_fold:
+            summed = contrib.groupBy("node").agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("__src"), F.col("__c")))),
+                        lambda x: x["__c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("__s")
+            )
+        else:
+            summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 10).alias("rank"))
+
+
+def pagerank_rounded(
+    edges: DataFrame,
     iters: int = 5,
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """Fixed-round PageRank over a directed edge list.
+    """Unweighted fixed-round PageRank under the 6-dp round-then-
+    decimal-sum contract (contrast :func:`pagerank` above, the weighted
+    form whose determinism comes from a src-ordered fold instead):
+    every per-round float — the contribution r(u)/outdeg(u) and the
+    updated rank — rounds to 6 dp immediately and in-edge contributions
+    accumulate in exact DECIMAL, so both engines walk bit-identical
+    rank vectors round by round and an unrolled CTE chain hash-checks
+    every iteration (c56). Symmetrize the edge list first for an
+    undirected graph (which also removes dangling-node mass).
 
-    The caller supplies edges (symmetrize first for an undirected
-    graph — which also removes dangling-node mass, since every node
-    then has out-degree >= 1). Ranks start uniform at round(1/N, 6) and
-    update as ``round((1-d)/N + d * sum(contrib), 6)`` with
-    ``contrib = round(r(u)/outdeg(u), 6)`` decimal-summed per target.
-
-    Output: (node, pr) for every node after ``iters`` rounds.
+    Scale shape: one dst-keyed shuffle per round; out-degrees computed
+    once; node count is a broadcast one-row aggregate; rank state stays
+    distributed. Output: (node, pr) after ``iters`` rounds.
     """
-    src, dst = F.col(src_col), F.col(dst_col)
-    e = edges.select(src.alias("src"), dst.alias("dst")).distinct()
+    s, d = F.col(src_col), F.col(dst_col)
+    e = edges.select(s.alias("src"), d.alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -119,3 +119,47 @@ def scd2_intervals(
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
         .drop("__island")
     )
+
+
+def time_decayed_agg(
+    events: DataFrame,
+    group_col: str,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Exponentially time-decayed aggregate: the feature-store primitive
+    where recent activity counts more (weight = 2^(-age/half_life),
+    anchored at the corpus' newest event date so the result is a pure
+    function of the data).
+
+    Determinism contract: age is an exact integer day difference, each
+    contribution value*weight rounds to 6 dp, the per-group total
+    accumulates in exact DECIMAL — partition-order free, hash-stable.
+
+    Scale: one scan, the anchor is a broadcast one-row aggregate, one
+    map-side-combining group shuffle. Output: (group, decayed_value,
+    raw_value, n_events).
+    """
+    import math
+
+    from sheetsetl_spark.operators.text import round6_bin
+
+    lam = -math.log(2.0) / half_life_days
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("__anchor"))
+    age = F.datediff(F.col("__anchor"), F.to_date(ts_col))
+    # round6_bin, not F.round: the oracle spells the FLOOR form, and the
+    # two diverge on negative values at the .5 boundary (fixture values
+    # happen to be >= 0 today; the operator shouldn't depend on that).
+    contrib = round6_bin(F.col(value_col) * F.exp(F.lit(lam) * age))
+    raw = round6_bin(F.col(value_col))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .groupBy(group_col)
+        .agg(
+            F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("decayed_value"),
+            F.sum(raw.cast("decimal(28,6)")).cast("double").alias("raw_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(group_col)
+    )

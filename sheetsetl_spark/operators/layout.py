@@ -112,3 +112,54 @@ def hash_split(
         .when(u < train_frac + val_frac, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 50,
+    tag: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis '06, the A-ES exponential-race form — public algorithm):
+    each row draws u from the md5(tag:id) uniform and races with key
+    -ln(u) / weight; the k SMALLEST keys are the sample. Inclusion
+    probability is proportional to weight, and — like hash_split — the
+    sample is a pure function of (ids, weights, tag): partition-order
+    free, stable across clusters and re-runs (the property
+    df.sample(weights) cannot give), so a data-mix ablation can be
+    re-cut byte-identically months later.
+
+    Scale: pure per-row hashing + one TakeOrderedAndProject — no
+    shuffle, no sampling state. Weights must be > 0 (raise_error guard:
+    a zero weight divides to infinity and silently never samples; a
+    negative one inverts the race).
+
+    Output: (id, weight, ws_key) for the k winners, ws_key rounded to
+    6 dp after ordering (ties broken by id).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(tag), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(1152921504606846976.0)  # 2^60: u in (0, 1]
+    w = F.when(F.col(weight_col) > 0, F.col(weight_col).cast("double")).otherwise(
+        F.raise_error(
+            F.lit("weighted_sample: weights must be > 0 (zero never samples, negative inverts the race)")
+        )
+    )
+    key = -F.log(u) / w
+    return (
+        df.select(F.col(id_col), F.col(weight_col).alias("weight"), key.alias("__key"))
+        .orderBy(F.col("__key").asc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round("__key", 6).alias("ws_key"))
+    )

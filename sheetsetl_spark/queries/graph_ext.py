@@ -75,7 +75,7 @@ def _pagerank_oracle(iters: int, damping: float) -> str:
 def c56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative tier: 5-round damped PageRank (d=0.85) over the
     symmetrized customer<->supplier graph (operators/graph.py::
-    pagerank) — distinct trade relationships from orders x lineitem as
+    pagerank_rounded) — distinct trade relationships from orders x lineitem as
     edges, so the rank surfaces the most systemically-connected
     parties. One dst-keyed shuffle per round, broadcast node count,
     rank state distributed throughout; top-25 via
@@ -95,7 +95,7 @@ def c56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = directed.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).union(directed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    ranks = graph.pagerank(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
+    ranks = graph.pagerank_rounded(edges, iters=_PR_ITERS, damping=_PR_DAMPING)
     return ranks.orderBy(F.col("pr").desc(), F.col("node")).limit(25)
 
 

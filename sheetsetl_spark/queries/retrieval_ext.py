@@ -278,3 +278,61 @@ def c58_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bpe_merge_candidates(docs, top=20)
+
+
+@query(
+    "c61_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             -LN((('0x' || SUBSTRING(MD5(CONCAT('ws:', CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT + 1)
+                 / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS key
+      FROM documents
+    )
+    SELECT doc_id, weight,
+           FLOOR(key * 1000000.0 + 0.5) / 1000000.0 AS ws_key
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY key ASC, doc_id) AS rn FROM keyed)
+    WHERE rn <= 50
+    """,
+)
+def c61_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix tier: deterministic weighted sampling without replacement —
+    50 documents drawn with probability proportional to n_chars via the
+    A-ES exponential race (operators/layout.py::weighted_sample).
+    Complements c19 (integer-replication mix weights) and c7 (uniform
+    stratified): this is the true without-replacement draw, and it is a
+    pure function of (ids, weights, tag) — re-cuttable byte-identically
+    on any cluster. No shuffle: per-row hashing + TakeOrdered."""
+    from sheetsetl_spark.operators import layout
+
+    docs = load_table(spark, sf_dir, "documents")
+    return layout.weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "c62_time_decayed_agg",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM events)
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * EXP(-0.09902102579427789
+                  * DATEDIFF('day', CAST(ts AS DATE), ad))
+                  * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)))
+             AS DOUBLE) AS decayed_value,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) / 1000000.0
+                  AS DECIMAL(28,6))) AS DOUBLE) AS raw_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, anchor
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def c62_time_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature tier: exponentially time-decayed event-value aggregate
+    per event type, half-life 7 days anchored at the newest event date
+    (operators/incremental.py::time_decayed_agg) — the recency-weighted
+    rollup a feature store serves next to the raw total. One scan,
+    broadcast anchor, one group shuffle."""
+    from sheetsetl_spark.operators import incremental
+
+    events = load_table(spark, sf_dir, "events")
+    return incremental.time_decayed_agg(events, "event_type")
