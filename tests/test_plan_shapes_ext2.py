@@ -203,3 +203,26 @@ def test_bloom_probe_never_shuffles(spark):
             assert (
                 "pos#" in ln or "l_orderkey#" in ln or "l_returnflag" in ln
             ), ln
+
+
+def test_weighted_sample_zero_shuffle(spark):
+    """c61 is per-row hashing + TakeOrdered: no Exchange, no join, and
+    the parquet scan reads only the two needed columns."""
+    df = QUERIES["c61_weighted_sample"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "doc_id" in scan_line and "n_chars" in scan_line
+    assert "text" not in scan_line  # column pruning reached the scan
+
+
+def test_time_decay_single_group_shuffle(spark):
+    """c62: broadcast anchor + exactly one hash Exchange (the group
+    aggregate) with a map-side partial before it."""
+    df = QUERIES["c62_time_decayed_agg"](spark, SF_SMALL)
+    df.collect()
+    plan = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # one-row anchor
