@@ -1357,3 +1357,90 @@ def test_bloom_prefilter_no_false_negatives(spark):
     # and at this deliberately undersized width, it is a STRICT superset
     # (false positives exist) — the report has something to measure
     assert len(passed) > len(exact)
+
+
+def test_winnowing_short_doc_has_no_full_window(spark):
+    """A doc with fewer than k+w-1 tokens (no full hash window) yields
+    no fingerprints; a doc at exactly the boundary yields exactly one."""
+    from sheetsetl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens -> 3 gram hashes < w=4: none
+            (2, "a b c d e f g h"),  # 8 tokens -> 4 hashes: one window
+        ],
+        "doc_id long, text string",
+    )
+    rows = text_ops.winnow_selected(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc
+    assert len(by_doc[2]) == 1
+
+
+def test_rrf_fuse_three_lists_and_missing_docs(spark):
+    """rrf_fuse generalizes to N lists; absent docs contribute 0 from
+    the lists that missed them (standard RRF)."""
+    from sheetsetl_spark.operators.retrieval import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, r1 int")
+    l2 = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, r2 int")
+    l3 = spark.createDataFrame([(3, 1), (1, 2)], "doc_id long, r3 int")
+    out = {
+        r.doc_id: r.rrf_score
+        for r in rrf_fuse(
+            [l1, l2, l3], k=10, rrf_k=60, rank_cols=["r1", "r2", "r3"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 2: ranks (2, 1, -) -> 1/62 + 1/61; doc absent from l3
+    assert abs(out[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+
+
+def test_cooccurrence_group_size_cap(spark):
+    """max_group_size drops a degenerate mega-basket BEFORE it squares:
+    pairs from the capped group vanish, small groups unaffected."""
+    from sheetsetl_spark.operators.graph import cooccurrence_pairs
+
+    rows = [(1, i) for i in range(20)] + [(2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    capped = cooccurrence_pairs(df, "g", "item", top=100, max_group_size=5)
+    got = {(r.item_a, r.item_b) for r in capped.collect()}
+    assert got == {(1, 2)}
+    uncapped = cooccurrence_pairs(df, "g", "item", top=1000)
+    assert uncapped.count() == 190 + 0  # C(20,2), the (1,2) pair merges in
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    from sheetsetl_spark.operators.layout import weighted_sample
+
+    df = spark.createDataFrame([(1, 10), (2, 0)], "doc_id long, w long")
+    with pytest.raises(Exception, match="weights must be > 0"):
+        weighted_sample(df, "doc_id", "w", k=2).collect()
+
+
+def test_skew_report_suggests_salt_for_hot_key(spark):
+    """A key holding half the table gets skew_ratio ~ n_keys/2 and a
+    correspondingly capped salt suggestion."""
+    from sheetsetl_spark.operators.skew import skew_report
+
+    rows = [(99,)] * 100 + [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long")
+    top = skew_report(df, "k", top=1).collect()[0]
+    assert top.key == 99 and top.cnt == 101
+    assert top.suggested_salt == 32  # ratio ~50 caps at max_salt
+
+
+def test_pagerank_rounded_conserves_mass(spark):
+    """Rank mass stays ~1 after 5 rounds on a symmetrized graph (no
+    dangling leakage; 6-dp rounding bounds the drift)."""
+    from sheetsetl_spark.operators.graph import pagerank_rounded
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 3), (3, 1), (1, 4)]],
+        "src long, dst long",
+    )
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    total = sum(r.pr for r in pagerank_rounded(sym, iters=5).collect())
+    assert abs(total - 1.0) < 1e-3
