@@ -1,11 +1,13 @@
-"""Round-7 graph extensions: fixed-round PageRank over the
-customer<->supplier interaction graph derived from orders x lineitem.
+"""Round-7 batch-2 extensions, graph/scale-tooling tier: fixed-round
+PageRank over the customer<->supplier interaction graph, key-skew
+diagnostics, bloom-filter join pre-filtering with measured FPR, and
+co-purchase pair mining.
 
-The oracle is an UNROLLED CTE chain (one contribution + sum + update
-triple per round, generated below) so DuckDB re-walks every iteration's
-arithmetic under the same 6-dp round-then-decimal-sum contract the
-Spark operator uses — the whole trajectory is hash-checked, not just
-the final ranking.
+The PageRank oracle is an UNROLLED CTE chain (one contribution + sum +
+update triple per round, generated below) so DuckDB re-walks every
+iteration's arithmetic under the same 6-dp round-then-decimal-sum
+contract the Spark operator uses — the whole trajectory is
+hash-checked, not just the final ranking.
 """
 
 from __future__ import annotations

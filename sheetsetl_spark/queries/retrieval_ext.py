@@ -1,7 +1,9 @@
-"""Round-7 retrieval/fingerprinting extensions: hybrid RRF search
+"""Round-7 batch-2 extensions, retrieval/corpus tier: hybrid RRF search
 (lexical BM25 + dense cosine fused by reciprocal rank), MOSS-style
-winnowing fingerprints, and product-quantization ANN — the remaining
-rungs of a production retrieval + dedup stack on top of c2/c3/c26.
+winnowing fingerprints, product-quantization ANN, BPE merge-candidate
+statistics, deterministic A-ES weighted sampling, and time-decayed
+aggregates — the remaining rungs of a production retrieval + dedup +
+data-mix stack on top of c2/c3/c26/c19.
 
 Every query is a Catalyst-only DataFrame program with a DuckDB oracle
 twin following the registry determinism contract
