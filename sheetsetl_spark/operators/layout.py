@@ -1,5 +1,7 @@
 """Data-layout operators: z-order clustering for multi-column data
-skipping.
+skipping, deterministic sharding / hash splits / weighted sampling, and
+weighted curriculum interleaving — how a training-data set is CUT and
+ORDERED once its contents are decided.
 
 Parquet readers prune row groups with min/max stats, but stats only help
 if the layout clusters values. Sorting by one column destroys locality
@@ -16,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -163,3 +165,77 @@ def weighted_sample(
         .limit(k)
         .select(id_col, "weight", F.round("__key", 6).alias("ws_key"))
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    limit: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted interleave of sources — the global read
+    order a training run consumes when source s should contribute a
+    weights[s] share of every prefix of the stream (the "sample without
+    replacement, proportionally, from the first batch onward" layout a
+    data-mixing spec compiles to; complements c19's integer-replication
+    epoch weights, which change WHAT is in the set, not its ORDER).
+
+    Each source's k-th row (1-based, ordered by id for reproducibility)
+    lands at position (k - 0.5) / weight on a shared axis; sorting all
+    rows by that position interleaves the sources so every prefix of
+    length L holds ~L * weight[s] / sum(weights) rows of source s (the
+    classic stride-scheduling / weighted fair queueing pattern, public
+    algorithm). Integer k over an exact double division makes the
+    position reproducible bit-for-bit on any engine; ties (equal-weight
+    sources hit the same position) break by (source, id).
+
+    Sources missing from `weights` are excluded — a mixing spec is an
+    allowlist, and silently defaulting a weight would change the mix.
+
+    Output: (ordinal, source, id, position) with position rounded to
+    6 dp after ordering.
+
+    Scale: one shuffle for the per-source row_number (partition by
+    source; skewed mega-sources are ordered by id within their own
+    partition only), then a global sort — which Spark executes as a
+    range-partitioned exchange, the same shape as any 100 TB
+    ORDER BY-and-write. The global ordinal is row_number over the
+    position order; for a write-to-shards consumer the ordinal can be
+    dropped and the sorted write relied on instead.
+    """
+    if not weights:
+        raise ValueError("curriculum_interleave: weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("curriculum_interleave: weights must be > 0")
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    per_source = Window.partitionBy("source").orderBy(F.col("id").asc())
+    ranked = (
+        df.select(
+            F.col(source_col).alias("source"), F.col(id_col).alias("id")
+        )
+        .filter(F.col(source_col).isin(list(weights)))
+        .select(
+            "source",
+            "id",
+            (
+                (F.row_number().over(per_source) - F.lit(0.5))
+                / wmap[F.col("source")]
+            ).alias("__pos"),
+        )
+    )
+    ordered = ranked.select(
+        F.row_number()
+        .over(
+            Window.partitionBy().orderBy(
+                F.col("__pos").asc(), F.col("source").asc(), F.col("id").asc()
+            )
+        )
+        .alias("ordinal"),
+        "source",
+        "id",
+        F.round("__pos", 6).alias("position"),
+    )
+    return ordered.filter(F.col("ordinal") <= limit) if limit else ordered

@@ -9,7 +9,7 @@ is a few KB regardless of input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,3 +37,102 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         "__n AS n_rows",
         f"stack({len(cols)}, {stack_expr}) AS (column, n_nulls, n_distinct, min_val, max_val)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+def distribution_divergence(
+    df: DataFrame,
+    group_col: str,
+    class_col: str,
+) -> DataFrame:
+    """Per-group distribution drift vs the corpus: KL(p_g || p_corpus)
+    and Jensen-Shannon divergence of each group's class distribution
+    against the global one — the statistic a data-mixing pipeline
+    watches to catch a source whose language / domain / label mix has
+    shifted from the corpus it was weighted for (and the quantity DSIR-
+    style importance weighting consumes, see operators/text.py).
+
+    KL needs q > 0 wherever p > 0: the corpus distribution contains
+    every class any group has, so that holds by construction — no
+    smoothing constant to pick. JS uses m = (p + q) / 2 and is symmetric
+    and bounded by ln 2.
+
+    Output: (group, n_rows, kl, js), divergences in nats rounded to
+    6 dp. Per-class terms round to 6 dp FIRST and accumulate in exact
+    decimal (registry determinism contract) so partial-aggregation
+    order can't flip the hash.
+
+    Plan: one (group, class) count -> window totals (group partition +
+    an unpartitioned global window over the per-class frame, which is
+    |classes| rows — bounded vocabulary, not data-sized) -> one
+    per-group sum. Map-side combinable throughout; no driver collect.
+    """
+    cell = (
+        df.select(F.col(group_col).alias("group"), F.col(class_col).alias("cls"))
+        .groupBy("group", "cls")
+        .agg(F.count("*").alias("n"))
+    )
+    per_class = cell.groupBy("cls").agg(F.sum("n").alias("n_cls"))
+    grand = Window.partitionBy()
+    per_class = per_class.select(
+        "cls",
+        "n_cls",
+        F.sum("n_cls").over(grand).alias("n_total"),
+        (F.col("n_cls") / F.sum("n_cls").over(grand)).alias("q"),
+    )
+    by_group = Window.partitionBy("group")
+    scored = (
+        cell.select(
+            "group",
+            "cls",
+            "n",
+            (F.col("n") / F.sum("n").over(by_group)).alias("p"),
+            F.sum("n").over(by_group).alias("n_rows"),
+        )
+        .join(per_class, "cls")
+        .select(
+            "group",
+            "n_rows",
+            "n",
+            F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 6).alias("kl_term"),
+            F.round(
+                0.5 * F.col("p") * F.log(F.col("p") / ((F.col("p") + F.col("q")) / 2))
+                + 0.5 * F.col("q") * F.log(F.col("q") / ((F.col("p") + F.col("q")) / 2)),
+                6,
+            ).alias("js_term_present"),
+        )
+    )
+    # JS also sums q-side mass for classes ABSENT from the group
+    # (p = 0 -> term = 0.5 * q * ln(q / (q/2)) = 0.5 * q * ln 2); fold
+    # that in as a per-group correction. Computed from exact INTEGER
+    # counts — absent mass = (n_total - sum of present classes' n_cls)
+    # / n_total — so no float accumulation can drift between engines.
+    present_q = (
+        cell.join(per_class, "cls")
+        .groupBy("group")
+        .agg(
+            (
+                (F.max("n_total") - F.sum("n_cls")) / F.max("n_total")
+            ).alias("absent_q")
+        )
+    )
+    per_group = scored.groupBy("group").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.sum(F.col("kl_term").cast("decimal(18,6)")).cast("double").alias("kl_raw"),
+        F.sum(F.col("js_term_present").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("js_present"),
+    )
+    return (
+        per_group.join(present_q, "group")
+        .select(
+            "group",
+            "n_rows",
+            F.round("kl_raw", 6).alias("kl"),
+            F.round(
+                F.col("js_present")
+                + F.round(0.5 * F.col("absent_q") * F.log(F.lit(2.0)), 6),
+                6,
+            ).alias("js"),
+        )
+        .orderBy("group")
+    )
