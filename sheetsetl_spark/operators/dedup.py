@@ -1327,3 +1327,90 @@ def duplicated_passages(
         F.col("end_pos").cast("int").alias("end_pos"),
         (F.col("end_pos") - F.col("start_pos") + 1).cast("int").alias("n_tokens"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family — Chaudhuri et al. ICDE'06, Xiao et al.
+    WWW'08; public algorithms): all document pairs with shingle-set
+    Jaccard >= ``threshold``, with NO df cap and NO approximation.
+
+    Contrast the two existing near-dup paths: ngram_jaccard_pairs is
+    exact over a CAPPED shingle universe (boilerplate shingles dropped),
+    minhash_lsh_pairs is probabilistic. Prefix filtering gets exactness
+    AND a sub-quadratic candidate set from a theorem instead of a cap:
+    order every document's shingles by the global (df, shingle) order
+    (rarest first) and call its first |d| - ceil(t*|d|) + 1 shingles the
+    PREFIX; any pair with J >= t must share a prefix shingle (if the
+    rarest intersection shingle of A∩B sat outside A's prefix, the whole
+    intersection would fit in A's suffix of size ceil(t|A|)-1 < t|A| <=
+    |A∩B| — contradiction, and symmetrically for B). So the equi-join
+    runs over PREFIX streams only — rare shingles by construction, tiny
+    fanout — and candidates are verified with a candidate-proportional
+    intersection count, never the full quadratic join. The DuckDB twin
+    is the UNCAPPED brute-force join, so a hash match at fixture scale
+    certifies the filter's completeness, not just its own construction.
+
+    Scale: one corpus scan (persisted shingle stream feeds df counts,
+    prefixes, and both verify sides), one shingle-keyed shuffle for df +
+    ranking, the prefix equi-join, and one candidate-keyed verify join.
+    A boilerplate shingle shared by f docs lands in prefixes only for
+    docs where it ranks inside the top |d|-ceil(t|d|)+1 RAREST — at a
+    realistic t (>= 0.5) a hot shingle is almost never in any prefix, so
+    the f² blowup the df cap guards against elsewhere cannot happen here.
+
+    Output: (doc_a, doc_b, inter, jaccard) with doc_a < doc_b,
+    jaccard rounded 6 dp (filtering happens on the raw double, computed
+    identically in both engines).
+    """
+    sh = scoped_persist(
+        shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(df_tbl, "shingle")
+    wdoc = Window.partitionBy(id_col)
+    worder = wdoc.orderBy("df", "shingle")
+    sized = ranked.withColumn("rnk", F.row_number().over(worder)).withColumn(
+        "n_sh", F.count("*").over(wdoc)
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    )
+    prefix = sized.filter(F.col("rnk") <= prefix_len)
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    full_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    full_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(full_a, "doc_a")
+        .join(full_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jacc = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(jacc >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            round6_bin(jacc).alias("jaccard"),
+        )
+    )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sheetsetl_spark.operators.text import round6_bin
+
 
 def pagerank(
     edges: DataFrame,
@@ -193,4 +195,150 @@ def cooccurrence_pairs(
         .agg(F.count("*").alias("n_groups"))
         .orderBy(F.col("n_groups").desc(), F.col("item_a"), F.col("item_b"))
         .limit(top)
+    )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient, the
+    degree-ordered-orientation algorithm (Suri & Vassilvitskii's MR
+    triangle counting; also Latapy's compact-forward).
+
+    Scale shape — the reason this survives 100 TB where the naive
+    3-way edge self-join does not: every edge is ORIENTED from its
+    lower-(degree, id) endpoint to its higher one, which bounds every
+    node's OUT-degree by O(sqrt(m)) regardless of how skewed the raw
+    degree distribution is (a hub of degree d only keeps out-edges to
+    neighbors of even higher degree, and there can be at most ~sqrt(2m)
+    nodes of degree >= sqrt(2m)). The wedge join therefore fans out
+    quadratically only in out-degree, giving the optimal O(m^1.5) work
+    bound; each triangle is found exactly once (at its lowest-key apex).
+
+    Three shuffles total: canonical-edge distinct, the degree
+    aggregation, and the wedge self-join + closing-edge semi-join
+    (both keyed on node/edge — AQE handles residual skew).
+
+    Returns one row: n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering = 3*triangles / wedges (round 6; wedges counted
+    on the undirected graph as sum(deg*(deg-1)/2)).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
+    wedges_dir = o1.join(o2, "a").filter(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+    )
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tri = wedges_dir.join(closing, ["b1", "b2"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    # per-node deg*(deg-1) is always even, so halve BEFORE summing and
+    # the whole wedge count stays exact BIGINT (sum/2 in double would
+    # lose exactness past 2^53 at web scale)
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            round6_bin(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            ).alias("global_clustering"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over all DIRECTED edge instances
+    (each undirected edge counted in both directions, the standard
+    convention). Positive = hubs attach to hubs (social nets),
+    negative = hubs attach to leaves (tech/biological nets) — the
+    one-scalar health check for whether a sampled/pruned graph kept
+    the original's mixing structure.
+
+    Determinism: degrees are exact integers, so all five correlation
+    moments (Sx, Sy, Sxy, Sxx, Syy) accumulate as exact BIGINT sums —
+    no float order-dependence anywhere; the final coefficient is one
+    double expression over exact integers, bit-identical on any
+    partitioning and engine.
+
+    Scale: one distinct, one degree aggregation, two broadcast-size
+    joins keyed on node, one global agg. No quadratic step.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # both directions: (du, dv) and (dv, du)
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    both = ed.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        ed.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    m = both.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # Combine moments in DOUBLE, not BIGINT: n*sxy overflows int64 near
+    # ~1e9 edge ends, and IEEE double ops on identical exact-int inputs
+    # are bit-identical across engines (the oracle parenthesizes the
+    # same way), so determinism survives the cast.
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return m.select(
+        F.col("n").alias("n_edge_ends"),
+        round6_bin(num / den).alias("assortativity"),
     )

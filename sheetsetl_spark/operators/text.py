@@ -794,3 +794,267 @@ def bpe_merge_candidates(
         .orderBy(F.col("occurrences").desc(), F.col("pair"))
         .limit(top)
     )
+
+
+def _bpe_clean(text_col: str, max_chars: int) -> Column:
+    """Lowercase a-z stream, single spaces -> '_' word markers, first
+    ``max_chars`` chars (the byte-level-BPE style pre-tokenization)."""
+    col = F.lower(F.col(text_col))
+    col = F.regexp_replace(col, "[^a-z ]", "")
+    col = F.regexp_replace(col, " +", " ")
+    col = F.substring(F.trim(col), 1, max_chars)
+    return F.replace(col, F.lit(" "), F.lit("_"))
+
+
+def _adjacent_pairs(toks_col: str) -> Column:
+    """array<struct<x,y>> of adjacent token pairs from a space-joined
+    token string (standard BPE pair statistics: overlapping occurrences
+    all count, e.g. 'l l l' yields ('l','l') twice)."""
+    return F.expr(
+        f"transform(sequence(0, size(split(trim({toks_col}), ' ')) - 2),"
+        f" i -> struct(split(trim({toks_col}), ' ')[i] AS x,"
+        f"             split(trim({toks_col}), ' ')[i+1] AS y))"
+    )
+
+
+def bpe_train_apply(
+    docs: DataFrame,
+    rounds: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 120,
+) -> DataFrame:
+    """TRUE byte-pair-encoding training + tokenization (Sennrich et al.,
+    ACL'16 — the public algorithm): ``rounds`` merge rounds, each
+    recomputing corpus-wide adjacent-pair counts over the CURRENT
+    tokenization and greedily merging the argmax pair (ties broken
+    (count DESC, x, y) for engine portability). Contrast
+    :func:`bpe_merge_candidates`, which only reports the FIRST round's
+    candidate table — this one runs the actual induction loop.
+
+    Scale shape — why this is the right distributed BPE: each round is
+    one map-side-combining pair aggregation (tree-reduced to a single
+    argmax row, the kmeans-centroid bounded-collect precedent:
+    operators/similarity.py) followed by a corpus-parallel token-level
+    merge application — the merge lives in the PLAN as two literals,
+    never joined. Driver state per round is ONE row; rounds are fixed
+    and small, so lineage stays bounded.
+
+    Merge application is EXACT greedy left-to-right non-overlapping
+    token pairing, not a string replace: a plain replace of ' x y '
+    silently skips every second site in an adjacent-site chain because
+    consecutive matches share a boundary space ('banana' merging (a,n)
+    must yield [b, an, an, a], but replace stops at [b, an, a, n, a]).
+    Instead tokens are exploded with positions and greedy selection is
+    computed with windows: a position is merged iff it starts a pair
+    AND its offset within its maximal run of consecutive pair-sites is
+    even (runs longer than one site only occur when x == y; for x != y
+    the parity term is vacuously true). Windows partition by document —
+    bounded groups, corpus-parallel.
+
+    Returns (id, toks, n_tokens) — the tokenized doc after ``rounds``
+    merges. DuckDB twin: an unrolled per-round CTE chain (the c56
+    pagerank precedent), hash-checking every round's merge choice AND
+    every doc's final tokenization.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), _bpe_clean(text_col, max_chars).alias("clean")
+    ).filter(F.length("clean") >= 2)
+    cur = base.select(
+        "id",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("clean"), "(.)", "$1 ")
+        ).alias("toks"),
+    )
+    for _ in range(rounds):
+        pairs = cur.select(F.explode(_adjacent_pairs("toks")).alias("p"))
+        best = (
+            pairs.groupBy("p.x", "p.y")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("x"), F.col("y"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        cur = _bpe_apply_merge(cur, best[0]["x"], best[0]["y"])
+    return cur.select(
+        "id",
+        F.trim(F.col("toks")).alias("toks"),
+        F.size(F.split(F.trim(F.col("toks")), " ")).cast("int").alias("n_tokens"),
+    )
+
+
+def _bpe_apply_merge(cur: DataFrame, x: str, y: str) -> DataFrame:
+    """One greedy BPE merge (x, y) -> xy over (id, toks) token strings,
+    exact left-to-right non-overlapping pairing (see bpe_train_apply).
+
+    site(i) marks positions where (t[i], t[i+1]) == (x, y); greedy keeps
+    sites at even offsets within each maximal consecutive-site run
+    (gaps-and-islands: island = pos - running site count). A kept site
+    emits the merged token; the position after a kept site is consumed.
+    """
+    tok = cur.select(
+        "id", F.posexplode(F.split(F.trim("toks"), " ")).alias("pos", "t")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    tok = (
+        tok.withColumn(
+            "site",
+            ((F.col("t") == x) & (F.lead("t", 1).over(w) == y)).cast("int"),
+        )
+        .withColumn("island", F.col("pos") - F.sum("site").over(w))
+    )
+    wisl = Window.partitionBy("id", "island")
+    tok = (
+        tok.withColumn(
+            "run_start",
+            F.min(F.when(F.col("site") == 1, F.col("pos"))).over(wisl),
+        )
+        .withColumn(
+            "sel",
+            (F.col("site") == 1)
+            & ((F.col("pos") - F.col("run_start")) % 2 == 0),
+        )
+    )
+    tok = tok.withColumn(
+        "out_t",
+        F.when(F.col("sel"), F.lit(x + y))
+        .when(F.coalesce(F.lag("sel", 1).over(w), F.lit(False)), F.lit(None))
+        .otherwise(F.col("t")),
+    )
+    return (
+        tok.filter(F.col("out_t").isNotNull())
+        .groupBy("id")
+        .agg(
+            F.concat(
+                F.lit(" "),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "out_t"))),
+                        lambda s: s["out_t"],
+                    ),
+                ),
+                F.lit(" "),
+            ).alias("toks")
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: int = 1,
+) -> DataFrame:
+    """Bigram language-model score with add-k smoothing, trained on the
+    corpus itself (the next rung above :func:`unigram_logprob`'s bag of
+    words — word ORDER now matters, so templated/shuffled spam scores
+    differently from fluent text even at identical unigram mix).
+
+    For each adjacent word pair: -ln((c(w1,w2)+k) / (c(w1)+k*V)) with V
+    the corpus vocabulary size; per-pair terms round to 6 dp FIRST and
+    accumulate in exact DECIMAL (the registry determinism contract).
+
+    Scale shape: the bigram model is corpus-derived, so it's joined back
+    on the bigram key (no broadcast assumption — AQE decides), the
+    unigram model on w1; V is a broadcast one-row aggregate. One pair
+    shuffle + two model joins; nothing driver-side.
+    """
+    toks = tokens(text_col)
+    pair_rows = docs.select(
+        F.col(id_col).alias("id"), F.explode(_pairs_of(toks)).alias("p")
+    ).select("id", F.col("p.x").alias("w1"), F.col("p.y").alias("w2"))
+    doc_pairs = pair_rows.groupBy("id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    bigram = doc_pairs.groupBy("w1", "w2").agg(F.sum("cnt").alias("big_cnt"))
+    unigram = docs.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("uni_cnt")
+    )
+    vocab = unigram.agg(F.count("*").alias("__v"))
+    neg_lp = round6_bin(
+        -F.log(
+            (F.col("big_cnt") + F.lit(add_k))
+            / (F.col("uni_cnt") + F.lit(add_k) * F.col("__v"))
+        )
+    )
+    contrib = (F.col("cnt") * neg_lp).cast("decimal(28,6)")
+    return (
+        doc_pairs.join(bigram, ["w1", "w2"])
+        .join(unigram, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_bigrams"),
+            F.sum(contrib).alias("__sum"),
+        )
+        .select(
+            F.col("id"),
+            "n_bigrams",
+            round6_bin(F.col("__sum").cast("double") / F.col("n_bigrams")).alias(
+                "avg_bigram_surprise"
+            ),
+        )
+    )
+
+
+def _pairs_of(arr: Column) -> Column:
+    """array<struct<x,y>> of adjacent pairs of an array column."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(arr) - 2),
+        lambda i: F.struct(
+            F.element_at(arr, i + 1).alias("x"), F.element_at(arr, i + 2).alias("y")
+        ),
+    )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", top: int = 100
+) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(count) on ln(rank) over
+    the ``top`` most frequent terms (natural language sits near -1;
+    strong deviation flags machine-generated / templated / boilerplate
+    corpora — a one-scalar corpus-health check beside c64's divergence).
+
+    Determinism: ranks come from ROW_NUMBER with a term tie-break;
+    ln(rank) and ln(count) round to 6 dp first, their products round
+    again, and all five regression moments accumulate in exact DECIMAL
+    over <= ``top`` rows, so the closed-form slope/intercept is
+    bit-identical across engines.
+
+    Scale: term counts are one map-side-combining aggregation; the
+    regression runs over a top-N (TakeOrderedAndProject) — constant-size
+    tail work.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    ranked = counts.select(
+        round6_bin(F.log(F.row_number().over(w).cast("double"))).alias("lx"),
+        round6_bin(F.log(F.col("cnt").cast("double"))).alias("ly"),
+    )
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dec(F.col("lx"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("ly"))).cast("double").alias("sy"),
+        F.sum(dec(round6_bin(F.col("lx") * F.col("ly")))).cast("double").alias("sxy"),
+        F.sum(dec(round6_bin(F.col("lx") * F.col("lx")))).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("int").alias("n_terms"),
+        round6_bin(slope).alias("zipf_slope"),
+        round6_bin(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n")
+        ).alias("zipf_intercept"),
+    )
