@@ -84,5 +84,7 @@ from sheetsetl_spark.queries import graph_ext  # noqa: E402,F401
 from sheetsetl_spark.queries import curation_ext  # noqa: E402,F401
 # Round-7 batch 4: graph mining / BPE trainer / LM scoring / events.
 from sheetsetl_spark.queries import mining_ext  # noqa: E402,F401
+# Round-7 batch 5: prefix-filter exact join / uncertainty / time series.
+from sheetsetl_spark.queries import analytics_ext3  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]
