@@ -70,6 +70,10 @@ HEADLINE = [
     "c52_audio_neardup",  # PCM windowed-energy fingerprint dedup
     "c53_hybrid_rrf_search",  # BM25 + dense-cosine RRF fusion
     "c55_topk_cosine_pq",  # PQ ADC shortlist + exact re-rank
+    # r7 batch-4/5 breadth: iterative tokenizer training + exact
+    # sub-quadratic similarity join. First recorded in BENCH_r07.
+    "c69_bpe_train_apply",  # 5-round distributed BPE learn+apply
+    "c72_prefix_filter_jaccard",  # PPJoin-family exact Jaccard join
 ]
 
 

@@ -342,3 +342,55 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         F.col("n").alias("n_edge_ends"),
         round6_bin(num / den).alias("assortativity"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling, ``rounds`` fixed iterations: repeatedly drop
+    nodes of degree < k (with their edges) — the standard dense-subgraph
+    extraction / graph-cleaning primitive (Seidman 1983; public
+    algorithm). Converged when a round removes nothing; a fixed small
+    round count keeps the whole computation an unrolled, engine-portable
+    plan (the c56 pagerank precedent) — production callers raise
+    ``rounds`` or loop on a one-scalar removed-count action.
+
+    Scale shape: each round is one degree aggregation + two semi-joins
+    keyed on node — never materializes anything per-pair. Each round's
+    edge set is lazily localCheckpointed: the survivor set feeds BOTH
+    the next degree aggregation and the next semi-join, and without the
+    checkpoint that double consumption doubles the expression tree per
+    round (2^rounds scans by round 4).
+
+    Returns (node, deg): surviving nodes with their final in-core
+    degrees (deg >= k rows only once converged).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        e = e.localCheckpoint(eager=False)
+        deg = (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.filter(F.col("deg") >= k).select("node", "deg")

@@ -806,14 +806,23 @@ def _bpe_clean(text_col: str, max_chars: int) -> Column:
     return F.replace(col, F.lit(" "), F.lit("_"))
 
 
-def _adjacent_pairs(toks_col: str) -> Column:
-    """array<struct<x,y>> of adjacent token pairs from a space-joined
-    token string (standard BPE pair statistics: overlapping occurrences
-    all count, e.g. 'l l l' yields ('l','l') twice)."""
-    return F.expr(
-        f"transform(sequence(0, size(split(trim({toks_col}), ' ')) - 2),"
-        f" i -> struct(split(trim({toks_col}), ' ')[i] AS x,"
-        f"             split(trim({toks_col}), ' ')[i+1] AS y))"
+def _adjacent_pair_stream(cur: DataFrame, toks_col: str = "toks") -> DataFrame:
+    """(x, y) rows of adjacent token pairs from a space-joined token
+    string (standard BPE pair statistics: overlapping occurrences all
+    count, e.g. 'l l l' yields ('l','l') twice). The token array is
+    projected ONCE in its own step so the split doesn't re-evaluate per
+    pair expression."""
+    return (
+        cur.select(F.split(F.trim(toks_col), " ").alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS x, a[i+1] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
     )
 
 
@@ -866,10 +875,25 @@ def bpe_train_apply(
             F.lit(" "), F.regexp_replace(F.col("clean"), "(.)", "$1 ")
         ).alias("toks"),
     )
+    # Hash-partition by doc id up front: the source may be one parquet
+    # split (measured: the whole first pair-aggregation ran on a single
+    # core, 8.2s of the job), and every later window pass wants this
+    # exact partitioning anyway, so the one shuffle here is reused by
+    # all rounds.
+    cur = cur.repartition(F.col("id"))
     for _ in range(rounds):
-        pairs = cur.select(F.explode(_adjacent_pairs("toks")).alias("p"))
+        # Lazy localCheckpoint: the argmax action below materializes this
+        # round's tokenization ONCE and truncates lineage, so round r+1
+        # reads the stored blocks instead of replaying all r prior merge
+        # applications from the source scan (without it the loop is
+        # O(rounds²) corpus passes — measured 29s -> ~13s at sf0.1).
+        # MEMORY_AND_DISK storage: spill-safe at corpus scale; the
+        # ContextCleaner frees each round's blocks when the previous
+        # frame is dropped (the operators/prefix.py precedent).
+        cur = cur.localCheckpoint(eager=False)
         best = (
-            pairs.groupBy("p.x", "p.y")
+            _adjacent_pair_stream(cur)
+            .groupBy("x", "y")
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("x"), F.col("y"))
             .limit(1)
@@ -890,32 +914,33 @@ def _bpe_apply_merge(cur: DataFrame, x: str, y: str) -> DataFrame:
     exact left-to-right non-overlapping pairing (see bpe_train_apply).
 
     site(i) marks positions where (t[i], t[i+1]) == (x, y); greedy keeps
-    sites at even offsets within each maximal consecutive-site run
-    (gaps-and-islands: island = pos - running site count). A kept site
-    emits the merged token; the position after a kept site is consumed.
+    a site iff its STREAK — the count of consecutive site positions
+    ending at it, computed as pos minus the last non-site position — is
+    odd (runs longer than one site only occur when x == y; within a run
+    greedy takes offsets 0, 2, 4... which is exactly odd streaks). The
+    streak needs only the one doc-keyed running window every other step
+    already uses — an islands formulation would add a second shuffle on
+    (id, island) per merge round. A kept site emits the merged token;
+    the position after a kept site is consumed.
     """
     tok = cur.select(
         "id", F.posexplode(F.split(F.trim("toks"), " ")).alias("pos", "t")
     )
     w = Window.partitionBy("id").orderBy("pos")
-    tok = (
-        tok.withColumn(
-            "site",
-            ((F.col("t") == x) & (F.lead("t", 1).over(w) == y)).cast("int"),
-        )
-        .withColumn("island", F.col("pos") - F.sum("site").over(w))
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    tok = tok.withColumn(
+        "site",
+        ((F.col("t") == x) & (F.lead("t", 1).over(w) == y)).cast("int"),
     )
-    wisl = Window.partitionBy("id", "island")
-    tok = (
-        tok.withColumn(
-            "run_start",
-            F.min(F.when(F.col("site") == 1, F.col("pos"))).over(wisl),
-        )
-        .withColumn(
-            "sel",
-            (F.col("site") == 1)
-            & ((F.col("pos") - F.col("run_start")) % 2 == 0),
-        )
+    tok = tok.withColumn(
+        "streak",
+        F.col("pos")
+        - F.coalesce(
+            F.max(F.when(F.col("site") == 0, F.col("pos"))).over(wrun),
+            F.lit(-1),
+        ),
+    ).withColumn(
+        "sel", (F.col("site") == 1) & (F.col("streak") % 2 == 1)
     )
     tok = tok.withColumn(
         "out_t",

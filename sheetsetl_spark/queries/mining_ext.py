@@ -21,7 +21,7 @@ as the test graph for the triangle/assortativity queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import load_table
@@ -195,16 +195,14 @@ def _bpe_oracle(rounds: int, max_chars: int) -> str:
                       THEN 1 ELSE 0 END AS site
           FROM tk{r}, m{r} m
         )""")
-        parts.append(f"""i{r} AS (
-          SELECT id, pos, t, site,
-                 pos - SUM(site) OVER (PARTITION BY id ORDER BY pos) AS island
-          FROM s{r}
-        )""")
         parts.append(f"""g{r} AS (
           SELECT id, pos, t,
-                 site = 1 AND (pos - MIN(CASE WHEN site = 1 THEN pos END)
-                                 OVER (PARTITION BY id, island)) % 2 = 0 AS sel
-          FROM i{r}
+                 site = 1 AND (pos - COALESCE(
+                   MAX(CASE WHEN site = 0 THEN pos END) OVER (
+                     PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0
+                 )) % 2 = 1 AS sel
+          FROM s{r}
         )""")
         parts.append(f"""o{r} AS (
           SELECT z.id, z.pos,
@@ -479,4 +477,145 @@ def x79_seasonal_dow_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow_mean",
             "residual",
         )
+    )
+
+
+_KCORE_K = 70
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled per-round peel chain (the c56/c69 precedent): each round
+    recomputes degrees and keeps only >= k endpoints on both sides."""
+    parts = ["e0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""d{r} AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+          ) GROUP BY node
+        )""")
+        parts.append(f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT x.u, x.v FROM {prev} x"
+            f" JOIN k{r} a ON a.node = x.u JOIN k{r} b ON b.node = x.v)"
+        )
+        prev = f"e{r}"
+    return f"""
+    WITH {_EDGES_SQL}, {", ".join(parts)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+    ) GROUP BY node HAVING COUNT(*) >= {k}
+    """
+
+
+@query("c74_kcore", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def c74_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (graph-mining tier): k-core peeling of the co-purchase
+    graph, 4 fixed rounds (operators/graph.py::kcore) — the
+    dense-subgraph extraction primitive (drop degree-<k nodes, repeat).
+    Each round is one degree aggregation + two node-keyed semi-joins;
+    per-round lazy checkpoints stop the survivor set's double
+    consumption (degree branch + join branch) from doubling the
+    expression tree per round. The DuckDB twin unrolls the same rounds
+    as a CTE chain."""
+    from sheetsetl_spark.operators import graph
+
+    return graph.kcore(
+        _copurchase_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
+@query(
+    "c73_knn_label_entropy",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                 label FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id, c.label,
+             LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv))
+                  * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS sim
+      FROM c, q WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored
+    ),
+    nn AS (SELECT query_id, label FROM ranked WHERE nn_rank <= 10),
+    counts AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM nn GROUP BY query_id, label
+    ),
+    ent AS (
+      SELECT query_id,
+             CAST(COUNT(*) AS INT) AS n_labels,
+             {round6_bin_sql(
+                 "-CAST(SUM(CAST(("
+                 + round6_bin_sql(
+                     "(cnt / 10.0) * LN(cnt / 10.0)"
+                 )
+                 + ") AS DECIMAL(28,6))) AS DOUBLE)"
+             )} AS entropy
+      FROM counts GROUP BY query_id
+    ),
+    top AS (
+      SELECT query_id, label AS top_label,
+             {round6_bin_sql("cnt / 10.0")} AS top_share,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cnt DESC, label) AS rn
+      FROM counts
+    )
+    SELECT ent.query_id, n_labels, top_label, top_share, entropy
+    FROM ent JOIN top ON top.query_id = ent.query_id AND top.rn = 1
+    """,
+)
+def c73_knn_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (similarity tier): label purity of retrieved
+    neighborhoods — exact cosine top-10 per query (the c3 kernel), then
+    the Shannon entropy and modal share of neighbor labels. The metric
+    that says whether an embedding space's neighborhoods respect labels
+    (retrieval-augmented dedup / contamination triage reads this before
+    trusting kNN votes). Entropy terms round 6 dp and accumulate in
+    exact DECIMAL over <= 10 label rows per query."""
+    from sheetsetl_spark.operators import similarity
+    from sheetsetl_spark.operators.text import round6_bin
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    nn = similarity.cosine_topk(emb, queries_df, k=10)
+    joined = nn.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    counts = joined.groupBy("query_id", "label").agg(
+        F.count("*").alias("cnt")
+    )
+    p = F.col("cnt") / F.lit(10.0)
+    ent = counts.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("n_labels"),
+        round6_bin(
+            -F.sum(round6_bin(p * F.log(p)).cast("decimal(28,6)")).cast(
+                "double"
+            )
+        ).alias("entropy"),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("top_label"),
+            round6_bin(p).alias("top_share"),
+        )
+    )
+    return ent.join(top, "query_id").select(
+        "query_id", "n_labels", "top_label", "top_share", "entropy"
     )

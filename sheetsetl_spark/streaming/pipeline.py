@@ -821,3 +821,97 @@ class SketchIngestForeachBatch:
             width=self.width,
             depth=self.depth,
         )
+
+
+class ActiveUserIngestForeachBatch:
+    """Incrementally maintained rolling-WAU state over an event stream —
+    the streaming twin of the x78_rolling_wau batch query.
+
+    The maintained state is the DISTINCT (day, user_id) pair set: each
+    micro-batch reduces to its own distinct pairs, anti-joins the
+    accumulated store (excluding its own batch id, the replay rule
+    DedupIngestForeachBatch established), and appends only NEVER-SEEN
+    pairs — per-batch cost is O(batch + matching store keys), nothing
+    rescans raw history. The pair store is the minimal sufficient
+    statistic for any trailing-window distinct-user metric: days x
+    users, orders of magnitude smaller than the event history.
+
+    Replay contract: dynamic partition overwrite keyed by batch id — a
+    replayed batch anti-joins the OTHER batches' pairs, reproduces the
+    same new-pair set, and rewrites its own partition (tested).
+
+    Read side: :meth:`wau` runs the same bounded-explode computation as
+    the batch query (each active day covers <= 7 window-end days;
+    dedupe; count) over the pair store.
+    """
+
+    def __init__(self, store_dir: str, window_days: int = 7):
+        self.store_dir = store_dir
+        self.window_days = window_days
+        self.batches_seen: list[int] = []
+
+    def _store_pairs(self, spark, exclude_batch: int | None = None):
+        import os
+
+        from pyspark.sql import functions as F
+
+        if not (
+            os.path.isdir(self.store_dir)
+            and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.store_dir)
+                for f in fs
+            )
+        ):
+            return None
+        df = spark.read.parquet(self.store_dir)
+        if exclude_batch is not None:
+            df = df.filter(F.col("__batch_id") != exclude_batch)
+        return df.select("day", "user_id")
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+        pairs = batch_df.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct()
+        store = self._store_pairs(spark, exclude_batch=batch_id)
+        if store is not None:
+            pairs = pairs.join(store, ["day", "user_id"], "left_anti")
+        (
+            pairs.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.store_dir)
+        )
+
+    def wau(self, spark) -> DataFrame:
+        """(day, wau_7d) for every day in the store's span — identical
+        semantics to the x78 batch query over the ingested events."""
+        from pyspark.sql import functions as F
+
+        active = self._store_pairs(spark)
+        if active is None:
+            raise ValueError("empty store: no batches ingested yet")
+        bounds = active.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("wday"))
+        cover = (
+            active.select(
+                F.explode(
+                    F.sequence(
+                        F.col("day"),
+                        F.date_add(F.col("day"), self.window_days - 1),
+                    )
+                ).alias("wday"),
+                "user_id",
+            )
+            .distinct()
+        )
+        counts = cover.groupBy("wday").agg(F.count("*").alias("wau_7d"))
+        return spine.join(F.broadcast(counts), "wday", "left").select(
+            F.col("wday").cast("string").alias("day"),
+            F.coalesce("wau_7d", F.lit(0)).alias("wau_7d"),
+        )

@@ -182,3 +182,36 @@ def test_rolling_wau_window_semantics(spark, tmp_path):
     assert out["2024-01-08"] == 0
     assert out["2024-01-09"] == 1
     assert len(out) == 9  # spine is min..max day
+
+
+def test_kcore_peels_cascade(spark):
+    # path a-b-c-d plus triangle e-f-g: 2-core keeps only the triangle
+    # (path endpoints peel, then the whole path cascades away)
+    edges = _edges(
+        spark, [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)]
+    )
+    out = {r.node: r.deg for r in graph.kcore(edges, k=2, rounds=4).collect()}
+    assert out == {5: 2, 6: 2, 7: 2}
+
+
+def test_kcore_converged_is_stable(spark):
+    # K4 is its own 3-core; extra rounds are no-ops
+    pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out3 = {r.node: r.deg for r in graph.kcore(_edges(spark, pairs), k=3, rounds=2).collect()}
+    out6 = {r.node: r.deg for r in graph.kcore(_edges(spark, pairs), k=3, rounds=6).collect()}
+    assert out3 == out6 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_knn_label_entropy_pure_and_mixed(spark):
+    from sheetsetl_spark.queries import QUERIES
+
+    rows = QUERIES["c73_knn_label_entropy"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        # entropy bounds: 0 (pure) .. ln(10); share consistent
+        assert 0.0 <= r.entropy <= math.log(10) + 1e-9
+        assert 0.1 <= r.top_share <= 1.0
+        if r.n_labels == 1:
+            assert r.entropy == 0.0 and r.top_share == 1.0
