@@ -237,25 +237,34 @@ def x82_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve itself lives on duration-grouped rows (tiny), so the ordered
     windows run over an aggregate-sized frame, not the corpus."""
     ev = load_table(spark, sf_dir, "events")
+    # Lazy checkpoint: per_user feeds BOTH the horizon/total stats row
+    # and the duration stream; without it column pruning specializes the
+    # two subtrees past ReuseExchange's reach and the corpus is scanned
+    # and user-shuffled three times (plan-tested: exactly one user_id
+    # exchange survives).
     per_user = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_day"),
         F.max(F.to_date("ts")).alias("last_day"),
+    ).localCheckpoint(eager=False)
+    stats = per_user.agg(
+        F.max("last_day").alias("max_day"), F.count("*").alias("n_total")
     )
-    horizon = per_user.agg(F.max("last_day").alias("max_day"))
-    durations = per_user.crossJoin(F.broadcast(horizon)).select(
+    durations = per_user.crossJoin(F.broadcast(stats)).select(
         F.datediff("last_day", "first_day").alias("dur"),
         F.when(
             F.col("last_day") >= F.date_sub("max_day", _KM_CENSOR_DAYS), 0
         )
         .otherwise(1)
         .alias("observed"),
+        "n_total",
     )
-    tot = durations.agg(F.count("*").alias("n_total"))
     per_dur = durations.groupBy("dur").agg(
-        F.count("*").alias("cnt_all"), F.sum("observed").alias("cnt_events")
+        F.count("*").alias("cnt_all"),
+        F.sum("observed").alias("cnt_events"),
+        F.max("n_total").alias("n_total"),
     )
     wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
-    risk = per_dur.crossJoin(F.broadcast(tot)).select(
+    risk = per_dur.select(
         "dur",
         "cnt_events",
         (

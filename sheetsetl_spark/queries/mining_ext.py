@@ -554,6 +554,7 @@ def c74_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent AS (
       SELECT query_id,
              CAST(COUNT(*) AS INT) AS n_labels,
+             MAX(cnt * 1000000 + (999999 - label)) AS enc,
              {round6_bin_sql(
                  "-CAST(SUM(CAST(("
                  + round6_bin_sql(
@@ -562,16 +563,12 @@ def c74_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + ") AS DECIMAL(28,6))) AS DOUBLE)"
              )} AS entropy
       FROM counts GROUP BY query_id
-    ),
-    top AS (
-      SELECT query_id, label AS top_label,
-             {round6_bin_sql("cnt / 10.0")} AS top_share,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cnt DESC, label) AS rn
-      FROM counts
     )
-    SELECT ent.query_id, n_labels, top_label, top_share, entropy
-    FROM ent JOIN top ON top.query_id = ent.query_id AND top.rn = 1
+    SELECT query_id, n_labels,
+           CAST(999999 - (enc % 1000000) AS INT) AS top_label,
+           {round6_bin_sql("(enc // 1000000) / 10.0")} AS top_share,
+           entropy
+    FROM ent
     """,
 )
 def c73_knn_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,26 +593,28 @@ def c73_knn_label_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt")
     )
     p = F.col("cnt") / F.lit(10.0)
+    # single aggregation: entropy AND the modal label together, so the
+    # expensive kNN kernel is evaluated once (an entropy-branch + top-
+    # branch join would re-execute the whole cosine scan twice). The
+    # modal label with (cnt DESC, label ASC) tie-break rides along as an
+    # integer-encoded argmax: cnt*1e6 + (999999 - label) — exact for
+    # label < 1e6, engine-portable, no window, no join.
+    enc = F.col("cnt") * F.lit(1000000) + (F.lit(999999) - F.col("label"))
     ent = counts.groupBy("query_id").agg(
         F.count("*").cast("int").alias("n_labels"),
+        F.max(enc).alias("enc"),
         round6_bin(
             -F.sum(round6_bin(p * F.log(p)).cast("decimal(28,6)")).cast(
                 "double"
             )
         ).alias("entropy"),
     )
-    wtop = Window.partitionBy("query_id").orderBy(
-        F.col("cnt").desc(), F.col("label")
-    )
-    top = (
-        counts.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.col("label").alias("top_label"),
-            round6_bin(p).alias("top_share"),
-        )
-    )
-    return ent.join(top, "query_id").select(
-        "query_id", "n_labels", "top_label", "top_share", "entropy"
+    return ent.select(
+        "query_id",
+        "n_labels",
+        (F.lit(999999) - F.col("enc") % F.lit(1000000)).cast("int").alias("top_label"),
+        round6_bin(
+            F.expr("enc div 1000000") / F.lit(10.0)
+        ).alias("top_share"),
+        "entropy",
     )
