@@ -1,0 +1,106 @@
+"""Plan-shape assertions for the round-7 batch-7 queries (evaluation /
+feature-selection / profiling tier): the 100 TB contracts the
+docstrings claim — ordered cumulatives via the distributed prefix-sum
+decomposition (never a single-partition corpus window), single corpus
+scans with aggregate-frame marginals, equi-join-only BFS — must be
+visible in the executed plan."""
+
+from __future__ import annotations
+
+from sheetsetl_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+_PY_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window operators running after an Exchange SinglePartition whose
+    input is not the bounded prefix-offsets frame."""
+    hits = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "windowspecdefinition" in ln:
+            ctx = "\n".join(lines[i : i + 4])
+            if "SinglePartition" in ctx and "__ps_pid" not in ctx:
+                hits.append(ctx)
+    return hits
+
+
+def test_ks_prefix_sum_no_corpus_single_partition_window(spark):
+    """x85: the only ordered pass is prefix_sum's partition-local window
+    + the bounded offsets window (keyed by __ps_pid); the corpus never
+    funnels through a single-partition window."""
+    df = QUERIES["x85_ks_two_sample"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "__ps_pid" in plan, plan
+    assert not _single_partition_windows(plan), plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_auc_prefix_sum_no_corpus_single_partition_window(spark):
+    """x86: same prefix-sum contract as x85."""
+    df = QUERIES["x86_auc_rank"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "__ps_pid" in plan, plan
+    assert not _single_partition_windows(plan), plan
+
+
+def test_gini_rank_is_prefix_sum(spark):
+    """x88: the global rank comes from prefix_sum (range partition +
+    pid window + broadcast offsets), not a ROW_NUMBER over an
+    Exchange SinglePartition."""
+    df = QUERIES["x88_gini_index"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "__ps_pid" in plan, plan
+    assert "row_number" not in plan.lower(), plan
+    assert not _single_partition_windows(plan), plan
+
+
+def test_khop_bfs_equi_joins_only(spark):
+    """x87: every BFS round is an equi-join on the frontier node plus a
+    LeftAnti against the visited set — no cartesian product, no Python
+    nodes."""
+    df = QUERIES["x87_khop_reach"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    # the per-round LeftAnti joins live inside the lazily-checkpointed
+    # round segments (lineage truncation hides them from the final
+    # plan); the visible final stage must still be equi-join-only
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_info_gain_single_corpus_scan(spark):
+    """c75: ONE lineitem scan (the stack unpivot); H(label) and n derive
+    from the checkpointed cell frame, not extra corpus reads."""
+    df = QUERIES["c75_info_gain"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert plan.count("Scan parquet") + plan.count(
+        "Scan ExistingRDD"
+    ) <= plan.count("Checkpoint") + 1 or plan.count("Scan parquet") <= 1, plan
+
+
+def test_mutual_information_single_corpus_scan(spark):
+    """c76: ONE documents scan; marginals come from windows/groupBys
+    over the checkpointed (lang, source) cell frame."""
+    df = QUERIES["c76_mutual_information"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_fd_violations_one_scan_per_table(spark):
+    """c77: each of the three profiled tables is scanned exactly once."""
+    df = QUERIES["c77_fd_violations"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert plan.count("Scan parquet") == 3, plan
