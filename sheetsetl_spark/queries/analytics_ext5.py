@@ -1,0 +1,429 @@
+"""Round-7 batch-8 extensions, linkage / rules / ML-evaluation tier:
+Fellegi-Sunter blocked record linkage, association rules with
+confidence + lift, the Theil T inequality index, score calibration
+(reliability) bins, and centroid-based silhouette scoring of an
+embedding space.
+
+Scale contracts:
+- Record linkage generates candidates ONLY inside blocking keys (an
+  equi-join, never a cross of the corpus) — the Fellegi-Sunter
+  agreement scoring is a per-pair expression, so cost is candidate-
+  proportional exactly like the near-dup tier (operators/dedup.py).
+- Association rules reuse the basket->distinct-item->pair equi-join
+  shape of c60 and add only aggregate-frame joins (item supports are
+  a map-side-combined count, broadcast back onto pairs).
+- Theil and calibration are single corpus passes + one-row broadcast
+  bounds (the x84 pattern).
+- Silhouette flattens vectors once (posexplode), broadcasts the tiny
+  (label x dim) centroid frame onto the flattened stream, and reduces
+  (vector, candidate-label) partial distances by hash aggregation —
+  dims never co-locate, no driver collect.
+
+Registry determinism contract as usual (queries/__init__.py): per-term
+round6 binning + exact-DECIMAL accumulation wherever doubles cross
+rows; money binned to integer cents; every threshold compares a value
+whose construction is mirrored expression-for-expression in the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators.text import round6_bin, round6_bin_sql
+from sheetsetl_spark.queries import query
+
+# Fellegi-Sunter agreement/disagreement weights (log2 m/u odds). Fixed
+# literals standing in for the EM-estimated m- and u-probabilities of a
+# production linkage run; both engines read the same constants.
+_FS_W_SEG_AGREE = 2.2
+_FS_W_SEG_DISAGREE = -1.1
+_FS_W_BAL_AGREE = 1.5
+_FS_W_BAL_DISAGREE = -0.7
+_FS_THRESHOLD = 2.0
+
+_AR_MIN_SUPPORT = 3
+
+_CAL_BINS = 10
+
+
+@query(
+    "c78_record_linkage",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_block,
+             FLOOR(c_acctbal * 100.0 + 0.5) AS bal_cents
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_block,
+             FLOOR(c_acctbal * 100.0 + 0.5) AS bal_cents
+      FROM customer WHERE c_custkey % 2 = 1
+    ),
+    scored AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                   THEN {_FS_W_SEG_AGREE} ELSE {_FS_W_SEG_DISAGREE} END
+              + CASE WHEN ABS(a.bal_cents - b.bal_cents) <= 1000
+                     THEN {_FS_W_BAL_AGREE} ELSE {_FS_W_BAL_DISAGREE} END)
+               AS score
+      FROM a JOIN b
+        ON a.c_nationkey = b.c_nationkey AND a.bal_block = b.bal_block
+    )
+    SELECT id_a, id_b, {round6_bin_sql("score")} AS score
+    FROM scored WHERE score >= {_FS_THRESHOLD}
+    """,
+)
+def c78_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter blocked record linkage: customers split into two
+    synthetic sources (even/odd custkey), candidates generated ONLY
+    within (nationkey, acctbal-hundred) blocks, each pair scored by
+    fixed agreement/disagreement log-odds on market segment and
+    balance-within-10. Pairs above the decision threshold survive.
+
+    The blocking equi-join is the whole scale story: candidate count is
+    sum over blocks of |A_block|*|B_block|, never |A|*|B| — the same
+    candidate-proportional contract as the LSH band joins. Balance
+    cents bin with the FLOOR(x*100+0.5) form so the within-10 predicate
+    compares exact integers on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100.0).cast("long").alias("bal_block"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).alias("bal_cents"),
+    )
+    a = cust.filter(F.col("c_custkey") % 2 == 0)
+    b = cust.filter(F.col("c_custkey") % 2 == 1)
+    pairs = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.bal_block") == F.col("b.bal_block")),
+    )
+    score = F.when(
+        F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+        F.lit(_FS_W_SEG_AGREE),
+    ).otherwise(F.lit(_FS_W_SEG_DISAGREE)) + F.when(
+        F.abs(F.col("a.bal_cents") - F.col("b.bal_cents")) <= 1000,
+        F.lit(_FS_W_BAL_AGREE),
+    ).otherwise(F.lit(_FS_W_BAL_DISAGREE))
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            score.alias("raw_score"),
+        )
+        .filter(F.col("raw_score") >= _FS_THRESHOLD)
+        .select("id_a", "id_b", round6_bin(F.col("raw_score")).alias("score"))
+    )
+
+
+@query(
+    "c79_assoc_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+    ),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items
+             GROUP BY item),
+    n AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n FROM items),
+    pairs AS (
+      SELECT a.item AS ante, b.item AS cons,
+             CAST(COUNT(*) AS BIGINT) AS sp
+      FROM items a JOIN items b ON a.g = b.g AND a.item <> b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT ante, cons, sp AS pair_support,
+           {round6_bin_sql(
+               "CAST(sp AS DOUBLE) / CAST(sa.s AS DOUBLE)"
+           )} AS confidence,
+           {round6_bin_sql(
+               "(CAST(sp AS DOUBLE) * CAST((SELECT n FROM n) AS DOUBLE))"
+               " / (CAST(sa.s AS DOUBLE) * CAST(sc.s AS DOUBLE))"
+           )} AS lift
+    FROM pairs
+    JOIN supp sa ON sa.item = ante
+    JOIN supp sc ON sc.item = cons
+    WHERE sp >= {_AR_MIN_SUPPORT}
+    """,
+)
+def c79_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: directed rules ante->cons
+    with pair support >= {_AR_MIN_SUPPORT}, confidence sp/s(ante) and
+    lift sp*n/(s(ante)*s(cons)) — the c60 co-purchase pair mining
+    extended to the full a-priori rule statistics a recommender or
+    mix-curation pass consumes.
+
+    Basket->distinct-item dedup, pair equi-join on the basket key, one
+    map-side-combined pair count; item supports are an aggregate-frame
+    count joined back onto the (already aggregate-sized) rule frame,
+    and n is a broadcast scalar. All ratios form from exact integers in
+    identical double expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+    ).distinct()
+    supp = items.groupBy("item").agg(F.count("*").alias("s"))
+    n_row = items.agg(F.countDistinct("g").alias("n"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "g")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .groupBy(F.col("a.item").alias("ante"), F.col("b.item").alias("cons"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= _AR_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(supp.select(F.col("item").alias("ante"), F.col("s").alias("sa")), "ante")
+        .join(supp.select(F.col("item").alias("cons"), F.col("s").alias("sc")), "cons")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "ante",
+            "cons",
+            F.col("sp").alias("pair_support"),
+            round6_bin(
+                F.col("sp").cast("double") / F.col("sa").cast("double")
+            ).alias("confidence"),
+            round6_bin(
+                (F.col("sp").cast("double") * F.col("n").cast("double"))
+                / (F.col("sa").cast("double") * F.col("sc").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "x89_theil_index",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx
+      FROM spend
+    )
+    SELECT n,
+           {round6_bin_sql(
+               "CAST(SUM(CAST((" + round6_bin_sql(
+                   "(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)"
+                   " / CAST(sx AS DOUBLE))"
+                   " * LN(CAST(cents AS DOUBLE) * CAST(n AS DOUBLE)"
+                   "      / CAST(sx AS DOUBLE))"
+               ) + ") AS DECIMAL(28,6))) AS DOUBLE)"
+               " / CAST(n AS DOUBLE)"
+           )} AS theil_t
+    FROM spend, s GROUP BY n
+    """,
+)
+def x89_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer order spend:
+    T = (1/n) * sum((x_i/mu) * ln(x_i/mu)) — the decomposable
+    complement to x88's Gini that needs NO global ordering at all: one
+    map-side-combined per-customer aggregate, a broadcast (n, sum) row,
+    and a second reduce. Terms round 6 dp and accumulate in exact
+    DECIMAL (the c73 recipe); money bins to integer cents first."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    s = spend.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+    )
+    ratio = (
+        F.col("cents").cast("double")
+        * F.col("n").cast("double")
+        / F.col("sx").cast("double")
+    )
+    term = round6_bin(ratio * F.log(ratio))
+    return (
+        spend.crossJoin(F.broadcast(s))
+        .groupBy("n")
+        .agg(
+            round6_bin(
+                F.sum(term.cast("decimal(28,6)")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("theil_t")
+        )
+    )
+
+
+@query(
+    "x91_calibration_bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo)
+                               / ((hi - lo) / {_CAL_BINS}.0)) AS BIGINT),
+                   {_CAL_BINS - 1}) AS bin,
+             l_extendedprice AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem, b
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           {round6_bin_sql(
+               "CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+           )} AS outcome_rate
+    FROM binned GROUP BY bin
+    """,
+)
+def x91_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration table: l_extendedprice as the score,
+    l_returnflag='R' as the outcome, {_CAL_BINS} fixed equi-width bins
+    between the broadcast global min/max (the x84 bounds pattern — no
+    quantile sort), per bin the mean score and observed outcome rate.
+    The curve a model-eval pass reads to see whether a score is
+    calibrated. Mean score uses the exact-decimal avg recipe; the rate
+    is an integer ratio in one double division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    b = li.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_CAL_BINS))
+    binned = li.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("score") - F.col("lo")) / width).cast("long"),
+            F.lit(_CAL_BINS - 1).cast("long"),
+        ).alias("bin"),
+        "score",
+        "y",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_score"),
+        round6_bin(
+            F.sum("y").cast("double") / F.count("*").cast("double")
+        ).alias("outcome_rate"),
+    )
+
+
+@query(
+    "x93_silhouette_centroid",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+             UNNEST(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS c
+      FROM flat GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT f.vec_id, f.label, cent.clabel,
+             CAST(SUM(CAST((
+               {round6_bin_sql("(f.v - cent.c) * (f.v - cent.c)")}
+             ) AS DECIMAL(28,6))) AS DOUBLE) AS ssq
+      FROM flat f JOIN cent ON f.dim = cent.dim
+      GROUP BY f.vec_id, f.label, cent.clabel
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN SQRT(ssq) END) AS a,
+             MIN(CASE WHEN clabel <> label THEN SQRT(ssq) END) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT label,
+             {round6_bin_sql("(b - a) / GREATEST(a, b)")} AS s
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {round6_bin_sql(
+               "CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE)"
+               " / CAST(COUNT(*) AS DOUBLE)"
+           )} AS mean_silhouette
+    FROM sil GROUP BY label
+    """,
+)
+def x93_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per label: a = Euclidean distance to
+    the own-label centroid, b = distance to the nearest other centroid,
+    s = (b-a)/max(a,b), averaged per label — the O(n*k) clustering-
+    quality score (full silhouette is O(n^2); against centroids it
+    scales, the standard large-corpus simplification).
+
+    Plan: posexplode flattens vectors once; the (label x dim) centroid
+    frame (c17's exact-decimal mean, 6-dp binned so both engines read
+    identical centroid doubles) broadcasts onto the flattened stream
+    via a dim equi-join; partial squared diffs reduce by hash agg on
+    (vec, candidate-label) — dims never co-locate on one node and
+    nothing collects to the driver. Squared-diff terms round 6 dp and
+    accumulate in exact DECIMAL; sqrt/max/ratio are identical IEEE
+    expressions both sides."""
+    from sheetsetl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        ),
+    ).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "v"
+    )
+    cent = similarity.group_centroids(emb).select(
+        F.col("label").alias("clabel"), "dim", F.col("centroid").alias("c")
+    )
+    d2 = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                round6_bin(
+                    (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+                ).cast("decimal(28,6)")
+            )
+            .cast("double")
+            .alias("ssq")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.sqrt("ssq"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.sqrt("ssq"))
+        ).alias("b"),
+    )
+    sil = ab.select(
+        "label",
+        round6_bin(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b")
+        ).alias("s"),
+    )
+    return sil.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        round6_bin(
+            F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_silhouette"),
+    )

@@ -104,3 +104,52 @@ def test_fd_violations_one_scan_per_table(spark):
     df = QUERIES["c77_fd_violations"](spark, SF_SMALL)
     plan = _executed_plan(df)
     assert plan.count("Scan parquet") == 3, plan
+
+
+def test_record_linkage_blocked_equi_join(spark):
+    """c78: candidates come from a blocking equi-join — no cartesian
+    product of the two sources."""
+    df = QUERIES["c78_record_linkage"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_assoc_rules_no_cartesian(spark):
+    """c79: pair generation is a basket-key equi-join; the only
+    nested-loop join is the broadcast one-row n scalar."""
+    df = QUERIES["c79_assoc_rules"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_theil_no_window_no_sort(spark):
+    """x89 needs no global ordering: no Window, no Sort over the corpus
+    (Theil is the sort-free inequality index; Gini pays the prefix
+    sum)."""
+    df = QUERIES["x89_theil_index"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+
+
+def test_calibration_broadcast_bounds(spark):
+    """x91: min/max bounds enter as a broadcast one-row aggregate; the
+    corpus is never sort-merge-joined."""
+    df = QUERIES["x91_calibration_bins"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_silhouette_centroids_broadcast(spark):
+    """x93: the (label x dim) centroid frame joins the flattened vector
+    stream via BroadcastHashJoin on dim — the corpus side never
+    shuffles for the join."""
+    df = QUERIES["x93_silhouette_centroid"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
