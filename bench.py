@@ -74,6 +74,11 @@ HEADLINE = [
     # sub-quadratic similarity join. First recorded in BENCH_r07.
     "c69_bpe_train_apply",  # 5-round distributed BPE learn+apply
     "c72_prefix_filter_jaccard",  # PPJoin-family exact Jaccard join
+    # r7 batch-7/8 breadth: global-order statistics via distributed
+    # prefix sums + the O(n*k) clustering-quality score. First recorded
+    # in BENCH_r07.
+    "x86_auc_rank",  # exact ROC AUC (prefix-sum rank statistic)
+    "x93_silhouette_centroid",  # centroid silhouette over embeddings
 ]
 
 

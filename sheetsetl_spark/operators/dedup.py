@@ -1357,55 +1357,138 @@ def prefix_filter_jaccard_pairs(
     is the UNCAPPED brute-force join, so a hash match at fixture scale
     certifies the filter's completeness, not just its own construction.
 
-    Scale: one corpus scan (persisted shingle stream feeds df counts,
-    prefixes, and both verify sides), one shingle-keyed shuffle for df +
-    ranking, the prefix equi-join, and one candidate-keyed verify join.
-    A boilerplate shingle shared by f docs lands in prefixes only for
-    docs where it ranks inside the top |d|-ceil(t|d|)+1 RAREST — at a
-    realistic t (>= 0.5) a hot shingle is almost never in any prefix, so
-    the f² blowup the df cap guards against elsewhere cannot happen here.
+    Scale: one corpus scan (persisted shingle stream feeds df counts and
+    the ranked stream; the ranked stream is checkpointed once and feeds
+    prefixes AND the per-doc id arrays), one shingle-keyed shuffle for
+    df + dense ids (ids are the global (df, shingle) rank computed by
+    the distributed prefix sum), the prefix equi-join with the PPJoin
+    positional filter applied AT candidate aggregation, then a verify
+    join that is candidate-PROPORTIONAL: each surviving pair fetches two
+    sorted dense-id arrays (O(doc_len) ints) and intersects them
+    JVM-side via array_intersect — never the O(|cand| x doc_len) row
+    expansion (measured to spill >80 GB on a dense-df 10x fixture;
+    SCALE.md round-7). A boilerplate shingle shared by f docs lands in
+    prefixes only for docs where it ranks inside the top
+    |d|-ceil(t|d|)+1 RAREST — at a realistic t (>= 0.5) a hot shingle
+    is almost never in any prefix, so the f² blowup the df cap guards
+    against elsewhere cannot happen here; when the WHOLE df distribution
+    is dense (no rare shingles exist), candidates grow and the
+    positional filter + array verify keep the cost linear in the
+    candidate count.
 
     Output: (doc_a, doc_b, inter, jaccard) with doc_a < doc_b,
     jaccard rounded 6 dp (filtering happens on the raw double, computed
     identically in both engines).
     """
+    from sheetsetl_spark.operators.prefix import prefix_sum
+
     sh = scoped_persist(
         shingles(docs, n=n, id_col=id_col, text_col=text_col)
     )
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = sh.join(df_tbl, "shingle")
+    # dense integer shingle ids = the global (df, shingle) rank, via the
+    # distributed prefix sum (operators/prefix.py) — unique order, no
+    # single-partition window over the distinct-shingle frame
+    ids = prefix_sum(
+        df_tbl,
+        [F.col("df"), F.col("shingle")],
+        F.lit(1).cast("long"),
+        out_col="sid",
+    )
+    ranked = sh.join(ids, "shingle")
     wdoc = Window.partitionBy(id_col)
     worder = wdoc.orderBy("df", "shingle")
-    sized = ranked.withColumn("rnk", F.row_number().over(worder)).withColumn(
-        "n_sh", F.count("*").over(wdoc)
+    # lazy checkpoint: the ranked+windowed stream feeds BOTH the prefix
+    # streams and the per-doc id arrays; without it the df join and the
+    # doc windows would run twice
+    sized = (
+        ranked.withColumn("rnk", F.row_number().over(worder))
+        .withColumn("n_sh", F.count("*").over(wdoc))
+        .localCheckpoint(eager=False)
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
     )
     prefix = sized.filter(F.col("rnk") <= prefix_len)
-    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = prefix.select(
+        F.col(id_col).alias("doc_a"),
+        "shingle",
+        F.col("rnk").alias("ia"),
+        F.col("n_sh").alias("pna"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_b"),
+        "shingle",
+        F.col("rnk").alias("ib"),
+        F.col("n_sh").alias("pnb"),
+    )
+    # candidate aggregation replaces the old distinct at identical
+    # shuffle cost and adds the PPJoin positional filter: with both
+    # shingle lists sorted by the SAME global (df, shingle) order, every
+    # common shingle ordered before the pair's LAST shared prefix
+    # shingle lies inside both prefixes (positions < max rank <= prefix
+    # length), hence is already counted in s — so
+    #   overlap <= s + min(n_a - max_ia, n_b - max_ib).
+    # Pairs whose bound cannot reach the threshold overlap
+    # t/(1+t)*(n_a+n_b) are pruned BEFORE verification (epsilon-guarded
+    # on the safe side, so completeness is preserved).
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    full_a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    full_b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        cand.join(full_a, "doc_a")
-        .join(full_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("s"),
+            F.max("ia").alias("mi"),
+            F.max("ib").alias("mj"),
+            F.max("pna").alias("bna"),
+            F.max("pnb").alias("bnb"),
+        )
+        .filter(
+            (F.lit(1.0 + threshold))
+            * (
+                F.col("s")
+                + F.least(
+                    F.col("bna") - F.col("mi"), F.col("bnb") - F.col("mj")
+                )
+            ).cast("double")
+            >= F.lit(threshold)
+            * (F.col("bna") + F.col("bnb")).cast("double")
+            - F.lit(1e-9)
+        )
+        .select("doc_a", "doc_b")
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sz_a = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # candidate-proportional verify: per-doc SORTED dense-id arrays
+    # (~doc_len ints each) attach via two equi-joins and the exact
+    # intersection runs JVM-side in array_intersect — O(|cand|) rows,
+    # never the old O(|cand| x doc_len) expansion whose sort spill
+    # exhausted local disk on a dense-df corpus (10x fixture, SCALE.md
+    # round-7 entry).
+    arrays = sized.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sid")).alias("sids"),
+        F.count("*").alias("n_sh"),
+    )
+    arr_a = arrays.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sids").alias("sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    arr_b = arrays.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sids").alias("sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter_col = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jacc = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter_col.cast("long").alias("inter"),
+            "n_a",
+            "n_b",
+        )
         .filter(jacc >= F.lit(threshold))
         .select(
             "doc_a",

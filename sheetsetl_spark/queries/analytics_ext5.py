@@ -164,9 +164,16 @@ def c79_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     and n is a broadcast scalar. All ratios form from exact integers in
     identical double expressions."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # one corpus scan: the distinct item stream feeds both pair-join
+    # sides, the support count, and n — lazily checkpointed so the
+    # basket dedup shuffle runs once.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     supp = items.groupBy("item").agg(F.count("*").alias("s"))
     n_row = items.agg(F.countDistinct("g").alias("n"))
     pairs = (
@@ -426,4 +433,204 @@ def x93_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
             / F.count("*").cast("double")
         ).alias("mean_silhouette"),
+    )
+
+
+@query(
+    "x94_spearman_corr",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS a,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS b
+      FROM orders GROUP BY o_custkey
+    ),
+    da AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS cnt FROM pc GROUP BY a),
+    ra AS (SELECT a, 2 * SUM(cnt) OVER (ORDER BY a) - cnt + 1 AS r2a
+           FROM da),
+    db AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM pc GROUP BY b),
+    rb AS (SELECT b, 2 * SUM(cnt) OVER (ORDER BY b) - cnt + 1 AS r2b
+           FROM db),
+    j AS (SELECT r2a, r2b FROM pc JOIN ra USING (a) JOIN rb USING (b)),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2a) AS DOUBLE) AS sx, CAST(SUM(r2b) AS DOUBLE) AS sy,
+             CAST(SUM(r2a * r2b) AS DOUBLE) AS sxy,
+             CAST(SUM(r2a * r2a) AS DOUBLE) AS sxx,
+             CAST(SUM(r2b * r2b) AS DOUBLE) AS syy
+      FROM j
+    )
+    SELECT n,
+           FLOOR((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS rho
+    FROM s
+    """,
+)
+def x94_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (proper average-ranks-on-ties form)
+    between per-customer order count and total spend — the monotonic-
+    association check run where Pearson (x40) assumes linearity.
+
+    The average rank of a tied group is (2*cum_before + cnt + 1)/2;
+    doubled it is the INTEGER 2*cum_incl - cnt + 1, so ranks stay exact
+    and Pearson's scale-invariance lets the whole statistic run on
+    doubled ranks. Each variable needs one distinct-value aggregate +
+    one ordered cumulative — both via the distributed prefix sum, no
+    single-partition corpus window — then an equi-join back to rows and
+    one reduce. Doubles appear only in the final five-sum formula
+    (identical IEEE expression both engines)."""
+    from sheetsetl_spark.operators.prefix import prefix_sum
+
+    pc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("a"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        d = pc.groupBy(col).agg(F.count("*").alias("cnt"))
+        c = prefix_sum(d, [F.col(col)], F.col("cnt"), out_col="cum")
+        return c.select(
+            col,
+            (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1)).alias(out),
+        )
+
+    j = pc.join(doubled_ranks("a", "r2a"), "a").join(
+        doubled_ranks("b", "r2b"), "b"
+    )
+    # product sums in exact DECIMAL (terms <= (2n)^2 overflow int64 past
+    # ~1.5e9 rows; (18,0)x(18,0) products stay exact in both engines)
+    xa = F.col("r2a").cast("decimal(18,0)")
+    xb = F.col("r2b").cast("decimal(18,0)")
+    s = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xa).cast("double").alias("sx"),
+        F.sum(xb).cast("double").alias("sy"),
+        F.sum(xa * xb).cast("double").alias("sxy"),
+        F.sum(xa * xa).cast("double").alias("sxx"),
+        F.sum(xb * xb).cast("double").alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "n",
+        round6_bin(
+            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("rho"),
+    )
+
+
+@query(
+    "c80_modularity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.item AS u, b.item AS v
+      FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    br AS (SELECT p_partkey, p_brand FROM part),
+    within AS (
+      SELECT bu.p_brand AS community, CAST(COUNT(*) AS BIGINT) AS m_within
+      FROM e
+      JOIN br bu ON bu.p_partkey = e.u
+      JOIN br bv ON bv.p_partkey = e.v
+      WHERE bu.p_brand = bv.p_brand
+      GROUP BY bu.p_brand
+    ),
+    dsum AS (
+      SELECT br.p_brand AS community, CAST(SUM(deg) AS BIGINT) AS deg_sum
+      FROM deg JOIN br ON br.p_partkey = deg.node
+      GROUP BY br.p_brand
+    )
+    SELECT community, COALESCE(m_within, 0) AS m_within, deg_sum,
+           FLOOR((CAST(COALESCE(m_within, 0) AS DOUBLE)
+                    / CAST((SELECT m FROM m) AS DOUBLE)
+                  - (CAST(deg_sum AS DOUBLE)
+                     / (2.0 * CAST((SELECT m FROM m) AS DOUBLE)))
+                    * (CAST(deg_sum AS DOUBLE)
+                       / (2.0 * CAST((SELECT m FROM m) AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS q_term
+    FROM dsum LEFT JOIN within USING (community)
+    """,
+)
+def c80_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms of the part-brand partition over the
+    co-purchase graph: per community c, Q_c = m_c/m - (d_c/2m)^2
+    (sum(Q_c) is the partition's modularity — the score a community-
+    detection or blocking-key choice is judged by).
+
+    The edge list builds once (the c60/c67 basket equi-join), brands
+    attach via two equi-joins on the node key, and both m_c and d_c are
+    map-side-combined aggregates over community keys — community count
+    is aggregate-sized, the corpus never crosses itself. Left join
+    keeps communities with zero internal edges (their Q_c is purely the
+    degree penalty). One final double expression per community row."""
+    from sheetsetl_spark.queries.mining_ext import _copurchase_edges
+
+    edges = (
+        _copurchase_edges(spark, sf_dir)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    br = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("community")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    m_row = edges.agg(F.count("*").alias("m"))
+    within = (
+        edges.join(
+            br.select(F.col("node").alias("u"), F.col("community").alias("cu")),
+            "u",
+        )
+        .join(
+            br.select(F.col("node").alias("v"), F.col("community").alias("cv")),
+            "v",
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").cast("long").alias("m_within"))
+    )
+    dsum = (
+        deg.join(br, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("long").alias("deg_sum"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("deg_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        dsum.join(within, "community", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "community",
+            F.coalesce("m_within", F.lit(0)).cast("long").alias("m_within"),
+            "deg_sum",
+            round6_bin(
+                F.coalesce("m_within", F.lit(0)).cast("double") / md
+                - half * half
+            ).alias("q_term"),
+        )
     )

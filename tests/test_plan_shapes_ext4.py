@@ -153,3 +153,20 @@ def test_silhouette_centroids_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_spearman_ranks_are_prefix_sums(spark):
+    """x94: both variables' average ranks come from prefix_sum over
+    distinct-value frames — no single-partition corpus window."""
+    df = QUERIES["x94_spearman_corr"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "row_number" not in plan.lower(), plan
+    assert not _single_partition_windows(plan), plan
+
+
+def test_modularity_equi_joins_only(spark):
+    """c80: brand attachment and degree sums are equi-joins; the only
+    nested-loop join is the broadcast one-row m scalar."""
+    df = QUERIES["c80_modularity"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
