@@ -175,3 +175,42 @@ def test_last_touch_attribution_hand_case(spark, tmp_path):
     assert out["ad_click"] == (1, 5.0)
     assert out["email"] == (1, 7.0)
     assert out["(none)"] == (1, 3.0)
+
+
+def test_prefix_filter_positional_filter_completeness_sweep(spark):
+    # the r7 positional filter prunes candidates via
+    # overlap <= s + min(n_a - max_ia, n_b - max_ib); sweep thresholds
+    # (including ones where the bound sits exactly at the requirement)
+    # against python brute force to certify the epsilon guard never
+    # drops a qualifying pair
+    import itertools
+
+    rows = [
+        (i, " ".join(f"t{(i * 5 + k * (1 + i % 4)) % 19}" for k in range(10)))
+        for i in range(12)
+    ] + [
+        (100, "x0 x1 x2 x3 x4 x5 x6 x7"),
+        (101, "x0 x1 x2 x3 x4 x5 x6 y9"),  # near-dup of 100
+        (102, "x0 x1 x2 x3 z4 z5 z6 z7"),  # half-overlap of 100
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shset(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    sets = {i: shset(t) for i, t in rows}
+    for thr in (0.3, 0.5, 2 / 3, 0.75, 0.9):
+        got = {
+            (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(
+                df, threshold=thr, n=2
+            ).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= thr:
+                want[(a, b)] = (inter, _r6(inter / union))
+        assert got == want, (thr, got, want)
