@@ -1497,3 +1497,140 @@ def prefix_filter_jaccard_pairs(
             round6_bin(jacc).alias("jaccard"),
         )
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    k: int,
+    q: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT edit-distance self-join (Ed-Join family — Gravano et al.
+    VLDB'01 count filter, Xiao et al. VLDB'08 prefix filter; public
+    algorithms): all document pairs with Levenshtein distance <= ``k``,
+    complete by theorem — no blocking heuristic, no approximation.
+
+    Contrast :func:`fuzzy_name_pairs`, which blocks on the last token —
+    a recall HEURISTIC (a pair disagreeing in its final token is never
+    compared). Here candidates come from positional q-gram theory, so
+    the brute-force DuckDB twin certifies completeness on real data:
+
+    1. Every string maps to its multiset of character q-grams, made a
+       SET by occurrence-numbering duplicates (gram#1, gram#2, ...) —
+       the standard multiset-to-set encoding, so array ops below keep
+       exact multiset semantics on repetitive text ("batch batch ...").
+    2. COUNT FILTER: one edit destroys at most q grams, so
+       ed(a,b) <= k implies |Ga ∩ Gb| >= max(|Ga|, |Gb|) - q*k.
+    3. PREFIX FILTER: order every doc's grams by the global (df, gram)
+       rarity order and call its first q*k + 1 grams the prefix. If two
+       docs share NO prefix gram, their overlap fits inside one doc's
+       suffix of size |G| - (q*k + 1), i.e. overlap <= |G| - q*k - 1
+       < |G| - q*k — violating the count filter. So every true pair
+       shares a prefix gram, and the candidate join runs over PREFIX
+       streams only (each doc's q*k+1 globally-RAREST grams).
+    4. Candidates then pass the cheap length filter (||a|-|b|| <= k),
+       the full count filter via sorted dense-id arrays +
+       ``array_intersect`` (candidate-proportional, the c72 verify
+       shape — never an O(|cand| x doc_len) row expansion), and the
+       exact JVM-side ``levenshtein`` <= k.
+
+    Scale: one corpus scan (persisted gram stream feeds df counts and
+    the ranked stream), dense gram ids from the distributed prefix sum,
+    one gram-keyed shuffle, a prefix equi-join whose fanout is bounded
+    by construction (only the q*k+1 rarest grams of each doc join), and
+    a verify stage linear in candidates — each row carries two
+    O(doc_len) int arrays plus the two texts for the final DP. The DP
+    itself is O(len^2) per CANDIDATE, which is why the three filters
+    run first; at 100 TB the knob is q (larger grams -> rarer -> fewer
+    candidates) against the prefix length q*k+1. Strings shorter than q
+    have no grams and are excluded (caller guards; the registered query
+    corpus has min length >> q).
+
+    Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= k.
+    """
+    from sheetsetl_spark.operators.prefix import prefix_sum
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).alias("__len"),
+    ).filter(F.col("__len") >= q)
+    # occurrence-numbered q-grams: count each gram per doc, then explode
+    # the occurrence sequence — one groupBy, no per-doc-gram window
+    grams = base.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, __len - {q} + 1),"
+                f" i -> substring(__text, i, {q}))"
+            )
+        ).alias("gram"),
+    )
+    toks = scoped_persist(
+        grams.groupBy("__id", "gram")
+        .agg(F.count("*").alias("occ_cnt"))
+        .select(
+            "__id",
+            F.explode(F.expr("sequence(1, occ_cnt)")).alias("occ"),
+            "gram",
+        )
+        .select(
+            "__id", F.concat_ws("\x1f", "gram", F.col("occ").cast("string")).alias("tok")
+        )
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ids = prefix_sum(
+        df_tbl,
+        [F.col("df"), F.col("tok")],
+        F.lit(1).cast("long"),
+        out_col="tid",
+    )
+    ranked = toks.join(ids, "tok")
+    wdoc = Window.partitionBy("__id")
+    worder = wdoc.orderBy("df", "tok")
+    sized = (
+        ranked.withColumn("rnk", F.row_number().over(worder))
+        .withColumn("n_g", F.count("*").over(wdoc))
+        .localCheckpoint(eager=False)
+    )
+    prefix = sized.filter(F.col("rnk") <= F.lit(q * k + 1))
+    a = prefix.select(F.col("__id").alias("doc_a"), "tid")
+    b = prefix.select(F.col("__id").alias("doc_b"), "tid")
+    cand = (
+        a.join(b, "tid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("__s"))
+        .select("doc_a", "doc_b")
+    )
+    arrays = sized.groupBy("__id").agg(
+        F.sort_array(F.collect_list("tid")).alias("tids"),
+        F.count("*").alias("n_g"),
+    )
+    side = base.join(arrays, "__id")
+    arr_a = side.select(
+        F.col("__id").alias("doc_a"),
+        F.col("tids").alias("ga"),
+        F.col("n_g").alias("na"),
+        F.col("__text").alias("ta"),
+        F.col("__len").alias("la"),
+    )
+    arr_b = side.select(
+        F.col("__id").alias("doc_b"),
+        F.col("tids").alias("gb"),
+        F.col("n_g").alias("nb"),
+        F.col("__text").alias("tb"),
+        F.col("__len").alias("lb"),
+    )
+    overlap = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= F.lit(k))
+        .filter(overlap >= F.greatest("na", "nb") - F.lit(q * k))
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= F.lit(k))
+        .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -88,5 +88,6 @@ from sheetsetl_spark.queries import mining_ext  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext3  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext4  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext5  # noqa: E402,F401
+from sheetsetl_spark.queries import analytics_ext6  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

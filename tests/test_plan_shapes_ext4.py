@@ -199,3 +199,16 @@ def test_k_anonymity_two_level_aggregate(spark):
     plan = _executed_plan(df)
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_edit_distance_join_equi_joins_only(spark):
+    """c82: candidate generation (prefix-gram equi-join) and the
+    candidate-proportional verify are equi-joins JVM-side — no cartesian
+    product, no Python nodes, and no corpus-level single-partition
+    window (the dense gram ids come from the prefix-sum decomposition)."""
+    df = QUERIES["c82_edit_distance_join"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+    assert not _single_partition_windows(plan), _single_partition_windows(plan)
