@@ -1634,3 +1634,109 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= F.lit(k))
         .select("doc_a", "doc_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def substring_decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Substring-level decontamination: training documents that contain
+    any eval probe VERBATIM (the strictest leak check — an exact answer
+    string embedded in a training doc, the case n-gram-overlap
+    decontamination (:func:`decontaminate`) can dilute when the probe is
+    short relative to the doc).
+
+    Scale asymmetry (same as decontaminate): eval probes are small by
+    nature — benchmarks are thousands of strings, the corpus is the
+    100 TB side. The probe set broadcasts; the corpus streams through a
+    broadcast nested-loop `contains` filter with NO shuffle of the
+    corpus at all, and the output is proportional to the contaminated
+    set. For probe sets too big to broadcast, the right tool switches
+    to :func:`decontaminate`'s shingle equi-join (anchoring each probe
+    on its rarest shingle) — documented, not implemented here, because
+    it changes the match semantics from verbatim to approximate.
+
+    Output: (id, n_probes_hit, probe_ids) — one row per contaminated
+    doc; probe_ids is the sorted comma-joined id list (a STRING, so the
+    row hash-compares engine-portably). Self-hits (a probe extracted
+    from the doc itself) are the caller's concern: pass probes carrying
+    a source-doc column and pre-filter, or accept reflexive matches.
+    """
+    p = F.broadcast(
+        probes.select(
+            F.col(probe_id_col).alias("__pid"), F.col(probe_col).alias("__probe")
+        )
+    )
+    hits = corpus.select(id_col, text_col).join(
+        p, F.expr(f"contains({text_col}, __probe)")
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_probes_hit"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__pid")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("probe_ids"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list[str],
+    window: int = 4,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95 — the
+    classic entity-resolution method): sort all records by a blocking
+    key, then candidate-pair only records within ``window`` positions of
+    each other. Complements the equi-blocking family (last-token blocks
+    in :func:`fuzzy_name_pairs`, Fellegi-Sunter's agreement blocks):
+    sorted neighborhoods catch near-misses that straddle block
+    boundaries, because adjacency under the sort order IS the block.
+
+    Distributed shape: the global rank comes from the prefix-sum
+    decomposition (operators/prefix.py) — range-partitioned local ranks
+    plus broadcast per-partition offsets — NEVER a single-partition
+    window over the corpus. Pairing is rank arithmetic: each record
+    explodes ``window - 1`` (rank + d) probes and equi-joins back on the
+    rank, so the candidate stream is exactly (window-1) x |rows| rows —
+    linear, skew-free (ranks are unique), and shuffled on an integer.
+
+    ``sort_cols`` must end in a unique key (same contract as
+    prefix_sum). Output: one row per candidate pair, with each side's
+    ``payload_cols`` suffixed _a/_b plus the rank gap ``gap``.
+    """
+    from sheetsetl_spark.operators.prefix import prefix_sum
+
+    payload = payload_cols or sort_cols
+    ranked = prefix_sum(
+        df.select(*dict.fromkeys([*sort_cols, *payload])),
+        [F.col(c) for c in sort_cols],
+        F.lit(1).cast("long"),
+        out_col="__rank",
+    )
+    a = ranked.select(
+        F.col("__rank"), *[F.col(c).alias(f"{c}_a") for c in payload]
+    ).withColumn("__d", F.explode(F.expr(f"sequence(1, {window - 1})")))
+    b = ranked.select(
+        F.col("__rank").alias("__rank_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+    )
+    return (
+        a.withColumn("__rank_b", F.col("__rank") + F.col("__d"))
+        .join(b, "__rank_b")
+        .select(
+            *[f"{c}_a" for c in payload],
+            *[f"{c}_b" for c in payload],
+            F.col("__d").cast("long").alias("gap"),
+        )
+    )

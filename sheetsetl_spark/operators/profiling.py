@@ -136,3 +136,57 @@ def distribution_divergence(
         )
         .orderBy("group")
     )
+
+
+def group_overlap_matrix(
+    docs: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise EXACT shingle-Jaccard between document groups (sources,
+    domains, snapshots): the corpus-level overlap report that tells a
+    training-data curator which sources are re-crawls / mirrors of each
+    other BEFORE any doc-level dedup runs.
+
+    Shape: the unit of work is the distinct (group, shingle) stream —
+    bounded by vocabulary x |groups|, NOT by corpus size, so the
+    shingle self-join's fanout per shingle is at most C(|groups|, 2)
+    with |groups| small by nature (sources number in the thousands at
+    most). Intersections and group sizes reduce with map-side partials;
+    Jaccard is one integer-ratio projection at the end. Contrast the
+    doc-level near-dup family (n²-candidate-prone, needs caps/LSH):
+    grouping first collapses the quadratic term to the group count.
+
+    Output: (group_a, group_b, inter, union_sz, jaccard) for pairs with
+    at least one shared shingle, group_a < group_b, jaccard rounded 6.
+    """
+    from sheetsetl_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n=n, id_col=group_col, text_col=text_col).distinct()
+    sizes = sh.groupBy(group_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(group_col).alias("group_a"), "shingle")
+    b = sh.select(F.col(group_col).alias("group_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(group_col).alias("group_a"), F.col("__sz").alias("__na"))
+    sb = sizes.select(F.col(group_col).alias("group_b"), F.col("__sz").alias("__nb"))
+    return (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("__na") + F.col("__nb") - F.col("inter"))
+            .cast("long")
+            .alias("union_sz"),
+            F.round(
+                F.col("inter") / (F.col("__na") + F.col("__nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )

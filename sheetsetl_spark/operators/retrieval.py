@@ -98,3 +98,62 @@ def hybrid_rrf_search(
     return rrf_fuse(
         [lex, dense], k=k, rrf_k=rrf_k, rank_cols=["lex_rank", "dense_rank"]
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "nn_rank",
+) -> DataFrame:
+    """Retrieval-evaluation metrics per query: MRR, hits@k, precision@k,
+    recall@k — the offline eval every retriever (c3/c26/c53) ships with.
+
+    ``ranked``: (query_col, item_col, rank_col) rows, rank 1-based and
+    already cut to the top-k pool. ``relevant``: the ground-truth
+    (query_col, item_col, n_relevant) pairs, where ``n_relevant`` is the
+    TOTAL relevant-item count for that query in the corpus (recall's
+    denominator — it must count relevant items the retriever missed, so
+    it cannot be derived from ``ranked``).
+
+    Scale: ``ranked`` is bounded (|queries| × k rows by construction);
+    the relevance attachment is a left join keyed (query, item) — the
+    ground-truth side shuffles on the same key, and per-query metrics
+    reduce with map-side partials. Nothing touches the corpus.
+
+    Determinism: hits/ranks are integers; MRR / precision / recall are
+    single IEEE divisions of integers, rounded to 6 — bit-stable across
+    engines. Queries with no relevant item in the pool get rr = 0.0
+    (the standard convention), never NULL.
+    """
+    hit = (
+        ranked.join(
+            relevant.select(query_col, item_col).withColumn("__rel", F.lit(1)),
+            [query_col, item_col],
+            "left",
+        )
+        .groupBy(query_col)
+        .agg(
+            F.min(F.when(F.col("__rel") == 1, F.col(rank_col))).alias("__first"),
+            F.sum(F.coalesce(F.col("__rel"), F.lit(0))).alias("hits_at_k"),
+        )
+    )
+    totals = relevant.groupBy(query_col).agg(
+        F.max("n_relevant").alias("__n_rel")
+    )
+    return (
+        hit.join(totals, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("__first"), 6), F.lit(0.0)
+            ).alias("rr"),
+            F.col("hits_at_k").cast("long").alias("hits_at_k"),
+            F.round(F.col("hits_at_k") / F.lit(k), 6).alias("precision_at_k"),
+            F.coalesce(
+                F.round(F.col("hits_at_k") / F.col("__n_rel"), 6), F.lit(0.0)
+            ).alias("recall_at_k"),
+        )
+    )

@@ -1,23 +1,18 @@
-"""Round-7 batch-11 extensions, fuzzy-matching / data-management tier:
-exact edit-distance self-join (Ed-Join prefix+count filters), table
-snapshot diff, and a one-pass column profiler.
+"""Round-7 batch-11 extensions, fuzzy-matching tier: exact
+edit-distance self-join (Ed-Join prefix + count filters).
 
-Scale contracts:
-- The edit-distance join generates candidates ONLY from each string's
-  q*k+1 globally-rarest q-grams (a completeness THEOREM, not a blocking
-  heuristic — the brute-force DuckDB twin certifies zero lost pairs),
-  then verifies candidate-proportionally: length filter, array
-  count-filter, and the O(len^2) DP only on survivors.
-- Snapshot diff is one full-outer equi-join on the key comparing
-  row fingerprints — the change-data shape every 100 TB ingest
-  reconciliation needs; output is proportional to the CHANGED set.
-- The column profiler computes every column's stats in ONE corpus scan
-  (a single aggregate over conditional expressions), then unpivots the
-  one-row result via stack() — never one scan per column.
+Scale contract: the edit-distance join generates candidates ONLY from
+each string's q*k+1 globally-rarest q-grams (a completeness THEOREM,
+not a blocking heuristic — the brute-force DuckDB twin certifies zero
+lost pairs), then verifies candidate-proportionally: length filter,
+array count-filter, and the O(len^2) DP only on survivors.
+
+(Table snapshot diff and the one-pass column profiler this tier
+complements live in analytics_ext.py::x46 and extensions.py::x9.)
 
 Registry determinism contract as usual (queries/__init__.py): exact
-integers end-to-end here — counts, distances, and min/max emitted as
-strings; no float accumulation anywhere in this module.
+integers end-to-end here — ids and distances only, no float
+accumulation anywhere in this module.
 """
 
 from __future__ import annotations
@@ -69,3 +64,199 @@ def c82_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").between(_ED_LO, _ED_HI)
     )
     return dedup.edit_distance_pairs(docs, k=_ED_K, q=_ED_Q)
+
+
+@query(
+    "c83_retrieval_metrics",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, label AS cl, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, q.ql, c.neighbor_id, c.cl,
+             LIST_DOT_PRODUCT(qv, cv)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) AS sim
+      FROM c, q WHERE q.query_id <> c.neighbor_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, ql, neighbor_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS nn_rank
+        FROM scored) r
+      WHERE nn_rank <= 10
+    ),
+    agg AS (
+      SELECT query_id,
+             MIN(CASE WHEN cl = ql THEN nn_rank END) AS first_rel,
+             SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS hits
+      FROM topk GROUP BY query_id
+    ),
+    tot AS (
+      SELECT q.query_id, COUNT(*) AS n_rel
+      FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id
+      GROUP BY q.query_id
+    )
+    SELECT a.query_id,
+           COALESCE(ROUND(1.0 / first_rel, 6), 0.0) AS rr,
+           CAST(hits AS BIGINT) AS hits_at_k,
+           ROUND(hits / 10, 6) AS precision_at_k,
+           COALESCE(ROUND(hits / n_rel, 6), 0.0) AS recall_at_k
+    FROM agg a LEFT JOIN tot USING (query_id)
+    """,
+)
+def c83_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (retrieval tier): offline retrieval evaluation — MRR,
+    hits@10, precision@10, recall@10 of the exact cosine retriever (c3)
+    against label-match ground truth
+    (operators/retrieval.py::ranking_metrics). The eval side of the
+    c3/c26/c53 retrievers and the c35 ANN-recall harness: c35 measures
+    ANN vs exact, this measures exact vs TASK relevance. Reference
+    parity: the reference has no retrieval stack (SELECT delegation,
+    reference src/loader.py:231) — C-series extension."""
+    from sheetsetl_spark.operators import retrieval, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    ranked = similarity.cosine_topk(emb, q, k=10)
+    lab_cnt = emb.groupBy("label").agg(F.count("*").alias("__lc"))
+    ql = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+    rel = (
+        ql.join(F.broadcast(lab_cnt), ql["__ql"] == lab_cnt["label"])
+        .select("query_id", "__ql", (F.col("__lc") - 1).alias("n_relevant"))
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__cl")),
+            F.col("__ql") == F.col("__cl"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "n_relevant")
+    )
+    return retrieval.ranking_metrics(ranked, rel, k=10)
+
+
+# Substring-decontamination probe construction: a deterministic 40-char
+# excerpt from every ~97th document (the "eval benchmark" stand-in).
+_PROBE_MOD = 97
+_PROBE_POS = 61
+_PROBE_LEN = 40
+_PROBE_MIN_CHARS = 160
+
+
+@query(
+    "c84_substring_decontamination",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id AS probe_id, SUBSTRING(text, {_PROBE_POS}, {_PROBE_LEN}) AS probe
+      FROM documents
+      WHERE doc_id % {_PROBE_MOD} = 0 AND n_chars >= {_PROBE_MIN_CHARS}
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit,
+           STRING_AGG(CAST(p.probe_id AS VARCHAR), ',' ORDER BY p.probe_id)
+             AS probe_ids
+    FROM documents d JOIN p ON CONTAINS(d.text, p.probe)
+    GROUP BY d.doc_id
+    """,
+)
+def c84_substring_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (decontamination tier): VERBATIM substring leak check —
+    training docs containing any eval probe exactly
+    (operators/dedup.py::substring_decontaminate). Strictest variant of
+    c18's n-gram-overlap decontamination: a short answer string embedded
+    in a long doc dilutes n-gram overlap below threshold but is still a
+    leak; `contains` catches it. Probes broadcast (eval sets are small
+    by nature); the corpus never shuffles. Reflexive hits (the probe's
+    own source doc) are kept — they certify the extraction/match
+    round-trip on both engines."""
+    from sheetsetl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(
+        (F.col("doc_id") % _PROBE_MOD == 0) & (F.col("n_chars") >= _PROBE_MIN_CHARS)
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", _PROBE_POS, _PROBE_LEN).alias("probe"),
+    )
+    return dedup.substring_decontaminate(docs, probes)
+
+
+_SN_WINDOW = 4
+_SN_MAX_DIST = 15
+
+
+@query(
+    "c85_sorted_neighborhood",
+    oracle=f"""
+    WITH r AS (
+      SELECT p_partkey, p_name,
+             ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS name_dist
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SN_WINDOW - 1}
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= {_SN_MAX_DIST}
+    """,
+)
+def c85_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (entity-resolution tier): sorted-neighborhood blocking
+    (operators/dedup.py::sorted_neighborhood_pairs) over part names —
+    candidates are records within w=4 positions under the (p_name,
+    p_partkey) sort, scored by Levenshtein. Completes the blocking
+    family: equi-blocks (c24 last-token, c78 Fellegi-Sunter agreement
+    patterns) miss near-misses straddling block boundaries; sorted
+    neighborhoods make adjacency itself the block. The global rank is
+    the distributed prefix sum — no single-partition window."""
+    from sheetsetl_spark.operators import dedup
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = dedup.sorted_neighborhood_pairs(
+        part, ["p_name", "p_partkey"], window=_SN_WINDOW,
+        payload_cols=["p_partkey", "p_name"],
+    )
+    return (
+        pairs.withColumn("name_dist", F.levenshtein("p_name_a", "p_name_b"))
+        .filter(F.col("name_dist") <= _SN_MAX_DIST)
+        .select(
+            F.col("p_partkey_a").alias("part_a"),
+            F.col("p_partkey_b").alias("part_b"),
+            "gap",
+            F.col("name_dist").cast("long").alias("name_dist"),
+        )
+    )
+
+
+@query(
+    "c86_source_overlap",
+    oracle="""
+    WITH toks AS (SELECT source, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT source, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    pr AS (
+      SELECT a.source AS group_a, b.source AS group_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT group_a, group_b, CAST(inter AS BIGINT) AS inter,
+           CAST(na.n + nb.n - inter AS BIGINT) AS union_sz,
+           ROUND(inter / (na.n + nb.n - inter), 6) AS jaccard
+    FROM pr
+    JOIN sz na ON na.source = group_a
+    JOIN sz nb ON nb.source = group_b
+    """,
+)
+def c86_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (corpus-profiling tier): pairwise exact shingle-Jaccard
+    between SOURCES (operators/profiling.py::group_overlap_matrix) — the
+    re-crawl/mirror report a curator reads before doc-level dedup. The
+    quadratic term collapses to C(|sources|, 2); the unit of work is the
+    distinct (source, shingle) stream, bounded by vocabulary x sources,
+    not corpus size."""
+    from sheetsetl_spark.operators.profiling import group_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return group_overlap_matrix(docs, n=3, group_col="source")

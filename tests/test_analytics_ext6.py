@@ -84,3 +84,101 @@ def test_edit_distance_short_strings_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {(r.doc_a, r.doc_b): r.dist for r in edit_distance_pairs(df, k=2).collect()}
     assert got == {(3, 4): 1}
+
+
+def test_ranking_metrics_known_values(spark):
+    from sheetsetl_spark.operators.retrieval import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [
+            # q1: relevant at ranks 2 and 3 (of 4 relevant in corpus)
+            (1, 10, 1), (1, 11, 2), (1, 12, 3),
+            # q2: nothing relevant in the pool
+            (2, 10, 1), (2, 11, 2), (2, 12, 3),
+        ],
+        "query_id bigint, neighbor_id bigint, nn_rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 11, 4), (1, 12, 4), (1, 77, 4), (1, 78, 4), (2, 99, 1)],
+        "query_id bigint, neighbor_id bigint, n_relevant int",
+    )
+    got = {r.query_id: r for r in ranking_metrics(ranked, rel, k=3).collect()}
+    assert got[1].rr == 0.5
+    assert got[1].hits_at_k == 2
+    assert got[1].precision_at_k == round(2 / 3, 6)
+    assert got[1].recall_at_k == 0.5
+    assert got[2].rr == 0.0
+    assert got[2].hits_at_k == 0
+    assert got[2].recall_at_k == 0.0
+
+
+def test_substring_decontaminate_hits_and_misses(spark):
+    from sheetsetl_spark.operators.dedup import substring_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the launch codes are zebra tango nine"),
+            (2, "nothing to see here"),
+            (3, "prefix zebra tango nine suffix and more"),
+        ],
+        "doc_id bigint, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "zebra tango nine"), (200, "see here")],
+        "probe_id bigint, probe string",
+    )
+    got = {
+        r.doc_id: (r.n_probes_hit, r.probe_ids)
+        for r in substring_decontaminate(corpus, probes).collect()
+    }
+    assert got == {1: (1, "100"), 2: (1, "200"), 3: (1, "100")}
+
+
+def test_substring_decontaminate_multi_probe_doc(spark):
+    from sheetsetl_spark.operators.dedup import substring_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    probes = spark.createDataFrame(
+        [(12, "beta gamma"), (2, "alpha"), (30, "zzz")],
+        "probe_id bigint, probe string",
+    )
+    [row] = substring_decontaminate(corpus, probes).collect()
+    assert row.n_probes_hit == 2
+    assert row.probe_ids == "2,12"  # numeric sort, not lexicographic
+
+
+def test_sorted_neighborhood_exact_pairs(spark):
+    from sheetsetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "apple"), (2, "apply"), (3, "banana"), (4, "cherry")],
+        "k bigint, name string",
+    )
+    got = {
+        (r.k_a, r.k_b, r.gap)
+        for r in sorted_neighborhood_pairs(
+            df, ["name", "k"], window=3, payload_cols=["k"]
+        ).collect()
+    }
+    # sort order: apple(1) apply(2) banana(3) cherry(4); w=3 -> gaps 1..2
+    assert got == {(1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2), (3, 4, 1)}
+
+
+def test_group_overlap_matrix_exact_jaccard(spark):
+    from sheetsetl_spark.operators.profiling import group_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),      # shingles: "a b c", "b c d"
+            (2, "a b c x", "s2"),      # shingles: "a b c", "b c x"
+            (3, "p q r s", "s3"),      # disjoint
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = group_overlap_matrix(docs, n=3, group_col="source").collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.group_a, r.group_b, r.inter, r.union_sz) == ("s1", "s2", 1, 3)
+    assert r.jaccard == round(1 / 3, 6)

@@ -212,3 +212,47 @@ def test_edit_distance_join_equi_joins_only(spark):
     for marker in _PY_NODES:
         assert marker not in plan, marker
     assert not _single_partition_windows(plan), _single_partition_windows(plan)
+
+
+def test_substring_decontamination_broadcasts_probes(spark):
+    """c84: the probe side reaches the corpus as a broadcast
+    nested-loop `contains` — the corpus itself never shuffles before
+    the match (the only Exchange is the post-match groupBy on doc_id)."""
+    df = QUERIES["c84_substring_decontamination"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_sorted_neighborhood_prefix_sum_rank(spark):
+    """c85: the global sort rank comes from the prefix-sum decomposition
+    (__ps_pid offsets), never a single-partition corpus window; pairing
+    is an integer equi-join, no cartesian product."""
+    df = QUERIES["c85_sorted_neighborhood"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "__ps_pid" in plan, plan
+    assert not _single_partition_windows(plan), _single_partition_windows(plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_equi_join_and_broadcast_sizes(spark):
+    """c86: the shingle self-join is an equi-join; the per-group size
+    frames (bounded by |groups|) attach as broadcasts."""
+    df = QUERIES["c86_source_overlap"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_retrieval_metrics_bounded_pool_only(spark):
+    """c83: metrics reduce over the bounded |queries| x k pool — no
+    Python nodes, no cartesian product (the corpus scoring inside
+    cosine_topk is the broadcast-queries shape plan-tested for c3)."""
+    df = QUERIES["c83_retrieval_metrics"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
