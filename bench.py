@@ -79,6 +79,9 @@ HEADLINE = [
     # in BENCH_r07.
     "x86_auc_rank",  # exact ROC AUC (prefix-sum rank statistic)
     "x93_silhouette_centroid",  # centroid silhouette over embeddings
+    # r7 batch-11 breadth: exact edit-distance similarity join. First
+    # recorded in BENCH_r07.
+    "c82_edit_distance_join",  # Ed-Join positional q-gram prefix+count filters
 ]
 
 

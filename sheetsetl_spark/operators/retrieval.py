@@ -125,9 +125,22 @@ def ranking_metrics(
 
     Determinism: hits/ranks are integers; MRR / precision / recall are
     single IEEE divisions of integers, rounded to 6 — bit-stable across
-    engines. Queries with no relevant item in the pool get rr = 0.0
-    (the standard convention), never NULL.
+    engines. nDCG's gain terms 1/log2(rank+1) are irrational, so each
+    term is rounded to 12 decimals and cast to DECIMAL before the sum —
+    decimal addition is order-independent (the registry's float-sum
+    recipe), and 12-decimal rounding absorbs any 1-ulp libm difference
+    in log2 between engines. The ideal DCG comes from a k-row running
+    sum (a single-partition window over EXACTLY k rows — bounded by
+    construction, the one place that's acceptable). Queries with no
+    relevant item in the pool get rr = ndcg = 0.0 (the standard
+    convention), never NULL.
     """
+
+    def _gain(rank: Column) -> Column:
+        return F.round(F.lit(1.0) / F.log2(rank + F.lit(1.0)), 12).cast(
+            "decimal(28,12)"
+        )
+
     hit = (
         ranked.join(
             relevant.select(query_col, item_col).withColumn("__rel", F.lit(1)),
@@ -138,13 +151,27 @@ def ranking_metrics(
         .agg(
             F.min(F.when(F.col("__rel") == 1, F.col(rank_col))).alias("__first"),
             F.sum(F.coalesce(F.col("__rel"), F.lit(0))).alias("hits_at_k"),
+            F.sum(
+                F.when(F.col("__rel") == 1, _gain(F.col(rank_col))).otherwise(
+                    F.lit(0).cast("decimal(28,12)")
+                )
+            ).alias("__dcg"),
         )
     )
     totals = relevant.groupBy(query_col).agg(
         F.max("n_relevant").alias("__n_rel")
     )
+    idcg = ranked.sparkSession.range(1, k + 1).select(
+        F.col("id").alias("__m"),
+        F.sum(_gain(F.col("id"))).over(Window.orderBy("id")).alias("__idcg"),
+    )
     return (
         hit.join(totals, query_col, "left")
+        .join(
+            F.broadcast(idcg),
+            F.least(F.lit(k), F.col("__n_rel")) == F.col("__m"),
+            "left",
+        )
         .select(
             query_col,
             F.coalesce(
@@ -155,5 +182,12 @@ def ranking_metrics(
             F.coalesce(
                 F.round(F.col("hits_at_k") / F.col("__n_rel"), 6), F.lit(0.0)
             ).alias("recall_at_k"),
+            F.coalesce(
+                F.round(
+                    F.col("__dcg").cast("double") / F.col("__idcg").cast("double"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("ndcg_at_k"),
         )
     )

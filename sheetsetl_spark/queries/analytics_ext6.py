@@ -90,20 +90,33 @@ def c82_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT query_id,
              MIN(CASE WHEN cl = ql THEN nn_rank END) AS first_rel,
-             SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS hits
+             SUM(CASE WHEN cl = ql THEN 1 ELSE 0 END) AS hits,
+             SUM(CASE WHEN cl = ql
+                 THEN CAST(ROUND(1.0 / LOG2(nn_rank + 1.0), 12) AS DECIMAL(28,12))
+                 ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg
       FROM topk GROUP BY query_id
     ),
     tot AS (
       SELECT q.query_id, COUNT(*) AS n_rel
       FROM q JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id
       GROUP BY q.query_id
+    ),
+    ic AS (
+      SELECT i AS m,
+             SUM(CAST(ROUND(1.0 / LOG2(i + 1.0), 12) AS DECIMAL(28,12)))
+               OVER (ORDER BY i) AS idcg
+      FROM generate_series(1, 10) g(i)
     )
     SELECT a.query_id,
            COALESCE(ROUND(1.0 / first_rel, 6), 0.0) AS rr,
            CAST(hits AS BIGINT) AS hits_at_k,
            ROUND(hits / 10, 6) AS precision_at_k,
-           COALESCE(ROUND(hits / n_rel, 6), 0.0) AS recall_at_k
-    FROM agg a LEFT JOIN tot USING (query_id)
+           COALESCE(ROUND(hits / n_rel, 6), 0.0) AS recall_at_k,
+           COALESCE(ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6), 0.0)
+             AS ndcg_at_k
+    FROM agg a
+    LEFT JOIN tot USING (query_id)
+    LEFT JOIN ic ON ic.m = LEAST(10, n_rel)
     """,
 )
 def c83_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

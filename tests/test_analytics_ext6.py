@@ -110,6 +110,13 @@ def test_ranking_metrics_known_values(spark):
     assert got[2].rr == 0.0
     assert got[2].hits_at_k == 0
     assert got[2].recall_at_k == 0.0
+    # nDCG@3 for q1: relevant at ranks 2,3; ideal = ranks 1,2,3
+    # (n_relevant=4 > k). Terms rounded to 12 like the operator.
+    import math
+
+    g = lambda r: round(1.0 / math.log2(r + 1.0), 12)
+    assert got[1].ndcg_at_k == round((g(2) + g(3)) / (g(1) + g(2) + g(3)), 6)
+    assert got[2].ndcg_at_k == 0.0
 
 
 def test_substring_decontaminate_hits_and_misses(spark):
