@@ -1529,23 +1529,34 @@ def edit_distance_pairs(
        < |G| - q*k — violating the count filter. So every true pair
        shares a prefix gram, and the candidate join runs over PREFIX
        streams only (each doc's q*k+1 globally-RAREST grams).
-    4. Candidates then pass the cheap length filter (||a|-|b|| <= k),
-       the full count filter via sorted dense-id arrays +
-       ``array_intersect`` (candidate-proportional, the c72 verify
-       shape — never an O(|cand| x doc_len) row expansion), and the
+    4. Candidates pass the LENGTH filter (||a|-|b|| <= k) and the
+       PPJoin POSITIONAL filter (overlap <= s + min(n_a - max_ia,
+       n_b - max_ib); Xiao et al. WWW'08, the same bound c72's sweep
+       test certifies) AT CANDIDATE AGGREGATION — integer comparisons
+       on the (doc_a, doc_b) groupBy, BEFORE anything heavy attaches.
+       Survivors then fetch two sorted dense-id arrays, pass the full
+       count filter via ``array_intersect`` (candidate-proportional,
+       never an O(|cand| x doc_len) row expansion), and finally the
        exact JVM-side ``levenshtein`` <= k.
 
     Scale: one corpus scan (persisted gram stream feeds df counts and
     the ranked stream), dense gram ids from the distributed prefix sum,
-    one gram-keyed shuffle, a prefix equi-join whose fanout is bounded
-    by construction (only the q*k+1 rarest grams of each doc join), and
-    a verify stage linear in candidates — each row carries two
-    O(doc_len) int arrays plus the two texts for the final DP. The DP
-    itself is O(len^2) per CANDIDATE, which is why the three filters
-    run first; at 100 TB the knob is q (larger grams -> rarer -> fewer
-    candidates) against the prefix length q*k+1. Strings shorter than q
-    have no grams and are excluded (caller guards; the registered query
-    corpus has min length >> q).
+    one gram-keyed shuffle, a prefix equi-join filtered at aggregation,
+    and a verify stage linear in SURVIVING candidates. Filter order
+    matters measurably: the 10x scale step (SCALE.md round-7 batch-11)
+    showed this corpus's q-gram df distribution is DENSE at every q
+    (tiny synthetic vocabulary — max df grew 10x with the corpus, for
+    q in {3,5,7}), so raw prefix-join pairs grew quadratically (652k ->
+    68.7M) and attaching arrays to raw candidates spilled 58 GB; with
+    the length + positional filters pushed into the aggregation the
+    attach set is 12-15x smaller, and the exact count filter then kills
+    >99.7% of what remains before the O(len^2) DP (measured 43,128 ->
+    103 at sf0.1). On a natural-text corpus rare grams exist and the
+    prefix join itself stays near-linear; the dense-vocab case is the
+    adversarial floor, where the right tool shifts to the capped/LSH
+    near-dup family. Strings shorter than q have no grams and are
+    excluded (caller guards; the registered query corpus has min
+    length >> q).
 
     Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= k.
     """
@@ -1586,7 +1597,10 @@ def edit_distance_pairs(
         F.lit(1).cast("long"),
         out_col="tid",
     )
-    ranked = toks.join(ids, "tok")
+    # doc length rides along so the length filter can run at candidate
+    # aggregation; the __id join lands on the same partitioning the doc
+    # windows need, so it costs no extra exchange
+    ranked = toks.join(ids, "tok").join(base.select("__id", "__len"), "__id")
     wdoc = Window.partitionBy("__id")
     worder = wdoc.orderBy("df", "tok")
     sized = (
@@ -1595,14 +1609,45 @@ def edit_distance_pairs(
         .localCheckpoint(eager=False)
     )
     prefix = sized.filter(F.col("rnk") <= F.lit(q * k + 1))
-    a = prefix.select(F.col("__id").alias("doc_a"), "tid")
-    b = prefix.select(F.col("__id").alias("doc_b"), "tid")
+    a = prefix.select(
+        F.col("__id").alias("doc_a"),
+        "tid",
+        F.col("rnk").alias("ia"),
+        F.col("n_g").alias("pna"),
+        F.col("__len").alias("pla"),
+    )
+    b = prefix.select(
+        F.col("__id").alias("doc_b"),
+        "tid",
+        F.col("rnk").alias("ib"),
+        F.col("n_g").alias("pnb"),
+        F.col("__len").alias("plb"),
+    )
+    # length filter on the join rows, positional filter on the group:
+    # both grams lists sort by the same global (df, tok) order, so every
+    # common token ordered before the pair's last shared prefix token is
+    # itself counted in s — overlap <= s + min(n_a - max_ia, n_b -
+    # max_ib). A true pair needs overlap >= max(n_a, n_b) - q*k, so the
+    # integer comparison below prunes only provably-impossible pairs.
     cand = (
         a.join(b, "tid")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("pla") - F.col("plb")) <= F.lit(k))
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("__s"))
+        .agg(
+            F.count("*").alias("__s"),
+            F.max("ia").alias("__mi"),
+            F.max("ib").alias("__mj"),
+            F.max("pna").alias("__bna"),
+            F.max("pnb").alias("__bnb"),
+        )
+        .filter(
+            F.col("__s")
+            + F.least(F.col("__bna") - F.col("__mi"), F.col("__bnb") - F.col("__mj"))
+            >= F.greatest(F.col("__bna"), F.col("__bnb")) - F.lit(q * k)
+        )
         .select("doc_a", "doc_b")
     )
     arrays = sized.groupBy("__id").agg(
