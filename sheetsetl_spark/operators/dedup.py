@@ -1785,3 +1785,87 @@ def sorted_neighborhood_pairs(
             F.col("__d").cast("long").alias("gap"),
         )
     )
+
+
+def substring_decontaminate_anchored(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Verbatim substring decontamination for probe sets TOO BIG TO
+    BROADCAST — the scale path :func:`substring_decontaminate`'s
+    docstring points to, made concrete.
+
+    Anchoring theorem: if ``probe`` occurs verbatim (space-tokenized
+    text) inside a doc, then every INTERIOR word of the probe — all but
+    the first and last, which the char-level cut may have clipped —
+    appears in the doc as a complete token, in sequence. So the probe's
+    first interior word BIGRAM is a word bigram of the doc, and an
+    equi-join on that anchor bigram finds every true containment.
+    Probes with fewer than two interior words carry no anchor and are
+    dropped (returned semantics cover the anchored subset; the caller
+    routes short probes through the broadcast variant — they are few
+    and cheap by definition).
+
+    Shape at 100 TB: both sides shuffle ONCE on the anchor bigram — the
+    corpus emits its bigram stream (linear), probes emit one anchor
+    each — then `contains` verifies only the anchor-colliding (doc,
+    probe) pairs; no broadcast, no all-pairs, and a boilerplate anchor
+    is exactly the hot-key case ``max_anchor_df``-style capping would
+    handle (not needed at fixture scale; the verify is already
+    candidate-proportional).
+
+    Output: identical schema/semantics to
+    :func:`substring_decontaminate` restricted to anchored probes —
+    (id, n_probes_hit, probe_ids).
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("__pid"),
+        F.col(probe_col).alias("__probe"),
+        F.split(F.col(probe_col), " ").alias("__pw"),
+    ).filter(F.size("__pw") >= 4)
+    anchored = p.select(
+        "__pid",
+        "__probe",
+        F.concat_ws(
+            " ", F.element_at("__pw", 2), F.element_at("__pw", 3)
+        ).alias("__anchor"),
+    )
+    doc_bigrams = corpus.select(
+        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("__w")
+    ).select(
+        id_col,
+        text_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(__w) >= 2 THEN "
+                    "transform(sequence(1, size(__w) - 1), "
+                    "  i -> concat_ws(' ', __w[i-1], __w[i])) "
+                    "ELSE array() END"
+                )
+            )
+        ).alias("__anchor"),
+    )
+    # (doc, probe) pairs are unique by construction: the doc side emits
+    # each distinct bigram once and each probe has exactly one anchor —
+    # no distinct() needed, so the only shuffles are the anchor join
+    # and the final per-doc aggregate.
+    hits = (
+        doc_bigrams.join(anchored, "__anchor")
+        .filter(F.expr(f"contains({text_col}, __probe)"))
+        .select(id_col, "__pid")
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_probes_hit"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__pid")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("probe_ids"),
+    )

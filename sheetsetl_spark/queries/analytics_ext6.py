@@ -1,18 +1,24 @@
-"""Round-7 batch-11 extensions, fuzzy-matching tier: exact
-edit-distance self-join (Ed-Join prefix + count filters).
+"""Round-7 batch-11 extensions, fuzzy-matching / retrieval-eval /
+decontamination tier: exact edit-distance self-join (Ed-Join prefix +
+count filters, c82), retrieval evaluation metrics (c83),
+verbatim-substring decontamination in both broadcast (c84) and
+anchored no-broadcast (c87) forms, sorted-neighborhood blocking (c85),
+and the source-pair shingle-overlap matrix (c86).
 
-Scale contract: the edit-distance join generates candidates ONLY from
-each string's q*k+1 globally-rarest q-grams (a completeness THEOREM,
-not a blocking heuristic — the brute-force DuckDB twin certifies zero
-lost pairs), then verifies candidate-proportionally: length filter,
-array count-filter, and the O(len^2) DP only on survivors.
+Scale contracts (details in each operator's docstring):
+- c82 candidates come only from prefix grams, with the length and
+  PPJoin positional filters applied AT candidate aggregation; the
+  brute-force DuckDB twin certifies completeness.
+- c83 reduces over the bounded |queries| x k pool; nDCG gain terms
+  accumulate as exact DECIMAL so the sum is order-independent.
+- c84 broadcasts the probe side (fixed eval benchmarks); c87 is the
+  equi-join path for corpus-scale probe sets — same answer, proven by
+  a parity unit test and independent oracles.
+- c85 pairs by global-rank arithmetic from the distributed prefix sum.
+- c86's unit of work is the distinct (source, shingle) stream.
 
 (Table snapshot diff and the one-pass column profiler this tier
 complements live in analytics_ext.py::x46 and extensions.py::x9.)
-
-Registry determinism contract as usual (queries/__init__.py): exact
-integers end-to-end here — ids and distances only, no float
-accumulation anywhere in this module.
 """
 
 from __future__ import annotations
@@ -273,3 +279,55 @@ def c86_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return group_overlap_matrix(docs, n=3, group_col="source")
+
+
+@query(
+    "c87_anchored_decontamination",
+    oracle=f"""
+    WITH p0 AS (
+      SELECT doc_id AS probe_id, SUBSTRING(text, {_PROBE_POS}, {_PROBE_LEN}) AS probe
+      FROM documents
+      WHERE doc_id % {_PROBE_MOD} = 0 AND n_chars >= {_PROBE_MIN_CHARS}
+    ),
+    p AS (SELECT probe_id, probe, STRING_SPLIT(probe, ' ') AS pw FROM p0),
+    anch AS (
+      SELECT probe_id, probe, pw[2] || ' ' || pw[3] AS anchor
+      FROM p WHERE LEN(pw) >= 4
+    ),
+    db AS (
+      SELECT DISTINCT doc_id, text, ARRAY_TO_STRING(w[i:i+1], ' ') AS anchor
+      FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS w FROM documents) t,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS i) u
+    ),
+    hits AS (
+      SELECT d.doc_id, a.probe_id
+      FROM db d JOIN anch a USING (anchor)
+      WHERE CONTAINS(d.text, a.probe)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit,
+           STRING_AGG(CAST(probe_id AS VARCHAR), ',' ORDER BY probe_id)
+             AS probe_ids
+    FROM hits GROUP BY doc_id
+    """,
+)
+def c87_anchored_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (decontamination tier): the NO-BROADCAST scale path for
+    verbatim substring decontamination
+    (operators/dedup.py::substring_decontaminate_anchored) — probe sets
+    too big to broadcast equi-join the corpus on each probe's first
+    interior word bigram (complete by the anchoring theorem in the
+    operator docstring), then `contains` verifies only anchor-colliding
+    pairs. Same probe construction as c84; on probes with >= 2 interior
+    words (all of them at this fixture's probe length) the result is
+    IDENTICAL to c84's broadcast variant — asserted as a unit test, and
+    both are driver-oracle-checked independently."""
+    from sheetsetl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(
+        (F.col("doc_id") % _PROBE_MOD == 0) & (F.col("n_chars") >= _PROBE_MIN_CHARS)
+    ).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", _PROBE_POS, _PROBE_LEN).alias("probe"),
+    )
+    return dedup.substring_decontaminate_anchored(docs, probes)

@@ -1,5 +1,6 @@
 """Unit tests for batch-11: exact edit-distance join (Ed-Join filters),
-snapshot diff, one-pass column profiler."""
+retrieval eval metrics, substring decontamination (broadcast + anchored
+paths), sorted-neighborhood blocking, group overlap matrix."""
 
 from __future__ import annotations
 
@@ -189,3 +190,47 @@ def test_group_overlap_matrix_exact_jaccard(spark):
     [r] = rows
     assert (r.group_a, r.group_b, r.inter, r.union_sz) == ("s1", "s2", 1, 3)
     assert r.jaccard == round(1 / 3, 6)
+
+
+def test_anchored_decontamination_matches_broadcast_variant(spark):
+    """On probes with >= 2 interior words the anchored equi-join path
+    must produce EXACTLY the broadcast path's answer."""
+    from sheetsetl_spark.operators.dedup import (
+        substring_decontaminate,
+        substring_decontaminate_anchored,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "zeta epsilon delta gamma beta alpha"),
+            (3, "beta gamma delta elsewhere entirely now"),
+            (4, "nothing shared at all here friend"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # probe cut mid-word on both edges: interior words beta gamma delta
+    probes = spark.createDataFrame(
+        [(7, "ha beta gamma delta ep")], "probe_id bigint, probe string"
+    )
+    a = {
+        (r.doc_id, r.n_probes_hit, r.probe_ids)
+        for r in substring_decontaminate(corpus, probes).collect()
+    }
+    b = {
+        (r.doc_id, r.n_probes_hit, r.probe_ids)
+        for r in substring_decontaminate_anchored(corpus, probes).collect()
+    }
+    assert a == b == {(1, 1, "7")}
+
+
+def test_anchored_decontamination_drops_short_probes(spark):
+    from sheetsetl_spark.operators.dedup import substring_decontaminate_anchored
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id bigint, text string"
+    )
+    probes = spark.createDataFrame(
+        [(7, "alpha beta")], "probe_id bigint, probe string"  # < 4 words
+    )
+    assert substring_decontaminate_anchored(corpus, probes).count() == 0

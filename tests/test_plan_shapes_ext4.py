@@ -256,3 +256,15 @@ def test_retrieval_metrics_bounded_pool_only(spark):
     assert "CartesianProduct" not in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_anchored_decontamination_no_broadcast_nl(spark):
+    """c87: the scale path replaces c84's broadcast nested-loop with an
+    anchor-bigram EQUI-join — no BroadcastNestedLoopJoin, no cartesian
+    product, no Python nodes anywhere."""
+    df = QUERIES["c87_anchored_decontamination"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
