@@ -915,3 +915,76 @@ class ActiveUserIngestForeachBatch:
             F.col("wday").cast("string").alias("day"),
             F.coalesce("wau_7d", F.lit(0)).alias("wau_7d"),
         )
+
+
+class DecontaminationIngestForeachBatch:
+    """Streaming corpus ingest with an eval-leak GATE — the training-data
+    intake loop where every arriving document is checked against a fixed
+    eval-benchmark probe set before it may enter the corpus: clean docs
+    append to the corpus parquet, contaminated docs (plus which probes
+    they hit) land in a quarantine parquet for audit, and NOTHING is
+    silently dropped.
+
+    The check is the verbatim-substring family (operators/dedup.py):
+    ``anchored=True`` routes through the anchor-bigram equi-join
+    (substring_decontaminate_anchored — corpus-scale probe sets, no
+    broadcast; probes need >= 2 interior words), ``anchored=False``
+    through the broadcast `contains` path. Probes load once per batch
+    from a parquet dir — at production scale a maintained table, same
+    asymmetry either way.
+
+    Replay safety (foreachBatch may re-run a batch after failure): both
+    sinks partition by __batch_id with dynamic partition overwrite, and
+    the gate is deterministic — a replay rewrites both partitions with
+    identical rows, never double-appends, never flips a doc between
+    corpus and quarantine.
+    """
+
+    def __init__(
+        self,
+        probes_dir: str,
+        corpus_dir: str,
+        quarantine_dir: str,
+        anchored: bool = True,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.probes_dir = probes_dir
+        self.corpus_dir = corpus_dir
+        self.quarantine_dir = quarantine_dir
+        self.anchored = anchored
+        self.id_col = id_col
+        self.text_col = text_col
+        self.batches_seen: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from sheetsetl_spark.operators.dedup import (
+            substring_decontaminate,
+            substring_decontaminate_anchored,
+        )
+
+        self.batches_seen.append(batch_id)
+        spark = batch_df.sparkSession
+        probes = spark.read.parquet(self.probes_dir)
+        check = (
+            substring_decontaminate_anchored
+            if self.anchored
+            else substring_decontaminate
+        )
+        hits = check(
+            batch_df, probes, id_col=self.id_col, text_col=self.text_col
+        )
+        quarantined = batch_df.join(hits, self.id_col)
+        clean = batch_df.join(
+            hits.select(self.id_col), self.id_col, "left_anti"
+        )
+        for frame, out_dir in ((clean, self.corpus_dir), (quarantined, self.quarantine_dir)):
+            (
+                frame.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(out_dir)
+            )

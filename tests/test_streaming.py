@@ -788,3 +788,47 @@ def test_active_user_ingest_matches_batch_wau(spark, tmp_path):
     ingest(parts[1], 1)
     again = {r.day: r.wau_7d for r in ingest.wau(spark).collect()}
     assert again == want
+
+
+def test_decontamination_ingest_gates_and_replays(spark, tmp_path):
+    """Streaming eval-leak gate: contaminated docs are quarantined with
+    their probe hits, clean docs enter the corpus, a replayed
+    micro-batch changes nothing, and the anchored and broadcast gate
+    paths agree."""
+    from sheetsetl_spark.streaming import DecontaminationIngestForeachBatch
+
+    probes_dir = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(7, "ha beta gamma delta ep")], "probe_id long, probe string"
+    ).write.parquet(probes_dir)
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains probe
+            (2, "totally clean document with fresh words"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "more clean text here again friend"),
+         (4, "xx ha beta gamma delta ep yy")],  # contaminated
+        "doc_id long, text string",
+    )
+
+    for anchored in (True, False):
+        corpus = str(tmp_path / f"corpus_{anchored}")
+        quar = str(tmp_path / f"quarantine_{anchored}")
+        gate = DecontaminationIngestForeachBatch(
+            probes_dir, corpus, quar, anchored=anchored
+        )
+        gate(b1, 0)
+        gate(b2, 1)
+        gate(b2, 1)  # replay must be a no-op rewrite
+
+        clean_ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        qrows = spark.read.parquet(quar).collect()
+        assert clean_ids == {2, 3}, anchored
+        assert {r.doc_id for r in qrows} == {1, 4}, anchored
+        assert all(r.n_probes_hit == 1 and r.probe_ids == "7" for r in qrows)
+        assert spark.read.parquet(corpus).count() == 2  # no double-append
+        assert spark.read.parquet(quar).count() == 2
