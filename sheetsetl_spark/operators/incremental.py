@@ -163,3 +163,50 @@ def time_decayed_agg(
         )
         .orderBy(group_col)
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key — the monitoring
+    smoother (drift dashboards, rate limiting, trend alerts) over a
+    per-key ordered series: s_t = alpha*x_t + (1-alpha)*s_{t-1}, s_0=0.
+
+    A sequential recurrence has no shuffle-parallel form, so the design
+    constraint is that the per-key SERIES is bounded (daily aggregates
+    per key: calendar-bounded, like the Mann-Kendall trend operator) —
+    then collect_list per key is a bounded array and the fold runs
+    JVM-side via `aggregate` over the day-sorted array. The corpus-sized
+    work (the daily pre-aggregation) stays a map-side-combined groupBy;
+    only the bounded (key, day)-level frame ever enters a window-free
+    fold. Determinism: the fold is DEFINED sequential (left-to-right in
+    day order), so the same IEEE double ops run in the same order on
+    any partitioning — and in the DuckDB twin (list_reduce over
+    list_prepend(0.0, list(x ORDER BY day)) — bit-identical.
+
+    Output: (key, n_points, ewma) — the final smoothed level, rounded 6.
+    """
+    one_minus = 1.0 - alpha
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(order_col, value_col))
+                        ),
+                        lambda s: s[value_col].cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.lit(alpha) * x + F.lit(one_minus) * acc,
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )

@@ -190,3 +190,62 @@ def group_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect correction
+    standard in bioinformatics, and the cross-SOURCE score calibration a
+    training-data curator needs: a quality score of 0.7 from source A
+    and source B mean different things — mapping each source's
+    distribution onto the GLOBAL distribution makes one threshold mean
+    one thing everywhere).
+
+    Each row's within-group rank r (of n_g) maps to the global value at
+    rank ceil(r * N / n_g) — percentile_disc-style, exact integers all
+    the way, ties broken by ``id_col`` on both levels.
+
+    Distributed shape: within-group ranks are keyed windows (shuffle on
+    the group key); the GLOBAL rank comes from the prefix-sum
+    decomposition (operators/prefix.py — never a single-partition corpus
+    window); the normalized value attaches by an integer equi-join of
+    the corpus against the global-rank frame (same size as the corpus,
+    shuffled on an int). N broadcasts as a one-row aggregate.
+
+    Output: (id, group, value, norm_value).
+    """
+    from sheetsetl_spark.operators.prefix import prefix_sum
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__v"),
+    )
+    wg = Window.partitionBy("__g")
+    ranked = base.withColumn(
+        "__r", F.row_number().over(wg.orderBy("__v", "__id"))
+    ).withColumn("__ng", F.count("*").over(wg))
+    glob = prefix_sum(
+        base.select(F.col("__v").alias("__gv"), F.col("__id").alias("__gid")),
+        [F.col("__gv"), F.col("__gid")],
+        F.lit(1).cast("long"),
+        out_col="__gr",
+    ).select("__gv", "__gr")
+    n_total = base.groupBy().agg(F.count("*").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "__target", F.ceil(F.col("__r") * F.col("__n") / F.col("__ng"))
+        )
+        .join(glob, F.col("__target") == F.col("__gr"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__gv").alias("norm_value"),
+        )
+    )

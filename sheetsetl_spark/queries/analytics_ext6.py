@@ -331,3 +331,75 @@ def c87_anchored_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("text", _PROBE_POS, _PROBE_LEN).alias("probe"),
     )
     return dedup.substring_decontaminate_anchored(docs, probes)
+
+
+@query(
+    "c88_quantile_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    g AS (SELECT n_chars AS gv,
+                 ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr
+          FROM d),
+    r AS (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS r,
+                 COUNT(*) OVER (PARTITION BY source) AS ng,
+                 (SELECT COUNT(*) FROM d) AS n
+          FROM d)
+    SELECT r.doc_id, r.source, r.n_chars,
+           CAST(g.gv AS BIGINT) AS norm_value
+    FROM r JOIN g ON g.gr = CEIL(r.r * r.n / r.ng)
+    """,
+)
+def c88_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (curation tier): quantile normalization of per-source
+    doc lengths onto the global length distribution
+    (operators/profiling.py::quantile_normalize) — the cross-source
+    score calibration that makes one curation threshold mean the same
+    thing for every source. Global ranks via the distributed prefix
+    sum; everything integer-exact."""
+    from sheetsetl_spark.operators.profiling import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs, group_col="source", value_col="n_chars", id_col="doc_id"
+    )
+
+
+@query(
+    "c89_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS dt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(LIST_REDUCE(LIST_PREPEND(0.0, LIST(dt ORDER BY day)),
+                             (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+    FROM daily GROUP BY 1
+    """,
+)
+def c89_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (monitoring tier): per-priority EWMA (alpha=0.5) of the
+    DAILY order-revenue series (operators/incremental.py::ewma_by_key).
+    The sequential recurrence runs as a JVM `aggregate` fold over the
+    calendar-bounded day-sorted array per key; daily totals use the
+    exact-decimal sum recipe, and the fold's defined left-to-right
+    order makes the IEEE double chain bit-identical to the DuckDB
+    list_reduce twin."""
+    from sheetsetl_spark.operators.incremental import ewma_by_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("dt")
+    )
+    return ewma_by_key(
+        daily, key_col="o_orderpriority", order_col="day", value_col="dt",
+        alpha=0.5,
+    )

@@ -234,3 +234,49 @@ def test_anchored_decontamination_drops_short_probes(spark):
         [(7, "alpha beta")], "probe_id bigint, probe string"  # < 4 words
     )
     assert substring_decontaminate_anchored(corpus, probes).count() == 0
+
+
+def test_quantile_normalize_known_mapping(spark):
+    from sheetsetl_spark.operators.profiling import quantile_normalize
+
+    # group a: values 10,20 (n=2); group b: 30,40,50,60 (n=4); N=6
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40),
+         (5, "b", 50), (6, "b", 60)],
+        "id bigint, g string, v bigint",
+    )
+    got = {
+        r.id: r.norm_value
+        for r in quantile_normalize(df, "g", "v", "id").collect()
+    }
+    # global sorted: 10,20,30,40,50,60
+    # a: r=1 -> ceil(1*6/2)=3 -> 30 ; r=2 -> ceil(12/2)=6 -> 60
+    # b: r=1 -> ceil(6/4)=2 -> 20 ; r=2 -> 3 -> 30 ; r=3 -> ceil(4.5)=5
+    #    -> 50 ; r=4 -> 6 -> 60
+    assert got == {1: 30, 2: 60, 3: 20, 4: 30, 5: 50, 6: 60}
+
+
+def test_quantile_normalize_idempotent_single_group(spark):
+    """One group: the mapping must be the identity (rank r of n maps to
+    global rank r of N=n)."""
+    from sheetsetl_spark.operators.profiling import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "only", i * 7 % 13) for i in range(13)], "id bigint, g string, v bigint"
+    )
+    rows = quantile_normalize(df, "g", "v", "id").collect()
+    assert all(r.v == r.norm_value for r in rows) and len(rows) == 13
+
+
+def test_ewma_by_key_sequential_fold(spark):
+    from sheetsetl_spark.operators.incremental import ewma_by_key
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 40.0),
+         ("j", 9, 8.0)],
+        "key string, day int, x double",
+    )
+    got = {r.key: (r.n_points, r.ewma) for r in
+           ewma_by_key(df, "key", "day", "x", alpha=0.5).collect()}
+    # k: s1=5, s2=12.5, s3=26.25 ; j: 4.0
+    assert got == {"k": (3, 26.25), "j": (1, 4.0)}

@@ -268,3 +268,24 @@ def test_anchored_decontamination_no_broadcast_nl(spark):
     assert "CartesianProduct" not in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_quantile_normalize_prefix_sum_global_rank(spark):
+    """c88: the global rank is the prefix-sum decomposition — no
+    single-partition corpus window; the N scalar broadcasts."""
+    df = QUERIES["c88_quantile_normalize"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "__ps_pid" in plan, plan
+    assert not _single_partition_windows(plan), _single_partition_windows(plan)
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_ewma_no_window_no_python(spark):
+    """c89: the recurrence is a JVM aggregate fold over bounded per-key
+    arrays — no window operator at all, no Python nodes."""
+    df = QUERIES["c89_ewma_daily"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Window" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
