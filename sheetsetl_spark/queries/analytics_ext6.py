@@ -403,3 +403,166 @@ def c89_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily, key_col="o_orderpriority", order_col="day", value_col="dt",
         alpha=0.5,
     )
+
+
+def _mp_lsh_sql_parts(k: int = 10, num_planes: int = 16, bands: int = 4,
+                      dim: int = 64) -> dict[str, str]:
+    """Shared DuckDB CTE fragments for the multi-probe LSH twins: seeded
+    signatures, single-probe and 1-perturbation query stacks, candidate
+    sets, and exact-cosine top-k over each candidate set."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    rpb = num_planes // bands
+    bit_exprs = ", ".join(
+        "CASE WHEN LIST_DOT_PRODUCT(["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[], v) > 0 THEN '1' ELSE '0' END"
+        for row in hyperplanes(num_planes, dim)
+    )
+    band_vals = ", ".join(str(b) for b in range(bands))
+    flips = ", ".join(
+        f"SUBSTRING(bv, 1, {j - 1}) || "
+        f"(CASE WHEN SUBSTRING(bv, {j}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"SUBSTRING(bv, {j + 1}, {rpb - j})"
+        for j in range(1, rpb + 1)
+    )
+    base = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, CONCAT({bit_exprs}) AS bits FROM e),
+    bnd AS (SELECT UNNEST([{band_vals}]) AS b),
+    cstack AS (SELECT vec_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv
+               FROM sig, bnd),
+    qstack AS (SELECT vec_id AS query_id, b, SUBSTRING(bits, b * {rpb} + 1, {rpb}) AS bv
+               FROM sig, bnd WHERE vec_id < 8),
+    qprobe AS (SELECT query_id, b, UNNEST([bv, {flips}]) AS bv FROM qstack),
+    mp_cand AS (
+      SELECT DISTINCT qk.query_id, c.vec_id AS neighbor_id
+      FROM cstack c JOIN qprobe qk
+        ON c.b = qk.b AND c.bv = qk.bv AND c.vec_id <> qk.query_id
+    )"""
+    topk = """
+      SELECT query_id, neighbor_id, nn_rank, sim FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               LIST_DOT_PRODUCT(qe.v, ce.v)
+                 / (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v))
+                    * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v))) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qe.v, ce.v)
+                   / (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v))
+                      * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v)))
+                 DESC, cand.neighbor_id) AS nn_rank
+        FROM {cand} cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ce ON ce.vec_id = cand.neighbor_id) t
+      WHERE nn_rank <= {k}"""
+    return {"base": base, "topk": topk, "k": str(k)}
+
+
+_MP = _mp_lsh_sql_parts()
+
+
+@query(
+    "c90_topk_cosine_lsh_multiprobe",
+    oracle=f"""
+    WITH {_MP["base"]}
+    SELECT query_id, neighbor_id, nn_rank, ROUND(sim, 6) AS sim
+    FROM ({_MP["topk"].format(cand="mp_cand", k=_MP["k"])}) z
+    """,
+)
+def c90_topk_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (ANN tier): multi-probe banded hyperplane LSH (Lv et
+    al., VLDB'07) — each query band also probes its Hamming-1 buckets
+    (operators/similarity.py::cosine_topk_lsh(multiprobe=True)), buying
+    recall with query-side probes instead of more index tables; the
+    corpus-side index is IDENTICAL to c3b's. Deterministic seeded
+    planes, so the whole approximate pipeline hash-checks against its
+    DuckDB twin."""
+    from sheetsetl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, multiprobe=True
+    )
+
+
+@query(
+    "c91_multiprobe_recall",
+    oracle=f"""
+    WITH {_MP["base"]},
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 LIST_DOT_PRODUCT(qv, c.v)
+                   / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v)))
+                 DESC, c.vec_id) AS nn_rank
+        FROM e c, q WHERE q.query_id <> c.vec_id) t
+      WHERE nn_rank <= 10
+    ),
+    sp_cand AS (
+      SELECT DISTINCT qk.query_id, c.vec_id AS neighbor_id
+      FROM cstack c JOIN qstack qk
+        ON c.b = qk.b AND c.bv = qk.bv AND c.vec_id <> qk.query_id
+    ),
+    sp_topk AS ({_MP["topk"].format(cand="sp_cand", k=_MP["k"])}),
+    mp_topk AS ({_MP["topk"].format(cand="mp_cand", k=_MP["k"])}),
+    pool AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id FROM sp_topk
+      UNION ALL
+      SELECT 'lsh_multiprobe', query_id, neighbor_id FROM mp_topk
+    ),
+    m AS (SELECT DISTINCT method FROM pool)
+    SELECT m.method, x.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(b.neighbor_id) / COUNT(*), 6) AS recall_at_k
+    FROM exact x
+    CROSS JOIN m
+    LEFT JOIN pool b
+      ON b.method = m.method AND b.query_id = x.query_id
+     AND b.neighbor_id = x.neighbor_id
+    GROUP BY m.method, x.query_id
+    """,
+)
+def c91_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (ANN tier): recall@10 of single-probe vs multi-probe
+    banded LSH against the exact top-k, per (method, query) — the
+    measured evidence that Hamming-1 query probes lift recall at an
+    unchanged corpus index (candidates are a strict superset, so
+    multiprobe recall >= single-probe recall row-by-row; asserted as a
+    unit test too). Extends the c35 validation loop."""
+    from sheetsetl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        a = approx.select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+        return (
+            exact.join(
+                a,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count("*").cast("long").alias("n_exact"),
+                F.count("a_nid").cast("long").alias("n_hit"),
+                F.round(F.count("a_nid") / F.count("*"), 6).alias("recall_at_k"),
+            )
+            .select(F.lit(method).alias("method"), "*")
+        )
+
+    sp = recall_of(similarity.cosine_topk_lsh(emb, queries_df, k=10), "lsh")
+    mp = recall_of(
+        similarity.cosine_topk_lsh(emb, queries_df, k=10, multiprobe=True),
+        "lsh_multiprobe",
+    )
+    return sp.unionByName(mp)

@@ -280,3 +280,22 @@ def test_ewma_by_key_sequential_fold(spark):
            ewma_by_key(df, "key", "day", "x", alpha=0.5).collect()}
     # k: s1=5, s2=12.5, s3=26.25 ; j: 4.0
     assert got == {"k": (3, 26.25), "j": (1, 4.0)}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a strict superset of single-probe
+    candidates, so recall@k must dominate row-by-row — measured on the
+    sf0.001 fixture."""
+    from tests.conftest import SF_SMALL
+    from sheetsetl_spark.queries import QUERIES
+
+    rows = QUERIES["c91_multiprobe_recall"](spark, SF_SMALL).collect()
+    by = {(r.method, r.query_id): r.recall_at_k for r in rows}
+    qids = {q for m, q in by if m == "lsh"}
+    assert qids  # non-empty harness
+    for qid in qids:
+        assert by[("lsh_multiprobe", qid)] >= by[("lsh", qid)], qid
+    # and the probe set actually buys something on this fixture
+    assert sum(by[("lsh_multiprobe", q)] for q in qids) >= sum(
+        by[("lsh", q)] for q in qids
+    )
