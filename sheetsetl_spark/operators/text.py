@@ -1083,3 +1083,150 @@ def zipf_slope(
             (F.col("sy") - slope * F.col("sx")) / F.col("n")
         ).alias("zipf_intercept"),
     )
+
+
+def word_dropout(
+    docs: DataFrame,
+    denom: int = 10,
+    seed: str = "aug",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation (the contrastive /
+    robustness-training view generator): token i of doc d drops iff the
+    md5-uniform of (seed, d, i, token) lands in bucket 0 of ``denom`` —
+    a ~1/denom dropout rate that is REPRODUCIBLE on any cluster, any
+    partitioning, any engine (the same 32-bit md5-prefix idiom as the
+    shard/split family; a Spark RAND() here would be neither replayable
+    nor oracle-checkable).
+
+    One corpus scan, all array HOFs (filter over an indexed transform),
+    no explode — the token stream never leaves its row. Docs whose
+    every token drops (probability denom^-len) are excluded, matching
+    the aggregate-twin semantics.
+
+    Output: (id, aug_text, n_orig, n_kept).
+    """
+    kept = F.expr(
+        f"filter(transform(split({text_col}, ' '), (t, i) -> named_struct("
+        f"  't', t, "
+        f"  'keep', cast(conv(substring(md5(concat('{seed}', ':', "
+        f"     cast({id_col} as string), ':', cast(i + 1 as string), ':', t)),"
+        f"     1, 8), 16, 10) as bigint) % {denom} != 0)), "
+        f" s -> s.keep)"
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(F.split(F.col(text_col), " ")).alias("n_orig"),
+            kept.alias("__kept"),
+        )
+        .filter(F.size("__kept") > 0)
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["t"]), " "
+            ).alias("aug_text"),
+            F.col("n_orig").cast("long").alias("n_orig"),
+            F.size("__kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+def span_corruption(
+    docs: DataFrame,
+    grid: int = 5,
+    span: int = 3,
+    denom: int = 4,
+    seed: str = "t5",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic T5-style span corruption: candidate spans start on
+    a fixed grid (positions 1, 1+grid, 1+2*grid, ...), each start is
+    masked iff its md5-uniform lands in bucket 0 of ``denom``, and a
+    masked span covers ``span`` consecutive tokens (grid > span keeps
+    spans non-overlapping BY CONSTRUCTION — no conflict resolution
+    pass). The k-th masked span (in position order) becomes
+    ``<extra_id_k>`` in the corrupted text; the target sequence is the
+    usual sentinel-then-original-tokens concatenation.
+
+    Shape: one explode of the token stream, per-doc keyed windows for
+    sentinel numbering, two string_agg-style reassemblies — shuffles
+    only on the doc key, deterministic under any partitioning (every
+    aggregation is order-pinned by token position).
+
+    Output: (id, corrupted, target, n_spans); docs with no masked span
+    have corrupted == original text, target == '' and n_spans = 0.
+    """
+    if span > grid:
+        raise ValueError(f"span={span} must not exceed grid={grid}")
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__i0", "__w"),
+    ).select(
+        "__id", (F.col("__i0") + 1).alias("__i"), "__w"
+    )
+    off = (F.col("__i") - 1) % grid
+    start = F.col("__i") - off
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("__id").cast("string"),
+                    start.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    marked = toks.withColumn(
+        "__s", F.when((off < span) & (h % denom == 0), start)
+    )
+    starts = (
+        marked.filter(F.col("__i") == F.col("__s"))
+        .select("__id", "__s")
+        .withColumn(
+            "__k",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy("__s")
+            )
+            - 1,
+        )
+    )
+    joined = marked.join(starts, ["__id", "__s"], "left")
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("__k").cast("string"), F.lit(">")
+    )
+    corrupted_piece = F.when(F.col("__s").isNull(), F.col("__w")).when(
+        F.col("__i") == F.col("__s"), sentinel
+    )
+    target_piece = F.when(
+        F.col("__i") == F.col("__s"), F.concat(sentinel, F.lit(" "), F.col("__w"))
+    ).when(F.col("__s").isNotNull(), F.col("__w"))
+    ordered_join = lambda piece: F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct("__i", piece.alias("p")))
+                    )
+                ),
+                lambda s: s.isNotNull(),
+            ),
+            lambda s: s["p"],
+        ),
+        " ",
+    )
+    return joined.groupBy("__id").agg(
+        ordered_join(corrupted_piece).alias("corrupted"),
+        ordered_join(target_piece).alias("target"),
+        F.countDistinct(F.when(F.col("__i") == F.col("__s"), F.col("__s")))
+        .cast("long")
+        .alias("n_spans"),
+    ).select(F.col("__id").alias(id_col), "corrupted", "target", "n_spans")

@@ -566,3 +566,81 @@ def c91_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_multiprobe",
     )
     return sp.unionByName(mp)
+
+
+@query(
+    "c92_word_dropout",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    kept AS (
+      SELECT doc_id, i, w[i] AS tok, LEN(w) AS n_orig
+      FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w))) AS i) u
+      WHERE ('0x' || SUBSTRING(MD5(CONCAT('aug', ':', CAST(doc_id AS VARCHAR),
+               ':', CAST(i AS VARCHAR), ':', w[i])), 1, 8))::BIGINT % 10 <> 0
+    )
+    SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY i) AS aug_text,
+           CAST(ANY_VALUE(n_orig) AS BIGINT) AS n_orig,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def c92_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (augmentation tier): deterministic ~10% word-dropout
+    views of every document (operators/text.py::word_dropout) — the
+    contrastive-training / robustness augmentation, seeded by the
+    md5-prefix uniform so any cluster, partitioning, or engine
+    regenerates the identical view. All array HOFs; the token stream
+    never leaves its row."""
+    from sheetsetl_spark.operators.text import word_dropout
+
+    return word_dropout(load_table(spark, sf_dir, "documents"), denom=10)
+
+
+@query(
+    "c93_span_corruption",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    tok AS (SELECT doc_id, i, w[i] AS tok
+            FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w))) AS i) u),
+    m AS (
+      SELECT doc_id, i, tok,
+             CASE WHEN (i - 1) % 5 <= 2 AND
+               ('0x' || SUBSTRING(MD5(CONCAT('t5', ':', CAST(doc_id AS VARCHAR),
+                  ':', CAST(i - ((i - 1) % 5) AS VARCHAR))), 1, 8))::BIGINT % 4 = 0
+             THEN i - ((i - 1) % 5) END AS s
+      FROM tok
+    ),
+    st AS (
+      SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS k
+      FROM (SELECT doc_id, s FROM m WHERE i = s) q
+    ),
+    j AS (
+      SELECT m.doc_id, m.i, m.tok, m.s, st.k
+      FROM m LEFT JOIN st ON st.doc_id = m.doc_id AND st.s = m.s
+    ),
+    pieces AS (
+      SELECT doc_id, i, s,
+        CASE WHEN s IS NULL THEN tok
+             WHEN i = s THEN '<extra_id_' || CAST(k AS VARCHAR) || '>' END AS cp,
+        CASE WHEN i = s THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+             WHEN s IS NOT NULL THEN tok END AS tp
+      FROM j
+    )
+    SELECT doc_id,
+           COALESCE(STRING_AGG(cp, ' ' ORDER BY i), '') AS corrupted,
+           COALESCE(STRING_AGG(tp, ' ' ORDER BY i), '') AS target,
+           CAST(COUNT(*) FILTER (WHERE i = s) AS BIGINT) AS n_spans
+    FROM pieces GROUP BY doc_id
+    """,
+)
+def c93_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (augmentation tier): deterministic T5-style span
+    corruption (operators/text.py::span_corruption) — ~1/4 of the
+    grid-aligned 3-token spans mask to ordered <extra_id_k> sentinels,
+    with the matching target sequence. Grid spacing > span length makes
+    spans non-overlapping by construction; every aggregation is pinned
+    to token order, so the output strings are identical on any
+    partitioning and in the DuckDB twin."""
+    from sheetsetl_spark.operators.text import span_corruption
+
+    return span_corruption(load_table(spark, sf_dir, "documents"))

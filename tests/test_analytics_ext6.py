@@ -299,3 +299,48 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert sum(by[("lsh_multiprobe", q)] for q in qids) >= sum(
         by[("lsh", q)] for q in qids
     )
+
+
+def test_word_dropout_deterministic_and_subsequence(spark):
+    from sheetsetl_spark.operators.text import word_dropout
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    a = word_dropout(docs).collect()[0]
+    b = word_dropout(docs.repartition(7)).collect()[0]
+    assert a == b  # partition-invariant
+    assert a.n_kept <= a.n_orig == 10
+    # kept tokens are a subsequence of the original
+    orig = "the quick brown fox jumps over the lazy dog today".split()
+    kept = a.aug_text.split()
+    it = iter(orig)
+    assert all(tok in it for tok in kept)
+
+
+def test_span_corruption_roundtrip_reconstructs(spark):
+    """Splicing each target span back over its sentinel must reproduce
+    the original text exactly — the property that makes the (corrupted,
+    target) pair trainable."""
+    from sheetsetl_spark.operators.text import span_corruption
+
+    text = " ".join(f"w{i:02d}" for i in range(40))
+    docs = spark.createDataFrame([(5, text)], "doc_id bigint, text string")
+    row = span_corruption(docs).collect()[0]
+    if row.n_spans == 0:
+        raise AssertionError("fixture produced no spans; change doc_id")
+    # parse target: "<extra_id_0> t t t <extra_id_1> t ..." -> spans
+    spans = {}
+    cur = None
+    for tok in row.target.split():
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    rebuilt = []
+    for tok in row.corrupted.split():
+        rebuilt.extend(spans[tok] if tok in spans else [tok])
+    assert " ".join(rebuilt) == text
+    assert len(spans) == row.n_spans
