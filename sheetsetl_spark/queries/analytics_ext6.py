@@ -644,3 +644,93 @@ def c93_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sheetsetl_spark.operators.text import span_corruption
 
     return span_corruption(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "c94_quality_canonical_dedup",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) t
+      WHERE df <= 1000
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+      WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.node = e.u
+    ),
+    comp AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+    q AS (
+      SELECT doc_id,
+             ROUND(CAST(0.4 AS DOUBLE) * CASE WHEN LENGTH(text) BETWEEN 100 AND 5000
+                                              THEN 1 ELSE 0 END
+                 + CAST(0.3 AS DOUBLE) * CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t IN ('the','a','of','and','to','in'))) > 0 THEN 1 ELSE 0 END
+                 + CAST(0.3 AS DOUBLE) * (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                                          / LEN(STRING_SPLIT(text, ' '))), 6) AS quality
+      FROM documents
+    )
+    SELECT c.cluster_id, c.doc_id, q.quality,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                   ORDER BY q.quality DESC, c.doc_id) = 1
+                AS INT) AS kept
+    FROM comp c JOIN q USING (doc_id)
+    """,
+)
+def c94_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (dedup tier): QUALITY-canonical duplicate resolution —
+    c2f keeps each cluster's min-id doc; real corpus dedup keeps the
+    BEST doc. Connected components over the exact near-dup graph
+    (operators/dedup.py::connected_components, same c2/c2f pair
+    parameters), joined with the c4b quality score; the keeper is the
+    per-cluster argmax (quality DESC, doc_id tiebreak). One keyed
+    window over the tiny clustered subset; the DuckDB twin recomputes
+    components with a genuine WITH RECURSIVE closure."""
+    from sheetsetl_spark.operators import dedup
+    from sheetsetl_spark.operators.text import quality_score
+    from sheetsetl_spark.queries.extensions import (
+        _JACCARD_THRESHOLD,
+        _SHINGLE_DF_CAP,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, n=3, max_shingle_df=_SHINGLE_DF_CAP
+    )
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    q = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(q, "doc_id")
+        .withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
+        .select("cluster_id", "doc_id", "quality", "kept")
+    )

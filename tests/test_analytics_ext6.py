@@ -344,3 +344,20 @@ def test_span_corruption_roundtrip_reconstructs(spark):
         rebuilt.extend(spans[tok] if tok in spans else [tok])
     assert " ".join(rebuilt) == text
     assert len(spans) == row.n_spans
+
+
+def test_quality_canonical_keeps_exactly_one_per_cluster(spark):
+    from tests.conftest import SF_SMALL
+    from sheetsetl_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    df = QUERIES["c94_quality_canonical_dedup"](spark, SF_SMALL)
+    per = df.groupBy("cluster_id").agg(
+        F.sum("kept").alias("n_kept"),
+        F.max(F.when(F.col("kept") == 1, F.col("quality"))).alias("kq"),
+        F.max("quality").alias("mq"),
+    ).collect()
+    assert per  # fixture has seeded near-dup clusters
+    for r in per:
+        assert r.n_kept == 1, r
+        assert r.kq == r.mq, r  # the keeper has the cluster-max quality
