@@ -289,3 +289,26 @@ def test_ewma_no_window_no_python(spark):
     assert "Window" not in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_word_dropout_zero_shuffle(spark):
+    """c92: pure per-row HOF projection — the plan must contain NO
+    Exchange at all (the strongest scale shape: embarrassingly
+    parallel) and no Python nodes."""
+    df = QUERIES["c92_word_dropout"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "Exchange" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_span_corruption_keyed_windows_only(spark):
+    """c93: sentinel numbering and reassembly run in doc-keyed windows
+    and aggregates — no single-partition corpus window, no cartesian
+    product, no Python nodes."""
+    df = QUERIES["c93_span_corruption"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert not _single_partition_windows(plan), _single_partition_windows(plan)
+    assert "CartesianProduct" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
