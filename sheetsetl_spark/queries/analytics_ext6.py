@@ -734,3 +734,71 @@ def c94_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
         .select("cluster_id", "doc_id", "quality", "kept")
     )
+
+
+def _c95_oracle() -> str:
+    """Composed twin: the three registered detector oracles, normalized
+    to one (method, doc_id, n_evidence) report. Reusing the ORACLES
+    strings verbatim keeps the dashboard's twin in lockstep with the
+    detectors' — a drifted copy could silently diverge."""
+    from sheetsetl_spark.queries import ORACLES
+
+    ngram = ORACLES["c18_benchmark_decontamination"]
+    verb = ORACLES["c84_substring_decontamination"]
+    fp = ORACLES["c11_cross_source_contamination"]
+    return f"""
+    SELECT 'ngram_overlap' AS method, train_doc_id AS doc_id,
+           CAST(n_shared_shingles AS BIGINT) AS n_evidence
+    FROM ({ngram}) a
+    UNION ALL
+    SELECT 'verbatim_substring', doc_id, CAST(n_probes_hit AS BIGINT)
+    FROM ({verb}) b
+    UNION ALL
+    SELECT 'exact_fingerprint', doc_id, CAST(cnt AS BIGINT)
+    FROM (
+      SELECT doc_id, COUNT(*) AS cnt FROM (
+        SELECT doc_a AS doc_id FROM ({fp}) p1
+        UNION ALL
+        SELECT doc_b FROM ({fp}) p2
+      ) u GROUP BY doc_id
+    ) c
+    """
+
+
+@query("c95_contamination_report", oracle=_c95_oracle())
+def c95_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (decontamination tier): the unified leak DASHBOARD — one
+    (method, doc_id, n_evidence) report across all three detector
+    families: n-gram overlap (c18, diluted-overlap leaks), verbatim
+    substring (c84, short-answer leaks), exact normalized fingerprint
+    across sources (c11, split leaks). Composes the REGISTERED
+    callables and their oracles verbatim, so the dashboard can never
+    drift from the detectors it summarizes — the report a curation run
+    reviews before a training corpus ships."""
+    from sheetsetl_spark.queries import QUERIES
+
+    ngram = (
+        QUERIES["c18_benchmark_decontamination"](spark, sf_dir)
+        .select(
+            F.lit("ngram_overlap").alias("method"),
+            F.col("train_doc_id").alias("doc_id"),
+            F.col("n_shared_shingles").cast("long").alias("n_evidence"),
+        )
+    )
+    verb = (
+        QUERIES["c84_substring_decontamination"](spark, sf_dir)
+        .select(
+            F.lit("verbatim_substring").alias("method"),
+            "doc_id",
+            F.col("n_probes_hit").cast("long").alias("n_evidence"),
+        )
+    )
+    pairs = QUERIES["c11_cross_source_contamination"](spark, sf_dir)
+    fp = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_evidence"))
+        .select(F.lit("exact_fingerprint").alias("method"), "doc_id", "n_evidence")
+    )
+    return ngram.unionByName(verb).unionByName(fp)
