@@ -651,15 +651,9 @@ def c93_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE
     toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-    sh0 AS (
+    sh AS (
       SELECT DISTINCT doc_id, ARRAY_TO_STRING(w[i:i+2], ' ') AS shingle
       FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
-    ),
-    sh AS (
-      SELECT doc_id, shingle FROM (
-        SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-        FROM sh0) t
-      WHERE df <= 1000
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -672,7 +666,7 @@ def c93_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inter
       JOIN sizes sa ON inter.doc_a = sa.doc_id
       JOIN sizes sb ON inter.doc_b = sb.doc_id
-      WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+      WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.5
     ),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -706,23 +700,25 @@ def c94_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C-series (dedup tier): QUALITY-canonical duplicate resolution —
     c2f keeps each cluster's min-id doc; real corpus dedup keeps the
     BEST doc. Connected components over the exact near-dup graph
-    (operators/dedup.py::connected_components, same c2/c2f pair
-    parameters), joined with the c4b quality score; the keeper is the
-    per-cluster argmax (quality DESC, doc_id tiebreak). One keyed
-    window over the tiny clustered subset; the DuckDB twin recomputes
-    components with a genuine WITH RECURSIVE closure."""
+    (operators/dedup.py::connected_components), joined with the c4b
+    quality score; the keeper is the per-cluster argmax (quality DESC,
+    doc_id tiebreak). Pairs come from the PREFIX-FILTERED exact Jaccard
+    join (c72's generator — UNCAPPED, so the oracle is the pure
+    brute-force pair set, and the scale shape is the positional-filter
+    one: the first 10x run of this query with the df-capped c2
+    generator took 209.9s on the dense fixture vs ~20s after the
+    switch, SCALE.md batch-12/13). One keyed window over the tiny
+    clustered subset; the DuckDB twin recomputes components with a
+    genuine WITH RECURSIVE closure."""
     from sheetsetl_spark.operators import dedup
     from sheetsetl_spark.operators.text import quality_score
-    from sheetsetl_spark.queries.extensions import (
-        _JACCARD_THRESHOLD,
-        _SHINGLE_DF_CAP,
-    )
+    from sheetsetl_spark.queries.extensions import _JACCARD_THRESHOLD
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, threshold=_JACCARD_THRESHOLD, n=3, max_shingle_df=_SHINGLE_DF_CAP
-    )
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, n=3
+    ).select("doc_a", "doc_b")
     comp = dedup.connected_components(pairs, "doc_a", "doc_b")
     q = quality_score(docs).select("doc_id", "quality")
     w = Window.partitionBy("cluster_id").orderBy(
