@@ -331,3 +331,53 @@ def test_read_only_guard_classifies_random_cte_statements(case):
             raise AssertionError(f"accepted CTE-prefixed DML: {sql!r}")
         except UnsupportedMySQLConstruct:
             pass
+
+
+# --- edit-distance join: completeness + exactness on random corpora -------
+
+_ED_WORDS = ["alpha", "beta", "gamma", "delta", "xx", "yzw", "batch"]
+_ed_doc = st.lists(st.sampled_from(_ED_WORDS), min_size=2, max_size=8).map(
+    " ".join
+)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_ed_doc, min_size=2, max_size=10),
+    k=st.integers(1, 8),
+)
+def test_edit_distance_pairs_equals_bruteforce(spark, texts, k):
+    """For ANY corpus and threshold, the filtered join must equal the
+    brute-force DP exactly — completeness of the prefix/count/positional
+    filters and absence of false pairs. Small-vocab random docs are the
+    dense-gram adversarial case (SCALE.md batch-11)."""
+    from sheetsetl_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in edit_distance_pairs(df, k=k, q=3).collect()
+    }
+    q = 3
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            if len(ta) < q or len(tb) < q:
+                continue  # documented short-string exclusion
+            d = _py_lev(ta, tb)
+            if d <= k:
+                want[tuple(sorted((ia, ib)))] = d
+    assert got == want
