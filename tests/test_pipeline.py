@@ -541,6 +541,22 @@ _ANALYST_ORACLES = {
           AND o_orderdate < DATE '1996-06-01' + 7
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    # MySQL TIMESTAMPDIFF counts COMPLETE months (not boundary
+    # crossings, which is what DuckDB's date_diff does) -- the twin
+    # re-derives it from calendar arithmetic: base month delta, minus
+    # one when the start day-of-month exceeds the end's (day 1 here).
+    "timestamp_functions": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN (1998 * 12 + 1)
+                          - (YEAR(o_orderdate) * 12 + MONTH(o_orderdate))
+                          - (CASE WHEN DAY(o_orderdate) > 1 THEN 1 ELSE 0 END)
+                        >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS older_than_year,
+               CAST(MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31'))
+                 AS INT) AS max_age_days
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-02-01 00:00:00'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
 }
 
 
