@@ -761,3 +761,30 @@ def test_spark_dialect_rejects_dml(spark, tmp_path):
     assert by_name["mutate"].status == "sql_error"
     assert "not a read-only query" in by_name["mutate"].error
     assert by_name["commented"].status == "ok"
+
+
+def test_cli_run_folder(spark, tmp_path, capsys):
+    """`python -m sheetsetl_spark run` — the reference's cron CLI shape:
+    run a folder, print the per-file report, exit 0 iff all published.
+    Reuses the live session via main()'s build_session (getOrCreate)."""
+    from sheetsetl_spark.__main__ import main
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "ok_query.sql").write_text(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+    (qdir / "bad_query.sql").write_text("SELECT definitely not sql !!!")
+    out = tmp_path / "out"
+    rc = main(
+        [
+            "run", str(qdir), str(out),
+            "--tables", SF_SMALL, "--sink", "parquet", "--dialect", "mysql",
+        ]
+    )
+    assert rc == 1  # one file failed -> nonzero, like a cron job should
+    printed = capsys.readouterr().out
+    assert "ok_query: ok rows=" in printed
+    assert "bad_query: sql_error" in printed
+    got = spark.read.parquet(str(out / "ok_query"))
+    assert got.count() > 0 and set(got.columns) == {"o_orderstatus", "n"}
