@@ -381,3 +381,64 @@ def test_edit_distance_pairs_equals_bruteforce(spark, texts, k):
             if d <= k:
                 want[tuple(sorted((ia, ib)))] = d
     assert got == want
+
+
+# --- quantile normalization: brute-force mapping on random groups ----------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quantile_normalize_equals_bruteforce(spark, rows):
+    from math import ceil
+
+    from sheetsetl_spark.operators.profiling import quantile_normalize
+
+    data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id bigint, g string, v bigint")
+    got = {r.id: r.norm_value for r in quantile_normalize(df, "g", "v", "id").collect()}
+
+    glob = sorted((v, i) for i, g, v in data)
+    n = len(data)
+    want = {}
+    for grp in {g for _, g, _ in data}:
+        members = sorted((v, i) for i, g, v in data if g == grp)
+        ng = len(members)
+        for r, (_, i) in enumerate(members, 1):
+            want[i] = glob[ceil(r * n / ng) - 1][0]
+    assert got == want
+
+
+# --- sorted-neighborhood: exact candidate set on random corpora ------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=4), min_size=2, max_size=12
+    ),
+    window=st.integers(2, 5),
+)
+def test_sorted_neighborhood_equals_bruteforce(spark, names, window):
+    from sheetsetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    data = [(i, nm) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(data, "k bigint, name string")
+    got = {
+        (r.k_a, r.k_b, r.gap)
+        for r in sorted_neighborhood_pairs(
+            df, ["name", "k"], window=window, payload_cols=["k"]
+        ).collect()
+    }
+    order = [k for _, k in sorted((nm, k) for k, nm in data)]
+    want = {
+        (order[i], order[j], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + window, len(order)))
+    }
+    assert got == want
