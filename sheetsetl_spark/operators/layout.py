@@ -239,3 +239,54 @@ def curriculum_interleave(
         F.round("__pos", 6).alias("position"),
     )
     return ordered.filter(F.col("ordinal") <= limit) if limit else ordered
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget",
+) -> DataFrame:
+    """Per-group token-budget selection — the "fill each source's slice
+    of the training mix to N tokens" step: documents take a
+    reproducible pseudo-random order within their group (md5-uniform of
+    (seed, id) — any cluster or engine draws the same order), then the
+    group keeps its ordered prefix while the running token count stays
+    within ``budget_tokens``. Unlike ratio-based mix weighting
+    (apply_mix_weights), the constraint here is the TOKEN budget, which
+    is what a training recipe actually specifies.
+
+    Shape: one keyed window per group (the running sum partitions on
+    the group key — never a corpus-wide window); token counts are one
+    `size(split(...))` projection. The boundary rule is "keep while
+    cum <= budget" — deterministic, and a doc is never split.
+
+    Output: (id, group, n_tokens, cum_tokens) for kept docs.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -798,3 +798,41 @@ def c95_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("exact_fingerprint").alias("method"), "doc_id", "n_evidence")
     )
     return ngram.unionByName(verb).unionByName(fp)
+
+
+_BUDGET_TOKENS = 2000
+
+
+@query(
+    "c96_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || SUBSTRING(MD5(CONCAT('budget', ':',
+                CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+)
+def c96_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (mix-construction tier): per-source token-budget
+    selection (operators/layout.py::token_budget_sample) — each source
+    contributes a reproducible pseudo-random prefix of its docs until
+    the running token count reaches the budget. The constraint a
+    training recipe actually specifies (N tokens per source), vs c19's
+    ratio weighting. Keyed running sum per source; md5-uniform order,
+    engine-portable."""
+    from sheetsetl_spark.operators.layout import token_budget_sample
+
+    return token_budget_sample(
+        load_table(spark, sf_dir, "documents"), budget_tokens=_BUDGET_TOKENS
+    )

@@ -361,3 +361,33 @@ def test_quality_canonical_keeps_exactly_one_per_cluster(spark):
     for r in per:
         assert r.n_kept == 1, r
         assert r.kq == r.mq, r  # the keeper has the cluster-max quality
+
+
+def test_token_budget_sample_prefix_property(spark):
+    """Kept docs per group are exactly the md5-ordered prefix whose
+    running token count fits the budget, and never split a doc."""
+    from sheetsetl_spark.operators.layout import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), " ".join(["w"] * (3 + i % 4))) for i in range(12)],
+        "doc_id bigint, source string, text string",
+    )
+    budget = 10
+    rows = token_budget_sample(docs, budget).collect()
+    assert rows
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.source, []).append(r)
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r.cum_tokens)
+        cum = 0
+        for r in rs:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        assert cum <= budget
+    # partition invariance
+    again = {
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(docs.repartition(5), budget).collect()
+    }
+    assert again == {(r.doc_id, r.cum_tokens) for r in rows}
