@@ -312,3 +312,15 @@ def test_span_corruption_keyed_windows_only(spark):
     assert "CartesianProduct" not in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_multiprobe_lsh_equi_join_only(spark):
+    """c90: the Hamming-1 probe expansion stays an equi-join on
+    (band_idx, band_val) with the query side broadcast — no cartesian
+    product, no Python nodes."""
+    df = QUERIES["c90_topk_cosine_lsh_multiprobe"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
