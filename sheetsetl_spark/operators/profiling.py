@@ -249,3 +249,61 @@ def quantile_normalize(
             F.col("__gv").alias("norm_value"),
         )
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et
+    al. 2002; the estimator inside Theta sketches) — with the md5-prefix
+    hash, so unlike HLL implementations whose hash/bias constants differ
+    per engine, the ESTIMATE ITSELF is engine-portable and hash-checks
+    against a DuckDB twin. The sketch-quality pattern of the count-min
+    family (c27): estimate and exact side-by-side, error measured, both
+    deterministic.
+
+    est = (k-1) * 2^60 / h_(k)  where h_(k) is the k-th smallest 60-bit
+    hash of the group's distinct values; groups with fewer than k
+    distinct values fall back to the exact count (the standard KMV
+    rule — the sketch IS the value set until it fills).
+
+    Shape: one distinct aggregate on (group, hash) with map-side
+    partials, then a keyed top-k window over per-group DISTINCT-HASH
+    frames (vocabulary-sized, not corpus-sized). At 100 TB the k
+    smallest hashes per group would be a groupBy(min_k) aggregate; the
+    window form keeps the exact twin trivially identical.
+
+    Output: (group, n_exact, n_est, rel_err) — est rounded 2, err 6.
+    """
+    hashed = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.conv(
+                F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+            )
+            .cast("bigint")
+            .alias("__h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__g").orderBy("__h")
+    per = hashed.withColumn("__rn", F.row_number().over(w)).groupBy("__g").agg(
+        F.count("*").alias("n_exact"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
+    )
+    est = F.when(
+        F.col("__kth").isNull(), F.col("n_exact").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.pow(F.lit(2.0), F.lit(60.0)) / F.col("__kth")
+    )
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 2).alias("n_est"),
+        F.round(
+            F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

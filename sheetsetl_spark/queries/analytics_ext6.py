@@ -836,3 +836,43 @@ def c96_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         load_table(spark, sf_dir, "documents"), budget_tokens=_BUDGET_TOKENS
     )
+
+
+@query(
+    "c97_kmv_distinct",
+    oracle="""
+    WITH t AS (SELECT lang, STRING_SPLIT(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT DISTINCT lang,
+             ('0x' || SUBSTRING(MD5(ARRAY_TO_STRING(w[i:i+2], ' ')), 1, 15))::BIGINT AS h
+      FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS i) u
+    ),
+    r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+          FROM s),
+    per AS (
+      SELECT lang, COUNT(*) AS n_exact,
+             MAX(CASE WHEN rn = 64 THEN h END) AS kth
+      FROM r GROUP BY lang
+    )
+    SELECT lang, CAST(n_exact AS BIGINT) AS n_exact,
+           ROUND(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+                      ELSE 63.0 * POW(2.0, 60.0) / kth END, 2) AS n_est,
+           ROUND(ABS(CASE WHEN kth IS NULL THEN CAST(n_exact AS DOUBLE)
+                          ELSE 63.0 * POW(2.0, 60.0) / kth END - n_exact)
+                 / n_exact, 6) AS rel_err
+    FROM per
+    """,
+)
+def c97_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (sketch tier): per-language KMV distinct-shingle sketch
+    (operators/profiling.py::kmv_distinct) vs the exact count, error
+    measured — the count-distinct sibling of c27's count-min pattern.
+    The md5-prefix hash makes the ESTIMATE engine-portable, so even the
+    approximate path hash-checks against DuckDB (HLL implementations
+    can't: their hash and bias constants differ per engine)."""
+    from sheetsetl_spark.operators.dedup import shingles
+    from sheetsetl_spark.operators.profiling import kmv_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=3, id_col="lang")
+    return kmv_distinct(sh, group_col="lang", value_col="shingle", k=64)

@@ -391,3 +391,18 @@ def test_token_budget_sample_prefix_property(spark):
         for r in token_budget_sample(docs.repartition(5), budget).collect()
     }
     assert again == {(r.doc_id, r.cum_tokens) for r in rows}
+
+
+def test_kmv_exact_fallback_and_error_band(spark):
+    from sheetsetl_spark.operators.profiling import kmv_distinct
+
+    # small group (< k distinct) -> exact fallback; big group -> estimate
+    rows = [("small", f"v{i}") for i in range(10)]
+    rows += [("big", f"x{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert got["small"].n_exact == 10
+    assert got["small"].n_est == 10.0 and got["small"].rel_err == 0.0
+    assert got["big"].n_exact == 3000
+    # KMV std error ~ 1/sqrt(k) = 12.5%; 4 sigma band as a sanity fence
+    assert got["big"].rel_err < 0.5
