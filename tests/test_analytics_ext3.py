@@ -97,17 +97,18 @@ def test_kaplan_meier_hand_case(spark, tmp_path):
     from sheetsetl_spark.queries import QUERIES
 
     out = {
-        r.duration_days: r
+        r.duration_hours: r
         for r in QUERIES["x82_kaplan_meier"](spark, str(tmp_path)).collect()
     }
-    # durations: u1=0 obs, u2=0 obs, u3=1 obs, u4=9 censored (>= max-3)
-    # dur 0: at_risk 4, events 2 -> S = 0.5; dur 1: at_risk 2, events 1
-    # -> S = 0.5 * 0.5 = 0.25; dur 9 censored-only: no step
-    assert set(out) == {0, 1}
+    # hour durations: u1=0 obs, u2=0 obs, u3=24h obs, u4=216h censored
+    # (last_ts == horizon >= max - 12h). dur 0: at_risk 4, events 2
+    # -> S = 0.5; dur 24: at_risk 2, events 1 -> S = 0.25;
+    # dur 216 censored-only: no step
+    assert set(out) == {0, 24}
     assert out[0].at_risk == 4 and out[0].n_events == 2
     assert abs(out[0].survival - 0.5) < 1e-6
-    assert out[1].at_risk == 2 and out[1].n_events == 1
-    assert abs(out[1].survival - 0.25) < 1e-6
+    assert out[24].at_risk == 2 and out[24].n_events == 1
+    assert abs(out[24].survival - 0.25) < 1e-6
 
 
 def test_cusum_returns_to_zero(spark, tmp_path):

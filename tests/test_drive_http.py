@@ -405,11 +405,12 @@ def test_401_forces_refresh_and_retries(tmp_path, token_server):
     assert len(state["token_requests"]) == 1  # exactly one forced refresh
 
 
-def test_duplicate_names_update_first_listing_match(spark, fake_drive):
+def test_duplicate_names_update_last_listing_match(spark, fake_drive):
     """Two sheets with the SAME name (Drive allows duplicates), spread
-    across listing pages: upsert must update the FIRST files.list match
-    — the reference's rule (loader.py:159-163) — and never create a
-    third copy or touch the later duplicate."""
+    across listing pages: upsert must update the LAST files.list match
+    — the reference's rule: loader.py:160-163 reassigns existing_id on
+    every match with no break, so the final hit wins — and never create
+    a third copy or touch the earlier duplicate."""
     from sheetsetl_spark.catalog import register_views
     from tests.conftest import SF_SMALL
 
@@ -426,8 +427,8 @@ def test_duplicate_names_update_first_listing_match(spark, fake_drive):
     sink = GoogleSheetsSink("folder1", client=_client(base), chunk_size=64)
     sink.write(spark.table("region"), "regions")
     assert len(state.files) == 4, "upsert must not create a new file"
-    assert state.payloads["f2"] != b"old", "first match must be updated"
-    assert state.payloads["f4"] == b"old", "later duplicate must be untouched"
+    assert state.payloads["f4"] != b"old", "last match must be updated"
+    assert state.payloads["f2"] == b"old", "earlier duplicate must be untouched"
 
 
 def test_503_then_short_write_interleaved_on_resume(spark, fake_drive):
