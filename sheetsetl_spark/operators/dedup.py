@@ -1688,6 +1688,7 @@ def substring_decontaminate(
     text_col: str = "text",
     probe_id_col: str = "probe_id",
     probe_col: str = "probe",
+    return_pairs: bool = False,
 ) -> DataFrame:
     """Substring-level decontamination: training documents that contain
     any eval probe VERBATIM (the strictest leak check — an exact answer
@@ -1718,19 +1719,30 @@ def substring_decontaminate(
     )
     hits = corpus.select(id_col, text_col).join(
         p, F.expr(f"contains({text_col}, __probe)")
-    )
-    return (
-        hits.groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_probes_hit"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("__pid")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("probe_ids"),
-        )
+    ).select(id_col, "__pid")
+    return hits if return_pairs else _agg_probe_hits(hits, id_col)
+
+
+def _agg_probe_hits(pairs: DataFrame, id_col: str) -> DataFrame:
+    """(id, __pid) hit pairs -> (id, n_probes_hit, probe_ids).
+
+    Shared final aggregate of the substring-decontamination family, so
+    callers that UNION pair streams from several detector paths (the
+    streaming ingest gate routes short probes through the broadcast
+    path and long ones through the anchored path) aggregate once with
+    identical semantics: pids sort in their NATIVE type before the
+    string join — a lexicographic sort of pre-stringified pids would
+    order 10 before 9 and break parity with the single-path output.
+    """
+    return pairs.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_probes_hit"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("__pid")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("probe_ids"),
     )
 
 
@@ -1794,6 +1806,7 @@ def substring_decontaminate_anchored(
     text_col: str = "text",
     probe_id_col: str = "probe_id",
     probe_col: str = "probe",
+    return_pairs: bool = False,
 ) -> DataFrame:
     """Verbatim substring decontamination for probe sets TOO BIG TO
     BROADCAST — the scale path :func:`substring_decontaminate`'s
@@ -1810,13 +1823,18 @@ def substring_decontaminate_anchored(
     routes short probes through the broadcast variant — they are few
     and cheap by definition).
 
-    Shape at 100 TB: both sides shuffle ONCE on the anchor bigram — the
-    corpus emits its bigram stream (linear), probes emit one anchor
-    each — then `contains` verifies only the anchor-colliding (doc,
-    probe) pairs; no broadcast, no all-pairs, and a boilerplate anchor
-    is exactly the hot-key case ``max_anchor_df``-style capping would
-    handle (not needed at fixture scale; the verify is already
-    candidate-proportional).
+    Shape at 100 TB: the exploded stream carries only ``(doc_id,
+    anchor)`` — NOT the doc text. Carrying text through the explode
+    replicated each doc once per distinct bigram, making shuffled bytes
+    O(tokens_per_doc x doc_bytes) per doc (r7 advice); instead the
+    anchor join yields candidate ``(doc_id, probe)`` pairs and the text
+    is re-attached by a candidate-proportional equi-join on ``doc_id``
+    before the ``contains`` verify — the same verify-stage shape as
+    ``edit_distance_pairs``. The corpus is scanned twice (both scans
+    linear, parquet-pruned); every shuffle is linear in ids + anchors
+    or in candidates. A boilerplate anchor is exactly the hot-key case
+    ``max_anchor_df``-style capping would handle (not needed at fixture
+    scale; the verify is already candidate-proportional).
 
     Output: identical schema/semantics to
     :func:`substring_decontaminate` restricted to anchored probes —
@@ -1835,10 +1853,9 @@ def substring_decontaminate_anchored(
         ).alias("__anchor"),
     )
     doc_bigrams = corpus.select(
-        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("__w")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     ).select(
         id_col,
-        text_col,
         F.explode(
             F.array_distinct(
                 F.expr(
@@ -1852,20 +1869,12 @@ def substring_decontaminate_anchored(
     )
     # (doc, probe) pairs are unique by construction: the doc side emits
     # each distinct bigram once and each probe has exactly one anchor —
-    # no distinct() needed, so the only shuffles are the anchor join
-    # and the final per-doc aggregate.
+    # no distinct() needed, so the only shuffles are the anchor join,
+    # the doc_id text re-attach, and the final per-doc aggregate.
+    candidates = doc_bigrams.join(anchored, "__anchor").select(id_col, "__pid", "__probe")
     hits = (
-        doc_bigrams.join(anchored, "__anchor")
+        candidates.join(corpus.select(id_col, text_col), id_col)
         .filter(F.expr(f"contains({text_col}, __probe)"))
         .select(id_col, "__pid")
     )
-    return hits.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_probes_hit"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("__pid")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("probe_ids"),
-    )
+    return hits if return_pairs else _agg_probe_hits(hits, id_col)

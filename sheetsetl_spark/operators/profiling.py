@@ -207,7 +207,12 @@ def quantile_normalize(
 
     Each row's within-group rank r (of n_g) maps to the global value at
     rank ceil(r * N / n_g) — percentile_disc-style, exact integers all
-    the way, ties broken by ``id_col`` on both levels.
+    the way, ties broken by ``id_col`` on both levels. The ceil is
+    computed as an integer ((r*N + n_g - 1) DIV n_g) over a
+    DECIMAL(38,0) product: the float form ceil(r*N/n_g) loses exactness
+    once r*N exceeds 2^53 (and a bigint product would overflow past
+    2^63), either of which can land the target one rank off at large-
+    corpus scale (r7 advice).
 
     Distributed shape: within-group ranks are keyed windows (shuffle on
     the group key); the GLOBAL rank comes from the prefix-sum
@@ -239,7 +244,11 @@ def quantile_normalize(
     return (
         ranked.crossJoin(F.broadcast(n_total))
         .withColumn(
-            "__target", F.ceil(F.col("__r") * F.col("__n") / F.col("__ng"))
+            "__target",
+            F.expr(
+                "CAST((CAST(__r AS DECIMAL(38,0)) * __n + __ng - 1) "
+                "DIV __ng AS BIGINT)"
+            ),
         )
         .join(glob, F.col("__target") == F.col("__gr"))
         .select(

@@ -143,7 +143,14 @@ def ranking_metrics(
 
     hit = (
         ranked.join(
-            relevant.select(query_col, item_col).withColumn("__rel", F.lit(1)),
+            # Real judgment tables carry duplicate (query, item) rows
+            # (multiple assessors, merged pools); without the distinct
+            # the left join fans ranked rows out and inflates every hit
+            # -derived metric (r7 advice). n_relevant already tolerates
+            # duplicates via max in `totals`.
+            relevant.select(query_col, item_col)
+            .dropDuplicates([query_col, item_col])
+            .withColumn("__rel", F.lit(1)),
             [query_col, item_col],
             "left",
         )

@@ -926,10 +926,16 @@ class DecontaminationIngestForeachBatch:
     silently dropped.
 
     The check is the verbatim-substring family (operators/dedup.py):
-    ``anchored=True`` routes through the anchor-bigram equi-join
-    (substring_decontaminate_anchored — corpus-scale probe sets, no
-    broadcast; probes need >= 2 interior words), ``anchored=False``
-    through the broadcast `contains` path. Probes load once per batch
+    ``anchored=True`` routes probes with >= 2 interior words through
+    the anchor-bigram equi-join (substring_decontaminate_anchored —
+    corpus-scale probe sets, no broadcast) AND the remaining short
+    probes through the broadcast `contains` path, unioning the hit
+    pairs before the per-doc aggregate — the anchored operator alone
+    drops sub-4-word probes by construction, so without the split a
+    doc containing only a short probe verbatim sailed into the corpus
+    as clean (r7 advice). Short probes are few and tiny by definition,
+    so their broadcast is always affordable. ``anchored=False`` sends
+    everything through the broadcast path. Probes load once per batch
     from a parquet dir — at production scale a maintained table, same
     asymmetry either way.
 
@@ -961,6 +967,7 @@ class DecontaminationIngestForeachBatch:
         from pyspark.sql import functions as F
 
         from sheetsetl_spark.operators.dedup import (
+            _agg_probe_hits,
             substring_decontaminate,
             substring_decontaminate_anchored,
         )
@@ -968,14 +975,34 @@ class DecontaminationIngestForeachBatch:
         self.batches_seen.append(batch_id)
         spark = batch_df.sparkSession
         probes = spark.read.parquet(self.probes_dir)
-        check = (
-            substring_decontaminate_anchored
-            if self.anchored
-            else substring_decontaminate
-        )
-        hits = check(
-            batch_df, probes, id_col=self.id_col, text_col=self.text_col
-        )
+        if self.anchored:
+            # Split by the anchored operator's own minimum (4 words =
+            # 2 interior words): long probes take the shuffle-join
+            # path, short ones the broadcast path; empty splits cost
+            # nothing (empty-side joins collapse at planning time).
+            nwords = F.size(F.split(F.col("probe"), " "))
+            pair_frames = [
+                substring_decontaminate_anchored(
+                    batch_df,
+                    probes.filter(nwords >= 4),
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                    return_pairs=True,
+                ),
+                substring_decontaminate(
+                    batch_df,
+                    probes.filter(nwords < 4),
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                    return_pairs=True,
+                ),
+            ]
+            pairs = pair_frames[0].unionByName(pair_frames[1])
+            hits = _agg_probe_hits(pairs, self.id_col)
+        else:
+            hits = substring_decontaminate(
+                batch_df, probes, id_col=self.id_col, text_col=self.text_col
+            )
         quarantined = batch_df.join(hits, self.id_col)
         clean = batch_df.join(
             hits.select(self.id_col), self.id_col, "left_anti"

@@ -119,6 +119,18 @@ def test_ranking_metrics_known_values(spark):
     assert got[1].ndcg_at_k == round((g(2) + g(3)) / (g(1) + g(2) + g(3)), 6)
     assert got[2].ndcg_at_k == 0.0
 
+    # Duplicate judgments (two assessors marked (1,11)) must not fan
+    # the ranked rows out and double-count hits/precision/recall/DCG.
+    rel_dup = rel.unionByName(
+        spark.createDataFrame(
+            [(1, 11, 4)], "query_id bigint, neighbor_id bigint, n_relevant int"
+        )
+    )
+    got_dup = {
+        r.query_id: r for r in ranking_metrics(ranked, rel_dup, k=3).collect()
+    }
+    assert got_dup[1] == got[1] and got_dup[2] == got[2]
+
 
 def test_substring_decontaminate_hits_and_misses(spark):
     from sheetsetl_spark.operators.dedup import substring_decontaminate

@@ -832,3 +832,40 @@ def test_decontamination_ingest_gates_and_replays(spark, tmp_path):
         assert all(r.n_probes_hit == 1 and r.probe_ids == "7" for r in qrows)
         assert spark.read.parquet(corpus).count() == 2  # no double-append
         assert spark.read.parquet(quar).count() == 2
+
+
+def test_decontamination_gate_catches_short_probes_when_anchored(spark, tmp_path):
+    """anchored=True must NOT admit a doc whose only contamination is a
+    sub-4-word probe: the anchored operator drops short probes by
+    construction (no interior bigram), so the gate routes them through
+    the broadcast contains path and unions the hit pairs. Probe ids 9
+    and 10 pin the native-type sort in the merged aggregate ("9,10",
+    not the lexicographic "10,9")."""
+    from sheetsetl_spark.streaming import DecontaminationIngestForeachBatch
+
+    probes_dir = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(10, "zq secret"),  # 2 words: anchored path alone would drop it
+         (9, "lorem ipsum dolor sit amet")],
+        "probe_id long, probe string",
+    ).write.parquet(probes_dir)
+
+    batch = spark.createDataFrame(
+        [
+            (1, "contains the zq secret token only"),       # short hit only
+            (2, "clean words nothing to see here"),
+            (3, "both lorem ipsum dolor sit amet and zq secret appear"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = str(tmp_path / "corpus")
+    quar = str(tmp_path / "quarantine")
+    gate = DecontaminationIngestForeachBatch(probes_dir, corpus, quar, anchored=True)
+    gate(batch, 0)
+
+    clean_ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    qrows = {r.doc_id: r for r in spark.read.parquet(quar).collect()}
+    assert clean_ids == {2}
+    assert set(qrows) == {1, 3}
+    assert qrows[1].n_probes_hit == 1 and qrows[1].probe_ids == "10"
+    assert qrows[3].n_probes_hit == 2 and qrows[3].probe_ids == "9,10"
