@@ -44,7 +44,33 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument(
         "--cpus", type=int, default=None, help="local[N] master (default local[*])"
     )
+    auth = sub.add_parser(
+        "auth",
+        help="one-time OAuth consent: print the URL, paste the code, "
+        "store the credential (the reference's run_flow-then-exit step)",
+    )
+    auth.add_argument("--store", required=True, help="credential JSON path")
+    auth.add_argument("--client-id", required=True)
+    auth.add_argument("--client-secret", required=True)
+    auth.add_argument(
+        "--auth-uri", default="https://accounts.google.com/o/oauth2/v2/auth"
+    )
+    auth.add_argument("--token-uri", default="https://oauth2.googleapis.com/token")
+    auth.add_argument("--scope", default="https://www.googleapis.com/auth/drive")
     args = parser.parse_args(argv)
+
+    if args.cmd == "auth":
+        from sheetsetl_spark.sinks.auth import FileTokenStore, OAuthTokenProvider
+
+        provider = OAuthTokenProvider(
+            FileTokenStore(args.store),
+            token_uri=args.token_uri,
+            client_id=args.client_id,
+            client_secret=args.client_secret,
+        )
+        provider.run_console_consent(args.auth_uri, scope=args.scope)
+        print(f"credential stored at {args.store}; re-run your pipeline")
+        return 0
 
     from sheetsetl_spark.catalog import register_views
     from sheetsetl_spark.pipeline.runner import DEFAULT_CELL_LIMIT, SqlFolderPipeline

@@ -28,11 +28,15 @@ real Google infrastructure the token_uri is the public
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
+import secrets
 import time
 import urllib.parse
 import urllib.request
+from collections.abc import Callable
 from dataclasses import dataclass
 
 
@@ -146,6 +150,78 @@ class OAuthTokenProvider:
         refreshed = self._refresh(creds.refresh_token)
         self.store.put(refreshed)
         return refreshed.access_token
+
+    def run_console_consent(
+        self,
+        auth_uri: str,
+        scope: str = "https://www.googleapis.com/auth/drive",
+        redirect_uri: str = "urn:ietf:wg:oauth:2.0:oob",
+        input_fn: Callable[[str], str] = input,
+        print_fn: Callable[[str], None] = print,
+    ) -> Credentials:
+        """Interactive consent — the reference's `tools.run_flow` step
+        (loader.py:96-101) as a console paste-the-code exchange, closing
+        the one A11 gap the exception-only contract left open: a real
+        deployment needs a way to CREATE the stored credential, not just
+        consume it.
+
+        RFC 6749 §4.1 authorization-code grant with RFC 7636 PKCE
+        (S256): prints the consent URL (a headless operator opens it
+        anywhere), reads the authorization code from ``input_fn``,
+        exchanges it at the token endpoint, persists the credential in
+        the store and returns it — the next run's __call__ then finds a
+        refreshable credential and never prompts again. ``input_fn`` /
+        ``print_fn`` are injectable so tests drive the flow end-to-end
+        against a fake token endpoint with no TTY.
+        """
+        verifier = secrets.token_urlsafe(64)
+        challenge = (
+            base64.urlsafe_b64encode(
+                hashlib.sha256(verifier.encode("ascii")).digest()
+            )
+            .rstrip(b"=")
+            .decode("ascii")
+        )
+        url = auth_uri + "?" + urllib.parse.urlencode(
+            {
+                "response_type": "code",
+                "client_id": self.client_id,
+                "redirect_uri": redirect_uri,
+                "scope": scope,
+                "access_type": "offline",
+                "code_challenge": challenge,
+                "code_challenge_method": "S256",
+            }
+        )
+        print_fn(f"Open this URL, grant access, and paste the code:\n{url}")
+        code = input_fn("code: ").strip()
+        if not code:
+            raise InteractiveConsentRequired("no authorization code entered")
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "authorization_code",
+                "code": code,
+                "redirect_uri": redirect_uri,
+                "client_id": self.client_id,
+                "client_secret": self.client_secret,
+                "code_verifier": verifier,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            self.token_uri,
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            payload = json.loads(resp.read().decode())
+        creds = Credentials(
+            access_token=payload["access_token"],
+            refresh_token=payload.get("refresh_token", ""),
+            expiry=time.time() + float(payload.get("expires_in", 3600)),
+        )
+        self.store.put(creds)
+        return creds
 
     def _refresh(self, refresh_token: str) -> Credentials:
         body = urllib.parse.urlencode(

@@ -304,6 +304,23 @@ class _TokenHandler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         form = urllib.parse.parse_qs(self.rfile.read(n).decode())
         self.state["token_requests"].append(form)
+        if form.get("grant_type") == ["authorization_code"]:
+            # consent-flow exchange (RFC 6749 §4.1): code + PKCE verifier
+            if form.get("code") != [self.state.get("auth_code", "")]:
+                return self._json(400, {"error": "invalid_grant"})
+            if not form.get("code_verifier", [""])[0]:
+                return self._json(400, {"error": "invalid_request"})
+            self.state["serial"] += 1
+            tok = f"access-{self.state['serial']}"
+            self.state["valid_tokens"].add(tok)
+            return self._json(
+                200,
+                {
+                    "access_token": tok,
+                    "refresh_token": self.state["refresh_token"],
+                    "expires_in": 3600,
+                },
+            )
         if form.get("grant_type") != ["refresh_token"]:
             return self._json(400, {"error": "unsupported_grant_type"})
         if form.get("refresh_token") != [self.state["refresh_token"]]:
@@ -325,6 +342,7 @@ class _TokenHandler(BaseHTTPRequestHandler):
 def token_server():
     state = {
         "refresh_token": "refresh-1",
+        "auth_code": "console-code-1",
         "valid_tokens": set(),
         "serial": 0,
         "token_requests": [],
@@ -403,6 +421,53 @@ def test_401_forces_refresh_and_retries(tmp_path, token_server):
     files, next_token = client.list_files("folder1")
     assert files == [] and next_token is None
     assert len(state["token_requests"]) == 1  # exactly one forced refresh
+
+
+def test_console_consent_flow_bootstraps_credential(tmp_path, token_server):
+    """The A11 gap-closer: with NO stored credential, run_console_consent
+    prints a PKCE consent URL, exchanges the pasted code at the token
+    endpoint, persists the credential, and the provider then serves
+    tokens without prompting — the reference's run_flow-then-re-run
+    contract (loader.py:96-101) completed end-to-end."""
+    import base64
+    import hashlib
+    import urllib.parse as up
+
+    import pytest
+
+    from sheetsetl_spark.sinks.auth import InteractiveConsentRequired
+
+    state, base = token_server
+    store, provider = _provider(tmp_path, base, access=None)  # empty store
+    with pytest.raises(InteractiveConsentRequired):
+        provider()
+
+    printed: list[str] = []
+    creds = provider.run_console_consent(
+        f"{base}/consent",
+        input_fn=lambda _prompt: "console-code-1",
+        print_fn=printed.append,
+    )
+    # the printed URL carries an S256 challenge matching the verifier
+    # the exchange sent (PKCE round-trips through the fake endpoint)
+    url = printed[0].split("\n")[-1]
+    q = up.parse_qs(up.urlparse(url).query)
+    assert q["response_type"] == ["code"] and q["client_id"] == ["cid"]
+    assert q["code_challenge_method"] == ["S256"]
+    sent = state["token_requests"][-1]
+    assert sent["grant_type"] == ["authorization_code"]
+    want = (
+        base64.urlsafe_b64encode(
+            hashlib.sha256(sent["code_verifier"][0].encode()).digest()
+        )
+        .rstrip(b"=")
+        .decode()
+    )
+    assert q["code_challenge"] == [want]
+    # credential persisted: a fresh provider over the same store works
+    assert creds.access_token in state["valid_tokens"]
+    assert store.get().refresh_token == "refresh-1"
+    assert provider() == creds.access_token  # no consent prompt now
 
 
 def test_duplicate_names_update_last_listing_match(spark, fake_drive):
