@@ -823,6 +823,231 @@ class SketchIngestForeachBatch:
         )
 
 
+class KmvIngestForeachBatch:
+    """Incrementally maintained KMV distinct-count sketch per group —
+    the streaming read-side twin of operators/profiling.py::kmv_distinct
+    (c97's batch query).
+
+    Merge property: the global k smallest hashes of a union are always
+    drawn from each part's own k smallest (any hash outside a batch's
+    k-min set is dominated by k batch-local hashes, hence by k global
+    ones). So each micro-batch stores only its per-group k-min DISTINCT
+    (group, hash) set — bounded at k rows per group per batch — and the
+    read-side merge (distinct -> per-group k-min) is EXACTLY the sketch
+    a one-shot build over the full history would produce: no drift from
+    incremental maintenance, tested against kmv_distinct's n_est.
+
+    What the stream cannot give back is n_exact for groups past k —
+    that is the point of a sketch (the batch operator keeps n_exact
+    only to MEASURE error). Estimates follow the same rule: fewer than
+    k merged hashes = exact count, else (k-1)*2^60/h_(k).
+
+    Replay contract: dynamic partition overwrite keyed by batch id —
+    reprocessing rewrites the batch's own partition (tested).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        group_col: str,
+        value_col: str,
+        k: int = 64,
+    ):
+        self.store_dir = store_dir
+        self.group_col = group_col
+        self.value_col = value_col
+        self.k = k
+        self.batches_seen: list[int] = []
+
+    def _hashed(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.group_col).alias("__g"),
+            F.conv(
+                F.substring(
+                    F.md5(F.col(self.value_col).cast("string")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("__h"),
+        ).distinct()
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        self.batches_seen.append(batch_id)
+        w = Window.partitionBy("__g").orderBy("__h")
+        kmin = (
+            self._hashed(batch_df)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .select("__g", "__h")
+        )
+        (
+            kmin.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.store_dir)
+        )
+
+    def estimates(self, spark: SparkSession) -> DataFrame:
+        """(group, n_est) from the merged store — identical to the
+        batch operator's n_est over the full ingested history."""
+        from pyspark.sql import Window
+
+        merged = (
+            spark.read.parquet(self.store_dir).select("__g", "__h").distinct()
+        )
+        w = Window.partitionBy("__g").orderBy("__h")
+        per = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.k)
+            .groupBy("__g")
+            .agg(
+                F.count("*").alias("__n_min"),
+                F.max(
+                    F.when(F.col("__rn") == self.k, F.col("__h"))
+                ).alias("__kth"),
+            )
+        )
+        est = F.when(
+            F.col("__kth").isNull(), F.col("__n_min").cast("double")
+        ).otherwise(
+            F.lit(float(self.k - 1))
+            * F.pow(F.lit(2.0), F.lit(60.0))
+            / F.col("__kth")
+        )
+        return per.select(
+            F.col("__g").alias(self.group_col),
+            F.round(est, 2).alias("n_est"),
+        )
+
+
+class QuantileSketchIngestForeachBatch:
+    """Incrementally maintained fixed-edge histogram quantile sketch —
+    the streaming read-side twin of x84_histogram_quantiles.
+
+    x84's batch form derives its bin edges from the corpus min/max; a
+    stream cannot (edges would drift batch to batch and early cells
+    would be binned against stale edges). The production form pins the
+    edges up front from the known value domain — then the histogram is
+    a LINEAR sketch like CMS: per-batch (bin, cnt) cells merge by
+    groupBy-sum into EXACTLY the one-shot fixed-edge histogram, and
+    quantile reads use the same interpolation arithmetic
+    (:meth:`oneshot` is that one-shot build; parity tested). Values
+    outside [lo, hi) clamp into the edge bins — the fixed-domain
+    trade-off, stated rather than hidden.
+
+    Replay contract: dynamic partition overwrite keyed by batch id.
+    """
+
+    def __init__(
+        self,
+        sketch_dir: str,
+        lo: float,
+        hi: float,
+        bins: int = 100,
+        value_col: str = "value",
+        quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    ):
+        if not hi > lo:
+            raise ValueError("QuantileSketch: hi must exceed lo")
+        self.sketch_dir = sketch_dir
+        self.lo = lo
+        self.hi = hi
+        self.bins = bins
+        self.value_col = value_col
+        self.qs = quantiles
+        self.batches_seen: list[int] = []
+
+    def _cells(self, df: DataFrame) -> DataFrame:
+        width = (self.hi - self.lo) / float(self.bins)
+        bin_col = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(self.bins - 1),
+                F.floor((F.col(self.value_col) - F.lit(self.lo)) / F.lit(width)),
+            ),
+        )
+        return (
+            df.select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        (
+            self._cells(batch_df)
+            .withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.sketch_dir)
+        )
+        self.batches_seen.append(batch_id)
+
+    def _quantiles_from_hist(self, hist: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        width = (self.hi - self.lo) / float(self.bins)
+        wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        wprev = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+        cum = hist.select(
+            "bin",
+            "cnt",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.coalesce(F.sum("cnt").over(wprev), F.lit(0)).alias("cum_before"),
+            F.sum("cnt")
+            .over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("n"),
+        )
+        frames = None
+        for q in self.qs:
+            frame = cum.select(F.lit(q).alias("q"), "bin", "cnt", "cum", "cum_before", "n")
+            frames = frame if frames is None else frames.unionAll(frame)
+        hit = (
+            frames.filter(F.col("cum") >= F.col("q") * F.col("n"))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("q").orderBy("bin")),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        return hit.select(
+            F.col("q").alias("quantile"),
+            F.round(
+                F.lit(self.lo)
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - F.col("cum_before"))
+                    / F.col("cnt")
+                )
+                * F.lit(width),
+                6,
+            ).alias("estimate"),
+        )
+
+    def quantiles(self, spark: SparkSession) -> DataFrame:
+        """(quantile, estimate) from the merged incremental store."""
+        hist = (
+            spark.read.parquet(self.sketch_dir)
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        return self._quantiles_from_hist(hist)
+
+    def oneshot(self, df: DataFrame) -> DataFrame:
+        """The one-shot fixed-edge build over a batch DataFrame — the
+        parity reference the merged stream must equal exactly."""
+        return self._quantiles_from_hist(self._cells(df))
+
+
 class ActiveUserIngestForeachBatch:
     """Incrementally maintained rolling-WAU state over an event stream —
     the streaming twin of the x78_rolling_wau batch query.

@@ -869,3 +869,62 @@ def test_decontamination_gate_catches_short_probes_when_anchored(spark, tmp_path
     assert set(qrows) == {1, 3}
     assert qrows[1].n_probes_hit == 1 and qrows[1].probe_ids == "10"
     assert qrows[3].n_probes_hit == 2 and qrows[3].probe_ids == "9,10"
+
+
+def test_kmv_ingest_matches_oneshot_sketch(spark, tmp_path):
+    """Streaming KMV (read-side sketch twin of c97): per-batch k-min
+    sets merge into EXACTLY the one-shot sketch — n_est over the
+    ingested history equals operators/profiling.py::kmv_distinct on the
+    same rows, for both the exact-fallback (< k) and estimator (>= k)
+    branches — and a replayed batch changes nothing."""
+    from sheetsetl_spark.operators.profiling import kmv_distinct
+    from sheetsetl_spark.streaming import KmvIngestForeachBatch
+
+    k = 8
+    # group "big": 40 distinct values split across batches (> k, with
+    # overlap so the distinct-merge matters); group "small": 3 (< k)
+    rows1 = [("big", f"v{i}") for i in range(25)] + [("small", "a"), ("small", "b")]
+    rows2 = [("big", f"v{i}") for i in range(15, 40)] + [("small", "b"), ("small", "c")]
+    b1 = spark.createDataFrame(rows1, "g string, v string")
+    b2 = spark.createDataFrame(rows2, "g string, v string")
+
+    gate = KmvIngestForeachBatch(str(tmp_path / "kmv"), "g", "v", k=k)
+    gate(b1, 0)
+    gate(b2, 1)
+    gate(b2, 1)  # replay: dynamic overwrite must be a no-op rewrite
+
+    got = {r.g: r.n_est for r in gate.estimates(spark).collect()}
+    want = {
+        r.g: r.n_est
+        for r in kmv_distinct(b1.unionByName(b2), "g", "v", k=k).collect()
+    }
+    assert got == want
+    assert got["small"] == 3.0  # exact-fallback branch really exercised
+
+
+def test_quantile_sketch_ingest_matches_oneshot(spark, tmp_path):
+    """Streaming fixed-edge histogram quantiles: merged per-batch cells
+    equal the one-shot build bit-for-bit (linear-sketch property), and
+    a replayed batch does not double-count."""
+    from sheetsetl_spark.streaming import QuantileSketchIngestForeachBatch
+
+    b1 = spark.createDataFrame([(float(i),) for i in range(0, 500)], "value double")
+    b2 = spark.createDataFrame(
+        [(float(i),) for i in range(300, 1000)] + [(-50.0,), (2000.0,)],  # clamped
+        "value double",
+    )
+    gate = QuantileSketchIngestForeachBatch(
+        str(tmp_path / "qsketch"), lo=0.0, hi=1000.0, bins=50
+    )
+    gate(b1, 0)
+    gate(b2, 1)
+    gate(b2, 1)  # replay
+
+    got = {r.quantile: r.estimate for r in gate.quantiles(spark).collect()}
+    want = {
+        r.quantile: r.estimate
+        for r in gate.oneshot(b1.unionByName(b2)).collect()
+    }
+    assert got == want and len(got) == 4
+    # sanity: median of 0..999-ish lands mid-domain
+    assert 400.0 < got[0.5] < 600.0
