@@ -1527,8 +1527,12 @@ def edit_distance_pairs(
        docs share NO prefix gram, their overlap fits inside one doc's
        suffix of size |G| - (q*k + 1), i.e. overlap <= |G| - q*k - 1
        < |G| - q*k — violating the count filter. So every true pair
-       shares a prefix gram, and the candidate join runs over PREFIX
-       streams only (each doc's q*k+1 globally-RAREST grams).
+       with a POSITIVE count bound shares a prefix gram, and the
+       candidate join runs over PREFIX streams only (each doc's q*k+1
+       globally-RAREST grams). Pairs where BOTH docs have <= q*k grams
+       make the bound vacuous and come from the dedicated short-band
+       length-bucket join below instead (completeness hole caught by
+       the hypothesis brute-force twin, round 8).
     4. Candidates pass the LENGTH filter (||a|-|b|| <= k) and the
        PPJoin POSITIONAL filter (overlap <= s + min(n_a - max_ia,
        n_b - max_ib); Xiao et al. WWW'08, the same bound c72's sweep
@@ -1650,6 +1654,43 @@ def edit_distance_pairs(
         )
         .select("doc_a", "doc_b")
     )
+    # SHORT-BAND completeness path: the count bound overlap >=
+    # max(n_a, n_b) - q*k is vacuous when BOTH docs have <= q*k grams
+    # (len <= q*k + q - 1) — such a pair can be within distance k while
+    # sharing ZERO grams ("alpha alpha" vs "beta beta" at k=8), so the
+    # gram join alone is incomplete there (caught by the hypothesis
+    # brute-force twin, r8). Mixed short-long true pairs always share a
+    # prefix gram (required overlap >= n_long - q*k > 0), so only the
+    # both-short band needs candidates of its own: a length-bucketed
+    # equi-join (bucket width k+1; emitting each side to {b, b+1} makes
+    # every pair within the |len diff| <= k filter collide on some
+    # key). The band is bounded by construction — strings shorter than
+    # (k+1)*q chars — and its worst case (every ultra-short string
+    # matching every other) is the TRUE output being quadratic, not an
+    # algorithmic miss. The verify-stage count filter below is a no-op
+    # for these pairs (RHS <= 0), so levenshtein alone decides them.
+    short = base.filter(F.col("__len") <= F.lit(q * k + q - 1)).select(
+        "__id", "__len", F.floor(F.col("__len") / F.lit(k + 1)).alias("__bk")
+    )
+    sa = short.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__len").alias("sla"),
+        F.explode(F.array(F.col("__bk"), F.col("__bk") + 1)).alias("__key"),
+    )
+    sb = short.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__len").alias("slb"),
+        F.explode(F.array(F.col("__bk"), F.col("__bk") + 1)).alias("__key"),
+    )
+    short_cand = (
+        sa.join(sb, "__key")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("sla") - F.col("slb")) <= F.lit(k))
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = cand.unionByName(short_cand).distinct()
     arrays = sized.groupBy("__id").agg(
         F.sort_array(F.collect_list("tid")).alias("tids"),
         F.count("*").alias("n_g"),

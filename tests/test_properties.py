@@ -20,6 +20,11 @@ from sheetsetl_spark.functions.mysql_compat import mysql_to_spark_sql
 
 _BASE = datetime(2024, 1, 1)
 
+# Whole-module slow marker (hypothesis brute-force twins, full randomized sweep):
+# the fast gate (-m 'not slow') still covers every oracle once at
+# sf0.001 via test_oracle_queries.py.
+pytestmark = pytest.mark.slow
+
 # --- pure-Python: MySQL->Spark translator ---------------------------------
 
 
@@ -381,6 +386,25 @@ def test_edit_distance_pairs_equals_bruteforce(spark, texts, k):
             if d <= k:
                 want[tuple(sorted((ia, ib)))] = d
     assert got == want
+
+
+def test_edit_distance_pairs_short_band_zero_shared_grams(spark):
+    """Pinned r8 falsifier: with k=8, q=3 both 'alpha alpha' (11 chars,
+    9 grams) and 'beta beta' (9 chars, 7 grams) have <= q*k grams, the
+    count bound is vacuous, and the pair shares ZERO 3-grams — so only
+    the short-band length-bucket path can produce it. Distance is
+    exactly 8 (alpha->beta per word: 3 subs + 1 del = 4, twice)."""
+    from sheetsetl_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(0, "alpha alpha"), (1, "beta beta"), (2, "alpha alpha")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in edit_distance_pairs(df, k=8, q=3).collect()
+    }
+    assert got == {(0, 1): 8, (0, 2): 0, (1, 2): 8}
 
 
 # --- quantile normalization: brute-force mapping on random groups ----------
