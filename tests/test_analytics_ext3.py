@@ -3,6 +3,8 @@ Wilson bound, Kaplan-Meier, CUSUM, histogram quantiles."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 
@@ -178,6 +180,7 @@ def test_last_touch_attribution_hand_case(spark, tmp_path):
     assert out["(none)"] == (1, 3.0)
 
 
+@pytest.mark.slow  # randomized/corpus sweep - full-suite re-verification
 def test_prefix_filter_positional_filter_completeness_sweep(spark):
     # the r7 positional filter prunes candidates via
     # overlap <= s + min(n_a - max_ia, n_b - max_ib); sweep thresholds

@@ -4,6 +4,8 @@ paths), sorted-neighborhood blocking, group overlap matrix."""
 
 from __future__ import annotations
 
+import pytest
+
 from sheetsetl_spark.operators.dedup import edit_distance_pairs
 
 
@@ -60,6 +62,7 @@ def test_edit_distance_multiset_grams_complete(spark):
     assert (1, 2) in got and (1, 3) in got
 
 
+@pytest.mark.slow  # randomized/corpus sweep - full-suite re-verification
 def test_edit_distance_exactness_sweep_vs_bruteforce(spark):
     """Pseudo-random corpus, k sweep: the filtered join must equal the
     brute-force DP at every threshold (completeness + no false pairs)."""

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import register_views
@@ -580,6 +582,7 @@ def test_json_path_operators(spark):
     assert mysql_to_spark_sql(s) == s
 
 
+@pytest.mark.slow  # randomized/corpus sweep - full-suite re-verification
 def test_week_all_modes_property(spark):
     """WEEK(d, mode) for every mode 0-7 vs an independent Python port of
     MySQL's calc_week (sql/sql_time.cc) — the SQL renderer uses a

@@ -560,6 +560,7 @@ _ANALYST_ORACLES = {
 }
 
 
+@pytest.mark.slow  # randomized/corpus sweep - full-suite re-verification
 def test_analyst_corpus_mysql_dialect_matches_oracle(spark, tmp_path):
     """VERDICT r3 item 4: the whole examples/analyst_sql corpus (Spark-
     and MySQL-flavored files mixed, as a real analyst folder would be)

@@ -4,6 +4,8 @@ stage parallel."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -99,6 +101,7 @@ def test_x67_plan_no_single_partition_data_window(spark):
             assert any("HashAggregate" in x for x in lines[i:]), plan
 
 
+@pytest.mark.slow  # randomized/corpus sweep - full-suite re-verification
 def test_property_matches_naive_on_random_inputs(spark):
     """Hypothesis sweep: random values, duplicates, negatives, and random
     partition counts — the decomposition must equal the naive window on

@@ -12,6 +12,8 @@ of gap ADVICE r3 found in b57b's unguarded z-score divide.
 from __future__ import annotations
 
 import os
+
+import pytest
 import tempfile
 from datetime import date, datetime, timedelta
 
@@ -32,6 +34,11 @@ _SETTINGS = dict(
     suppress_health_check=list(HealthCheck),
 )
 
+
+# Whole-module slow marker (randomized fixture sweep re-verification):
+# the fast gate (-m 'not slow') still covers every oracle once at
+# sf0.001 via test_oracle_queries.py.
+pytestmark = pytest.mark.slow
 
 def _write_dir(tables: dict[str, pa.Table]) -> str:
     """Write the given tables (plus empty stubs for the rest, so the

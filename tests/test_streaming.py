@@ -19,6 +19,11 @@ from sheetsetl_spark.streaming import (
 from tests.conftest import SF_SMALL
 
 
+# Whole-module slow marker (streaming soak: real micro-batch queries with checkpoints):
+# the fast gate (-m 'not slow') still covers every oracle once at
+# sf0.001 via test_oracle_queries.py.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def event_input(spark, tmp_path_factory):
     """Stage the events fixture as streaming input files (two chunks)."""
