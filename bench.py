@@ -90,6 +90,10 @@ HEADLINE = [
     # r7 batch-11 breadth: exact edit-distance similarity join. First
     # recorded in BENCH_r07.
     "c82_edit_distance_join",  # Ed-Join positional q-gram prefix+count filters
+    # r8 breadth: prefix-sum Lorenz deciles + preference-pair windows.
+    # First recorded in BENCH_r08.
+    "x98_lorenz_deciles",  # global-rank spend concentration
+    "c98_preference_pairs",  # per-stratum paired window extrema
 ]
 
 
