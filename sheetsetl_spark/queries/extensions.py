@@ -283,7 +283,9 @@ def _embedding_incremental_oracle(
       FROM embeddings WHERE vec_id < 20
       UNION ALL
       SELECT vec_id + 2000000,
-             (embedding::DOUBLE[])[{dim - 6}:{dim}] || (embedding::DOUBLE[])[1:{dim - 7}]
+             list_transform(
+               (embedding::DOUBLE[])[{dim - 6}:{dim}] || (embedding::DOUBLE[])[1:{dim - 7}],
+               x -> -x) AS v
       FROM embeddings WHERE vec_id >= 20 AND vec_id < 60
     ),
     hsig AS (SELECT vec_id, v, CONCAT({bit_exprs('v')}) AS bits FROM hist),
@@ -329,8 +331,13 @@ def c49_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataF
     embedding-dedup pipeline needs when history is 100 TB and the daily
     batch is 0.1% of it. The planted batch makes both outcomes
     observable: perturbed copies of vec_id < 20 (sim ≈ 0.997) must DROP;
-    coordinate-rolled copies of 20 <= vec_id < 60 (isometric, so
-    near-orthogonal to everything) must SURVIVE."""
+    NEGATED coordinate-rolled copies of 20 <= vec_id < 60 (an isometry,
+    so near-orthogonal to everything) must SURVIVE. The negation exists
+    because the 10x scale fixture (examples/make_sf1ish.py) replicates
+    embeddings by coordinate rolls — replica 7 exactly equals a
+    roll-by-7 plant, which silently turned every must-survive vector
+    into a true duplicate and made the r8 10x point a vacuous rows=0
+    (negation keeps the plant orthogonal to every roll of history)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -342,8 +349,11 @@ def c49_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataF
     )
     rolled = base.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 60)).select(
         (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
-        F.concat(
-            F.slice("embedding", 64 - 6, 7), F.slice("embedding", 1, 64 - 7)
+        F.transform(
+            F.concat(
+                F.slice("embedding", 64 - 6, 7), F.slice("embedding", 1, 64 - 7)
+            ),
+            lambda x: -x,
         ).alias("embedding"),
     )
     newb = planted.unionAll(rolled)
@@ -2448,39 +2458,63 @@ def c33_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_coverage(docs, vocab_size=100)
 
 
-def _image_neardup_oracle(width: int = 5, height: int = 4, max_hamming: int = 1) -> str:
+# Shared splitmix-style byte mixer for the synthesized media corpora
+# (c50/c51/c52): strong enough that the 56-bit dHash space has ZERO
+# natural Hamming-1 collisions even at the 10x fixture (measured: 16000
+# docs -> 0 pairs, all hashes unique), expressible identically in
+# Python ints, numpy uint64, and DuckDB HUGEINT arithmetic. The inner
+# state is reduced mod 2^32 before the final multiply so the DuckDB
+# HUGEINT product cannot overflow 2^127.
+_MIX_K1 = 11400714819323198485
+_MIX_K2 = 13787848793156543929
+_MIX_K3 = 10723151780598845931
+_M64 = 1 << 64
+
+
+def _mix(i: int, j: int) -> int:
+    h = (i * _MIX_K1 + j * _MIX_K2) % _M64
+    x = (h ^ (h >> 31)) % 4294967296
+    return ((x * _MIX_K3) % _M64) >> 24
+
+
+def _mix_sql(base: str, j: str) -> str:
+    """The same mixer as a DuckDB scalar expression over HUGEINT."""
+    h = f"(({base})::HUGEINT * {_MIX_K1} + ({j})::HUGEINT * {_MIX_K2}) % {_M64}"
+    x = f"(xor({h}, ({h}) // 2147483648) % 4294967296)"
+    return f"((({x}) * {_MIX_K3}) % {_M64} // 16777216)"
+
+
+def _image_neardup_oracle(width: int = 8, height: int = 8, max_hamming: int = 1) -> str:
     """DuckDB twin of c50: recomputes every image's dHash closed-form
     from the synthesized pixel arithmetic (same trick as c5b) and
     brute-forces all pairs — legitimate as an oracle because the banded
     Hamming join is EXACT (pigeonhole: bands > max_hamming), so blocked
     and brute-force answers must be identical."""
-
-    def gray(pi: int, pert: bool) -> str:
-        terms = " + ".join(
-            f"((base*31 + (({j}*{j})%251)*7 + {16 if pert and j < 3 else 0}) % 256)"
-            for j in (3 * pi, 3 * pi + 1, 3 * pi + 2)
-        )
-        return f"(({terms}) // 3)"
-
-    def dhash(pert: bool) -> str:
-        bits = []
-        for row in range(height):
-            for c in range(width - 1):
-                pi = row * width + c
-                idx = row * (width - 1) + c
-                bits.append(
-                    f"(CASE WHEN {gray(pi, pert)} < {gray(pi + 1, pert)} "
-                    f"THEN {1 << idx} ELSE 0 END)"
-                )
-        return "(" + " + ".join(bits) + ")::BIGINT"
-
+    n_bytes = width * height * 3
+    v = (
+        f"(({_mix_sql('base', 'j')})"
+        " + CASE WHEN pert = 1 AND j < 3 THEN 16 ELSE 0 END) % 256"
+    )
     return f"""
-    WITH dh AS (
-      SELECT doc_id AS img_id, {dhash(False)} AS d
-      FROM (SELECT doc_id AS base, doc_id FROM documents) t
+    WITH imgs AS (
+      SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, {dhash(True)}
-      FROM (SELECT doc_id AS base, doc_id FROM documents WHERE doc_id < 25) t
+      SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 100 < 2
+    ),
+    px AS (
+      SELECT img_id, j // 3 AS pi, {v} AS v
+      FROM imgs, (SELECT UNNEST(generate_series(0, {n_bytes - 1})) AS j) js
+    ),
+    gray AS (SELECT img_id, pi, SUM(v) // 3 AS g FROM px GROUP BY img_id, pi),
+    dh AS (
+      SELECT a.img_id,
+             CAST(SUM(CASE WHEN a.g < b.g THEN
+               (1::BIGINT << ((a.pi // {width}) * {width - 1} + (a.pi % {width})))
+               ELSE 0 END) AS BIGINT) AS d
+      FROM gray a JOIN gray b
+        ON b.img_id = a.img_id AND b.pi = a.pi + 1
+      WHERE a.pi % {width} < {width - 1}
+      GROUP BY a.img_id
     )
     SELECT a.img_id AS img_a, b.img_id AS img_b,
            CAST(bit_count(xor(a.d, b.d)) AS INT) AS hamming
@@ -2500,26 +2534,37 @@ def c50_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the Hamming budget agrees on a full band — candidates come
     from a (band_idx, band_val) equi-join, never all-pairs, and the
     result is EXACT (hash-checked against a brute-force DuckDB twin that
-    recomputes the pixel arithmetic closed-form). Planted near-dups:
-    each doc_id < 25 gets a +1e6 copy with its first PIXEL brightened —
-    that flips at most dHash bit 0, so every planted pair lands within
-    Hamming 1 alongside whatever natural collisions the corpus has."""
+    recomputes the pixel arithmetic closed-form). Planted near-dups: 2%
+    of docs (doc_id % 100 < 2 — linear in the corpus, the scale-step
+    property) get a +1e6 copy with the first PIXEL brightened — that
+    flips at most dHash bit 0, so every planted pair lands within
+    Hamming 1.
+
+    The _mix splitmix-style pixel generator replaced the r7 form
+    (i*31 additive), which gave every doc an IDENTICAL row-gradient —
+    all dHashes equal, the 'near-dup' truth was all-pairs (~1.1M rows
+    at sf0.1), and the banded blocking degenerated to one bucket
+    holding the whole corpus (caught by the r8 10x scale step, which
+    stalled on that bucket's straggler). With mixed 8x8 images the
+    56-bit hash space has ZERO natural Hamming-1 collisions even at
+    the 10x fixture, so the output is exactly the planted pairs and
+    the blocking path demonstrates its real shape."""
     from sheetsetl_spark.operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents")
 
     def pf(i: int, j: int) -> int:
-        return i * 31 + ((j * j) % 251) * 7
+        return _mix(i, j)
 
     def pf_pert(i: int, j: int) -> int:
         return pf(i, j) + (16 if j < 3 else 0)
 
-    base = mm.synthesize_ppm_media(docs, "doc_id", width=5, height=4, pixel_fn=pf)
+    base = mm.synthesize_ppm_media(docs, "doc_id", width=8, height=8, pixel_fn=pf)
     pert = mm.synthesize_ppm_media(
-        docs.filter(F.col("doc_id") < 25),
+        docs.filter(F.col("doc_id") % 100 < 2),
         "doc_id",
-        width=5,
-        height=4,
+        width=8,
+        height=8,
         pixel_fn=pf_pert,
         id_offset=1000000,
     )
@@ -2532,47 +2577,41 @@ def c50_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _video_neardup_oracle(
-    width: int = 5, height: int = 4, n_frames: int = 3, min_shared: int = 2
+    width: int = 8, height: int = 8, n_frames: int = 3, min_shared: int = 2
 ) -> str:
     """DuckDB twin of c51: per-frame dHashes recomputed closed-form from
-    the synthesized pixel arithmetic, frame-hash self-join, distinct
+    the synthesized pixel arithmetic (frame f's byte j mixes as
+    _mix(base, f*n_bytes + j)), frame-hash self-join, distinct
     shared-hash count per pair."""
-
-    def gray(pi: int, f: int, pert: bool) -> str:
-        shift = 64 if pert and f == n_frames - 1 else 0
-        terms = " + ".join(
-            f"((base*29 + {f}*101 + (({j}*{j})%251)*7 + {shift}) % 256)"
-            for j in (3 * pi, 3 * pi + 1, 3 * pi + 2)
-        )
-        return f"(({terms}) // 3)"
-
-    def dhash(f: int, pert: bool) -> str:
-        bits = []
-        for row in range(height):
-            for c in range(width - 1):
-                pi = row * width + c
-                idx = row * (width - 1) + c
-                bits.append(
-                    f"(CASE WHEN {gray(pi, f, pert)} < {gray(pi + 1, f, pert)} "
-                    f"THEN {1 << idx} ELSE 0 END)"
-                )
-        return "(" + " + ".join(bits) + ")::BIGINT"
-
-    base_sel = "(SELECT doc_id % 40 AS base, doc_id FROM documents) t"
-    pert_sel = (
-        "(SELECT doc_id % 40 AS base, doc_id FROM documents WHERE doc_id < 15) t"
+    n_bytes = width * height * 3
+    v = (
+        f"(({_mix_sql('base', f'f * {n_bytes} + j')})"
+        f" + CASE WHEN pert = 1 AND f = {n_frames - 1} THEN 64 ELSE 0 END) % 256"
     )
-    branches = [
-        f"SELECT doc_id AS vid, {dhash(f, False)} AS d FROM {base_sel}"
-        for f in range(n_frames)
-    ] + [
-        f"SELECT doc_id + 1000000, {dhash(f, True)} FROM {pert_sel}"
-        for f in range(n_frames)
-    ]
-    union = "\n      UNION ALL\n      ".join(branches)
     return f"""
-    WITH fh AS (
-      {union}
+    WITH vids AS (
+      SELECT doc_id AS vid, doc_id AS base, 0 AS pert FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 100 < 2
+    ),
+    px AS (
+      SELECT vid, f, j // 3 AS pi, {v} AS v
+      FROM vids,
+           (SELECT UNNEST(generate_series(0, {n_frames - 1})) AS f) fs,
+           (SELECT UNNEST(generate_series(0, {n_bytes - 1})) AS j) js
+    ),
+    gray AS (
+      SELECT vid, f, pi, SUM(v) // 3 AS g FROM px GROUP BY vid, f, pi
+    ),
+    fh AS (
+      SELECT a.vid, a.f,
+             CAST(SUM(CASE WHEN a.g < b.g THEN
+               (1::BIGINT << ((a.pi // {width}) * {width - 1} + (a.pi % {width})))
+               ELSE 0 END) AS BIGINT) AS d
+      FROM gray a JOIN gray b
+        ON b.vid = a.vid AND b.f = a.f AND b.pi = a.pi + 1
+      WHERE a.pi % {width} < {width - 1}
+      GROUP BY a.vid, a.f
     ),
     sets AS (SELECT DISTINCT vid, d FROM fh)
     SELECT a.vid AS vid_a, b.vid AS vid_b,
@@ -2592,29 +2631,37 @@ def c51_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     when they share >= 2 distinct frame hashes
     (video_neardup_pairs) — candidates only ever come from the
     frame-hash equi-join, never all-pairs, the shot-level fingerprint
-    shape that survives a billion-video corpus. Planted structure:
-    videos sharing doc_id % 40 are identical (3 shared frames); each
-    doc_id < 15 also gets a +1e6 copy whose LAST frame is brightened —
-    sharing exactly the first two frames, it still pairs at
-    min_shared_frames=2 while the changed frame drops out."""
+    shape that survives a billion-video corpus. Planted structure: 2%
+    of docs (doc_id % 100 < 2) get a +1e6 copy whose LAST frame is
+    brightened — sharing exactly the first two frames, it still pairs
+    at min_shared_frames=2 while the changed frame drops out, and the
+    planted-pair count grows LINEARLY with the corpus (the r8 scale-
+    step property). The _mix splitmix generator replaced the r7 form's
+    (i%40)*29 additive base, which gave every video the same per-frame
+    gradients — ALL frame hashes collided, the intended 40-class plant
+    drowned in an all-pairs output (~1.2M rows at sf0.1), and the 10x
+    scale step stalled on the single hot frame-hash bucket. 56-bit
+    mixed frame hashes have no natural cross-video collisions, so the
+    output is exactly the planted pairs."""
     from sheetsetl_spark.operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents")
+    n_bytes = 8 * 8 * 3
 
     def pf(i: int, f: int, j: int) -> int:
-        return (i % 40) * 29 + f * 101 + ((j * j) % 251) * 7
+        return _mix(i, f * n_bytes + j)
 
     def pf_pert(i: int, f: int, j: int) -> int:
         return pf(i, f, j) + (64 if f == 2 else 0)
 
     base = mm.synthesize_ppm_video(
-        docs, "doc_id", width=5, height=4, n_frames=3, pixel_fn=pf
+        docs, "doc_id", width=8, height=8, n_frames=3, pixel_fn=pf
     )
     pert = mm.synthesize_ppm_video(
-        docs.filter(F.col("doc_id") < 15),
+        docs.filter(F.col("doc_id") % 100 < 2),
         "doc_id",
-        width=5,
-        height=4,
+        width=8,
+        height=8,
         n_frames=3,
         pixel_fn=pf_pert,
         id_offset=1000000,
@@ -2624,15 +2671,15 @@ def c51_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vid_a", "vid_b", "shared_frames")
 
 
-_AUDIO_NEARDUP_ORACLE = """
+_AUDIO_NEARDUP_ORACLE = f"""
     WITH clips AS (
       SELECT doc_id AS cid, doc_id AS base, 0 AS pert FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id < 20
+      SELECT doc_id + 1000000, doc_id, 1 FROM documents WHERE doc_id % 100 < 2
     ),
     en AS (
       SELECT cid, t // 32 AS w,
-             SUM(ABS(((base*13 + ((t*t)%509)*3) % 4096) - 2048
+             SUM(ABS((({_mix_sql('base', 't')}) % 4096) - 2048
                      + CASE WHEN pert = 1 AND t >= 992 THEN 64 ELSE 0 END)) AS e
       FROM clips, (SELECT UNNEST(generate_series(0, 1023)) AS t) ts
       GROUP BY cid, t // 32
@@ -2663,25 +2710,38 @@ def c52_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints, integer so the DuckDB twin reproduces it bit-for-bit
     where an FFT could not), then EXACT banded Hamming blocking
     (audio_neardup_pairs / _banded_hamming_pairs: pigeonhole recall 1,
-    candidates only from the band equi-join). Planted near-dups: each
-    doc_id < 20 gets a +1e6 copy with its LAST 32-sample window nudged
-    louder — flipping at most fingerprint bit 30, so every planted pair
-    lands within Hamming 1."""
+    candidates only from the band equi-join). Planted near-dups: 2% of
+    docs (doc_id % 100 < 2, linear in the corpus) get a +1e6 copy with
+    the LAST 32-sample window nudged louder — flipping at most
+    fingerprint bit 30, so every planted pair lands within Hamming 1.
+    The _mix splitmix sample generator replaced the r7 form's additive
+    i*13, under which clip energy PROFILES were nearly identical
+    across clips (all fingerprints collided; the output was
+    effectively all-pairs and the banded blocking degenerated — r8
+    scale-step finding, same family as c50/c51)."""
+    import numpy as np
+
     from sheetsetl_spark.operators import multimodal as mm
 
     docs = load_table(spark, sf_dir, "documents")
 
     # t arrives as a numpy index array (synthesize_wav_audio vectorizes
-    # per clip) — elementwise arithmetic only, so both forms broadcast
+    # per clip); the mixer runs in uint64 where overflow wraps mod 2^64
+    # by definition — the same arithmetic _mix does with Python ints.
     def sfn(i, t):
-        return ((i * 13 + ((t * t) % 509) * 3) % 4096) - 2048
+        t64 = np.asarray(t).astype(np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wrap IS the mod-2^64
+            h = np.uint64(i) * np.uint64(_MIX_K1) + t64 * np.uint64(_MIX_K2)
+            x = (h ^ (h >> np.uint64(31))) % np.uint64(4294967296)
+            v = (x * np.uint64(_MIX_K3)) >> np.uint64(24)
+        return (v % np.uint64(4096)).astype(np.int64) - 2048
 
     def sfn_pert(i, t):
-        return sfn(i, t) + 64 * (t >= 992)
+        return sfn(i, t) + 64 * (np.asarray(t) >= 992)
 
     base = mm.synthesize_wav_audio(docs, "doc_id", n_samples=1024, sample_fn=sfn)
     pert = mm.synthesize_wav_audio(
-        docs.filter(F.col("doc_id") < 20),
+        docs.filter(F.col("doc_id") % 100 < 2),
         "doc_id",
         n_samples=1024,
         sample_fn=sfn_pert,
