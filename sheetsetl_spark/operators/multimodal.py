@@ -78,6 +78,22 @@ def _cap_arrow_batch(spark, target_rows_per_batch: int) -> None:
         )
 
 
+def _fan_out_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread the id column across the cluster before a Python-heavy
+    synthesize chain. A compact parquet source can arrive as a handful
+    of splits (the r8 10x fixture's documents table read as TWO
+    partitions), and everything downstream of mapInPandas inherits that
+    parallelism — the whole synthesize -> decode -> fingerprint chain
+    ran on 2 of 32 cores. The repartition shuffles ONLY the pruned id
+    column (8 bytes/row), so the fan-out costs ~nothing relative to
+    the Python work it parallelizes."""
+    ids = df.select(id_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids
+
+
 def deterministic_fake_decoder(payload: bytes, kind: str) -> list[float]:
     """Stand-in for image/audio decoding: 8 stable pseudo-features from
     the byte stream (so the distributed plumbing is fully testable)."""
@@ -432,7 +448,7 @@ def synthesize_ppm_media(
 
     spark = df.sparkSession
     _cap_arrow_batch(spark, target_rows_per_batch)
-    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out_ids(df, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def image_dhash(
@@ -573,7 +589,7 @@ def synthesize_wav_audio(
 
     spark = df.sparkSession
     _cap_arrow_batch(spark, target_rows_per_batch)
-    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out_ids(df, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def audio_energy_hash(
@@ -751,7 +767,7 @@ def synthesize_ppm_video(
 
     spark = df.sparkSession
     _cap_arrow_batch(spark, target_rows_per_batch)
-    return df.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out_ids(df, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def video_frame_dhashes(
@@ -886,6 +902,16 @@ def _banded_hamming_pairs(
         raise ValueError(f"bands={bands} must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
+    # Lazy checkpoint pins ONE materialization of the (id, hash) frame
+    # — tiny (16 bytes/row) — before it fans out to both join sides.
+    # Without it each side re-derives the hash from its upstream plan,
+    # and for the media queries that upstream is the full Python
+    # synthesize -> decode -> fingerprint mapInPandas chain: the r8 10x
+    # scale step measured c52 at 42.3s with the double evaluation,
+    # 2.4x the linear expectation (same lesson as BPE's lineage pin).
+    hashes = hashes.select(F.col(id_col), F.col(hash_col)).localCheckpoint(
+        eager=False
+    )
     stacked = hashes.select(
         F.col(id_col),
         F.col(hash_col).alias("__h"),
