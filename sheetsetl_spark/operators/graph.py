@@ -394,3 +394,56 @@ def kcore(
         .agg(F.count("*").alias("deg"))
     )
     return deg.filter(F.col("deg") >= k).select("node", "deg")
+
+
+def adamic_adar_bipartite(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    top: int = 100,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction over a bipartite membership stream
+    (item—group edges): score(a, b) = sum over shared groups g of
+    1 / ln(|g|). The classic "people you may know" / related-item
+    signal — a shared SMALL group is strong evidence, a shared huge
+    group is weak, and ln damps accordingly (Adamic & Adar 2003).
+
+    Scale shape: identical to :func:`cooccurrence_pairs` — candidate
+    pairs come ONLY from a self-equi-join on the group key (wedges
+    through a common group), never an all-pairs product, so cost is
+    sum(|g|^2) with ``max_group_size`` available to drop degenerate
+    mega-groups before they square. The per-group weight 1/ln(|g|)
+    attaches to the group row BEFORE the pair join (one small extra
+    aggregate joined on the group key), and the final score is the
+    engine-portable decimal sum of 6dp-rounded terms, so any
+    partitioning yields the same bits. Top-N is a bounded sort.
+
+    Output: (item_a, item_b, n_common, aa_score) for the ``top``
+    highest-scoring pairs, ties broken by (item_a, item_b).
+    """
+    from sheetsetl_spark.operators.text import round6_bin
+
+    items = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    sizes = items.groupBy("g").agg(F.count("*").alias("__gs"))
+    if max_group_size is not None:
+        sizes = sizes.filter(F.col("__gs") <= max_group_size)
+    weighted = items.join(
+        sizes.filter(F.col("__gs") >= 2), "g"
+    ).withColumn("term", round6_bin(F.lit(1.0) / F.log(F.col("__gs"))))
+    a = weighted.select("g", F.col("item").alias("item_a"), "term")
+    b = weighted.select("g", F.col("item").alias("item_b"))
+    pairs = a.join(b, "g").filter(F.col("item_a") < F.col("item_b"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum(F.col("term").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), F.col("item_a"), F.col("item_b"))
+        .limit(top)
+    )

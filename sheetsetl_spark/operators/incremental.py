@@ -210,3 +210,65 @@ def ewma_by_key(
             ).alias("ewma"),
         )
     )
+
+
+def holt_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per key:
+
+        l_t = 0.5*x_t + 0.5*(l_{t-1} + t_{t-1})
+        b_t = 0.5*(l_t - l_{t-1}) + 0.5*b_{t-1},   l_0 = b_0 = 0
+
+    — the level-AND-slope upgrade of :func:`ewma_by_key` (which tracks
+    level only and lags every trend). The smoothing constants are
+    EXACTLY 0.5 on purpose: multiplying a double by 0.5 is exact in
+    IEEE-754, so the only rounding in the whole recurrence is the
+    additions — and those run in the same defined left-to-right order
+    in both engines, keeping the chain bit-identical to a DuckDB
+    recursive-CTE twin without any libm dependence.
+
+    Same scale contract as ewma_by_key: a sequential recurrence has no
+    shuffle-parallel form, so the per-key SERIES must be bounded
+    (calendar-bounded daily aggregates). The corpus-sized work is the
+    upstream daily pre-aggregation; the fold runs JVM-side via
+    `aggregate` over the day-sorted array, carrying [level, trend] as
+    a 2-element array accumulator.
+
+    Output: (key, n_points, level, trend, forecast_7) — the final
+    smoothed level/slope and the 7-steps-ahead linear forecast
+    level + 7*trend, each 6dp-rounded via the portable FLOOR form.
+    """
+    from sheetsetl_spark.operators.text import round6_bin
+
+    def step(acc, x):
+        new_level = F.lit(0.5) * x + F.lit(0.5) * (acc[0] + acc[1])
+        new_trend = (
+            F.lit(0.5) * ((F.lit(0.5) * x + F.lit(0.5) * (acc[0] + acc[1])) - acc[0])
+            + F.lit(0.5) * acc[1]
+        )
+        return F.array(new_level, new_trend)
+
+    folded = df.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(order_col, value_col))),
+                lambda s: s[value_col].cast("double"),
+            ),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            step,
+        ).alias("lt"),
+    )
+    return folded.select(
+        key_col,
+        "n_points",
+        round6_bin(F.col("lt")[0]).alias("level"),
+        round6_bin(F.col("lt")[1]).alias("trend"),
+        round6_bin(F.col("lt")[0] + F.lit(7.0) * F.col("lt")[1]).alias(
+            "forecast_7"
+        ),
+    )

@@ -92,5 +92,7 @@ from sheetsetl_spark.queries import analytics_ext6  # noqa: E402,F401
 # Round-8: robust statistics + preference pairs — registered last so
 # the 26 not-yet-driver-stamped entries keep their window priority.
 from sheetsetl_spark.queries import analytics_ext7  # noqa: E402,F401
+# Round-8 batch 15: link prediction / Holt trend / t-closeness.
+from sheetsetl_spark.queries import analytics_ext8  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]

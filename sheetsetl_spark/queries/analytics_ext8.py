@@ -1,0 +1,247 @@
+"""Round-8 batch-15 — link prediction, trend forecasting, privacy:
+Adamic-Adar related-item scoring over the co-purchase bipartite graph
+(c99), Holt linear-trend double exponential smoothing of the daily
+revenue series (c100), and t-closeness — the distribution-distance
+upgrade of c81's k-anonymity/l-diversity profile (x101).
+
+Scale contracts (details per docstring):
+- c99 generates candidate pairs ONLY through a self-equi-join on the
+  order key (wedges through shared groups, cost sum(|g|^2) with group
+  sizes bounded by basket size) — never an all-pairs part product; the
+  1/ln(|g|) weight attaches per GROUP before the pair join.
+- c100's sequential recurrence folds a calendar-bounded per-key daily
+  array JVM-side (the c89 ewma shape, now with a 2-element [level,
+  trend] accumulator); the corpus-sized work is one map-side-combined
+  daily aggregation.
+- x101 is two corpus groupBys; everything after (classes x 10 buckets,
+  <= 1250 rows at ANY corpus size — QI classes are dimension-bounded)
+  is broadcast-joined bounded frames, and the EMD numerators are exact
+  integers (c_j*N - g_j*n_c), so the only double op is the final
+  division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.operators.text import round6_bin, round6_bin_sql
+from sheetsetl_spark.queries import query
+
+
+@query(
+    "c99_adamic_adar",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+                FROM lineitem),
+    deg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS gs FROM op GROUP BY g),
+    w AS (
+      SELECT op.g, op.item,
+             FLOOR(1.0 / LN(CAST(d.gs AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS term
+      FROM op JOIN deg d ON d.g = op.g WHERE d.gs >= 2
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(CAST(a.term AS DECIMAL(18,6))) AS DOUBLE) AS aa_score
+    FROM w a JOIN w b ON a.g = b.g AND a.item < b.item
+    GROUP BY a.item, b.item
+    ORDER BY aa_score DESC, item_a, item_b
+    LIMIT 100
+    """,
+)
+def c99_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (graph/recommendation tier): Adamic-Adar link scores
+    between parts through shared orders (operators/graph.py::
+    adamic_adar_bipartite) — the related-item / link-prediction signal
+    where sharing a SMALL basket is strong evidence and a huge basket
+    is ln-damped. Top-100 pairs with (item_a, item_b) tie-break; score
+    is the decimal sum of per-group 6dp terms, so partial aggregation
+    over any partitioning matches DuckDB bit-for-bit."""
+    from sheetsetl_spark.operators.graph import adamic_adar_bipartite
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return adamic_adar_bipartite(
+        li, group_col="l_orderkey", item_col="l_partkey", top=100
+    )
+
+
+@query(
+    "c100_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    seq AS MATERIALIZED (
+      SELECT k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY day) AS i, x
+      FROM daily),
+    n AS MATERIALIZED (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points FROM seq GROUP BY k),
+    hw AS (
+      SELECT k, 0 AS i, CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS t
+      FROM n
+      UNION ALL
+      SELECT hw.k, hw.i + 1,
+             0.5 * s.x + 0.5 * (hw.l + hw.t),
+             0.5 * ((0.5 * s.x + 0.5 * (hw.l + hw.t)) - hw.l) + 0.5 * hw.t
+      FROM hw JOIN seq s ON s.k = hw.k AND s.i = hw.i + 1
+    )
+    SELECT hw.k AS o_orderpriority, n.n_points,
+           {round6_bin_sql("hw.l")} AS level,
+           {round6_bin_sql("hw.t")} AS trend,
+           {round6_bin_sql("hw.l + 7.0 * hw.t")} AS forecast_7
+    FROM hw JOIN n ON n.k = hw.k AND hw.i = n.n_points
+    """,
+)
+def c100_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (level + slope, both alpha=beta=0.5)
+    of the per-priority DAILY revenue series, plus the 7-day-ahead
+    linear forecast (operators/incremental.py::holt_by_key) — the trend
+    monitor c89's level-only EWMA lags behind on. The 0.5 constants
+    make every multiply exact in IEEE-754; the remaining additions run
+    in the same defined order as the DuckDB recursive-CTE twin, which
+    re-walks the identical recurrence day by day, so the chain is
+    bit-identical without any libm dependence."""
+    from sheetsetl_spark.operators.incremental import holt_by_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority"), F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("x")
+    )
+    return holt_by_key(
+        daily, key_col="o_orderpriority", order_col="day", value_col="x"
+    )
+
+
+_TC_BUCKETS = 10
+
+
+@query(
+    "x101_t_closeness",
+    oracle=f"""
+    WITH b AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+               FROM customer),
+    binned AS (
+      SELECT c_nationkey, c_mktsegment,
+             LEAST(CAST(FLOOR((c_acctbal - lo)
+                              / ((hi - lo) / {_TC_BUCKETS}.0)) AS BIGINT),
+                   {_TC_BUCKETS - 1}) AS bucket
+      FROM customer, b
+    ),
+    g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS gcnt
+          FROM binned GROUP BY bucket),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM binned),
+    cls AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM binned GROUP BY 1, 2),
+    cell AS (SELECT c_nationkey, c_mktsegment, bucket,
+                    CAST(COUNT(*) AS BIGINT) AS ccnt
+             FROM binned GROUP BY 1, 2, 3),
+    spine AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, g.bucket,
+             COALESCE(cell.ccnt, 0) AS ccnt, g.gcnt, tot.n
+      FROM cls CROSS JOIN tot CROSS JOIN g
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+                    AND cell.c_mktsegment = cls.c_mktsegment
+                    AND cell.bucket = g.bucket
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n_c, n,
+             CAST(SUM(ccnt * n - gcnt * n_c)
+                  OVER (PARTITION BY c_nationkey, c_mktsegment
+                        ORDER BY bucket) AS BIGINT) AS cnum
+      FROM spine
+    ),
+    emd AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment, n_c,
+             {round6_bin_sql(
+                 "CAST(SUM(ABS(cnum)) AS DOUBLE)"
+                 f" / (CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE)"
+                 f" * {_TC_BUCKETS - 1}.0)"
+             )} AS t_emd
+      FROM cum GROUP BY 1, 2, 3, n
+    )
+    SELECT nationkey, mktsegment, n_c, t_emd,
+           CASE WHEN t_emd > 0.2 THEN 1 ELSE 0 END AS violates_02
+    FROM emd
+    """,
+)
+def x101_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness profile (Li, Li & Venkatasubramanian 2007): for each
+    quasi-identifier equivalence class (nation, mktsegment), the Earth
+    Mover's Distance between the class's account-balance distribution
+    and the global one over {_TC_BUCKETS} ordered equi-width buckets —
+    the release gate that catches what c81's k-anonymity misses (a
+    large-enough class can still LEAK if its sensitive values skew far
+    from the corpus). EMD over ordered bins = mean |cumulative
+    difference|; the per-bucket numerators c_j*N - g_j*n_c are EXACT
+    integers, so the only floating-point op is one final division.
+
+    Scale: two corpus groupBys; the spine/cumulative stage runs on
+    classes x buckets (<= 1250 rows at any corpus size) with the 10-row
+    global distribution broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(_TC_BUCKETS))
+    binned = cust.crossJoin(F.broadcast(b)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.least(
+            F.floor((F.col("c_acctbal") - F.col("lo")) / width).cast("long"),
+            F.lit(_TC_BUCKETS - 1).cast("long"),
+        ).alias("bucket"),
+    )
+    g = binned.groupBy("bucket").agg(F.count("*").cast("long").alias("gcnt"))
+    tot = binned.agg(F.count("*").cast("long").alias("n"))
+    cls = binned.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    cell = binned.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
+        F.count("*").cast("long").alias("ccnt")
+    )
+    spine = (
+        cls.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(g))
+        .join(cell, ["c_nationkey", "c_mktsegment", "bucket"], "left")
+        .withColumn("ccnt", F.coalesce(F.col("ccnt"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.withColumn(
+        "cnum",
+        F.sum(F.col("ccnt") * F.col("n") - F.col("gcnt") * F.col("n_c")).over(w),
+    )
+    emd = cum.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "n_c",
+        "n",
+    ).agg(
+        round6_bin(
+            F.sum(F.abs(F.col("cnum"))).cast("double")
+            / (
+                F.col("n_c").cast("double")
+                * F.col("n").cast("double")
+                * F.lit(float(_TC_BUCKETS - 1))
+            )
+        ).alias("t_emd")
+    )
+    return emd.select(
+        "nationkey",
+        "mktsegment",
+        "n_c",
+        "t_emd",
+        F.when(F.col("t_emd") > 0.2, F.lit(1)).otherwise(F.lit(0)).alias(
+            "violates_02"
+        ),
+    )

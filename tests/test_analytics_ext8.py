@@ -1,0 +1,172 @@
+"""Batch-15 unit + plan-shape tests: Adamic-Adar link prediction (c99),
+Holt linear-trend smoothing (c100), t-closeness profile (x101)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sheetsetl_spark.queries import QUERIES
+from tests.conftest import SF_SMALL
+
+_PY_NODES = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_adamic_adar_hand_case(spark):
+    """Two groups: g1={a,b,c} (weight 1/ln3 per pair), g2={a,b} (1/ln2).
+    (a,b) shares both groups; (a,c),(b,c) share only g1; singletons and
+    degenerate 1-item groups contribute nothing."""
+    from sheetsetl_spark.operators.graph import adamic_adar_bipartite
+
+    rows = [
+        ("g1", "a"), ("g1", "b"), ("g1", "c"),
+        ("g2", "a"), ("g2", "b"),
+        ("g3", "z"),  # size-1 group: no pairs, no weight
+        ("g1", "a"),  # duplicate membership must not double-count
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    out = {
+        (r.item_a, r.item_b): (r.n_common, r.aa_score)
+        for r in adamic_adar_bipartite(df, "g", "item", top=10).collect()
+    }
+    t3 = math.floor(1.0 / math.log(3.0) * 1e6 + 0.5) / 1e6
+    t2 = math.floor(1.0 / math.log(2.0) * 1e6 + 0.5) / 1e6
+    # the engine sums as exact DECIMAL; Python's t3 + t2 carries float
+    # error, so compare within 1e-9
+    assert out[("a", "b")][0] == 2
+    assert abs(out[("a", "b")][1] - (t3 + t2)) < 1e-9
+    assert out[("a", "c")] == (1, t3)
+    assert out[("b", "c")] == (1, t3)
+    assert len(out) == 3
+
+
+def test_adamic_adar_small_group_outscores_large(spark):
+    """The defining Adamic-Adar property: a pair sharing one SMALL group
+    outranks a pair sharing one huge group."""
+    from sheetsetl_spark.operators.graph import adamic_adar_bipartite
+
+    rows = [("small", "a"), ("small", "b")]
+    rows += [("big", x) for x in ("p", "q")] + [
+        ("big", f"filler{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    out = {
+        (r.item_a, r.item_b): r.aa_score
+        for r in adamic_adar_bipartite(df, "g", "item", top=1000).collect()
+    }
+    assert out[("a", "b")] > out[("p", "q")]
+
+
+def test_holt_fold_known_values(spark):
+    """Hand-walk the recurrence on x = [4, 8] (l0=b0=0):
+    step1: l=2.0, b=1.0 ; step2: l=5.5, b=2.25 ; forecast7=21.25."""
+    from sheetsetl_spark.operators.incremental import holt_by_key
+
+    df = spark.createDataFrame(
+        [("k", 1, 4.0), ("k", 2, 8.0)], ["key", "i", "x"]
+    )
+    row = holt_by_key(df, "key", "i", "x").collect()[0]
+    assert row.n_points == 2
+    assert row.level == 5.5
+    assert row.trend == 2.25
+    assert row.forecast_7 == 5.5 + 7 * 2.25
+
+
+def test_holt_constant_series_converges_to_level(spark):
+    """On a constant series the trend decays toward 0 and the level
+    toward the constant — the sanity property of any double smoother."""
+    from sheetsetl_spark.operators.incremental import holt_by_key
+
+    df = spark.createDataFrame(
+        [("k", i, 10.0) for i in range(1, 41)], ["key", "i", "x"]
+    )
+    row = holt_by_key(df, "key", "i", "x").collect()[0]
+    assert abs(row.level - 10.0) < 1e-3
+    assert abs(row.trend) < 1e-3
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    """A class whose sensitive distribution equals the global one has
+    EMD exactly 0; a class concentrated in the far bucket has a large
+    EMD. Built on a synthetic customer table via the registered query's
+    internals — exercised here directly through a temp parquet dir."""
+    import os
+    import tempfile
+
+    rows = []
+    # class A: 9 customers at each of 10 evenly spread balances (n=90,
+    # near-uniform). NOTE: with only two EQUAL-size classes the two EMDs
+    # are always identical (class - global = +/-(A-B)/2), so the sizes
+    # here are deliberately unequal.
+    k = 0
+    for i in range(10):
+        for _ in range(9):
+            rows.append((k, "A%03d" % k, 1, float(i * 100), "SEGA"))
+            k += 1
+    # class B: all ten customers at the lowest balance (n=10, skewed)
+    for i in range(10):
+        rows.append((1000 + i, "B%03d" % i, 2, 0.0, "SEGB"))
+    df = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer"))
+        # load_table reads {sf_dir}/{table}.parquet
+        os.rename(os.path.join(d, "customer"), os.path.join(d, "customer.parquet"))
+        out = {
+            (r.nationkey, r.mktsegment): (r.t_emd, r.violates_02)
+            for r in QUERIES["x101_t_closeness"](spark, d).collect()
+        }
+    # buckets: lo=0, hi=900, width=90 -> balance i*100 lands in bucket i
+    # (i=9 clamps via LEAST). Global g = [19, 9 x9], N = 100.
+    # B (q0=1): cum numerators 810, 720, ..., 0 -> EMD = 4050/9000 = 0.45
+    # A (qj=0.1): cum 90, 80, ..., 0 scaled by n_c=90 -> EMD = 0.05
+    t_a, viol_a = out[(1, "SEGA")]
+    t_b, viol_b = out[(2, "SEGB")]
+    assert abs(t_b - 0.45) < 1e-6
+    assert abs(t_a - 0.05) < 1e-6
+    assert (viol_a, viol_b) == (0, 1)
+
+
+def test_c99_plan_equi_joins_only(spark):
+    """c99's candidate pairs come from an equi-join on the order key —
+    no cartesian / broadcast-nested-loop anywhere, no Python nodes."""
+    plan = _executed_plan(QUERIES["c99_adamic_adar"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_c100_plan_no_window_no_python(spark):
+    """c100's recurrence is a grouped JVM `aggregate` fold — no Window
+    operator at all (the corpus never sorts globally) and no Python."""
+    plan = _executed_plan(QUERIES["c100_holt_linear"](spark, SF_SMALL))
+    assert "WindowExec" not in plan and "windowspecdefinition" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_x101_plan_bounded_spine_broadcast(spark):
+    """x101: the global distribution / total attach as broadcasts; the
+    only window runs keyed by the QI class over the 10-bucket spine
+    (never a single-partition corpus window)."""
+    plan = _executed_plan(QUERIES["x101_t_closeness"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "windowspecdefinition" in ln:
+            ctx = "\n".join(lines[i : i + 4])
+            assert "SinglePartition" not in ctx, ctx
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
