@@ -1,0 +1,84 @@
+"""Generate a ~10x relational fixture for scale-stepping queries that
+read the TPC-H-ish tables (orders / lineitem / customer) rather than
+documents/embeddings (those use examples/make_sf1ish.py).
+
+Writes $SF1ISH_REL_DIR (default /tmp/sf1ish_rel): 10 key-offset replicas
+of customer, orders and lineitem; every other sf0.1 table is copied.
+
+Why key-offset replication is an honest 10x:
+- replica k adds k * (max_key + 1) to c_custkey / o_orderkey (and to
+  o_custkey / l_orderkey / l_partkey consistently), so each replica is
+  a disjoint, structurally identical copy — join fan-outs, group sizes
+  and per-order basket shapes are preserved exactly, never inflated.
+- attributes (dates, prices, priorities, balances, segments) are left
+  unchanged, so calendar-bounded frames (daily series) keep the SAME
+  row count while their inputs grow 10x — exactly the bounded-frame
+  contract the fold/window queries claim — and scale-free statistics
+  (t-closeness EMD: every count scales by 10, the distance is a ratio)
+  must come out bit-identical to the 1x run, which doubles as an
+  end-to-end invariance oracle at 10x.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SF1ISH_REL_DIR", "/tmp/sf1ish_rel")
+REPLICAS = 10
+
+# table -> columns that must shift per replica (column -> offset source)
+KEYED = {
+    "customer": {"c_custkey": "c_custkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {
+        "l_orderkey": "o_orderkey",
+        "l_partkey": "l_partkey",
+        "l_suppkey": None,  # supplier table is NOT replicated: keep as-is
+    },
+}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in os.listdir(SRC):
+        if name.endswith(".parquet") and name.removesuffix(".parquet") not in KEYED:
+            shutil.copy(os.path.join(SRC, name), os.path.join(DST, name))
+
+    # offsets come from the MAX of the column that owns each key space
+    tables = {t: pq.read_table(os.path.join(SRC, f"{t}.parquet")) for t in KEYED}
+    own_max = {
+        "c_custkey": pc.max(tables["customer"]["c_custkey"]).as_py(),
+        "o_orderkey": pc.max(tables["orders"]["o_orderkey"]).as_py(),
+        "l_partkey": pc.max(tables["lineitem"]["l_partkey"]).as_py(),
+    }
+    for t, cols in KEYED.items():
+        src = tables[t]
+        parts = []
+        for k in range(REPLICAS):
+            arrays = []
+            for field in src.schema:
+                col = src[field.name]
+                owner = cols.get(field.name, "__not_keyed__")
+                if owner is None or owner == "__not_keyed__":
+                    arrays.append(col)
+                else:
+                    off = k * (own_max[owner] + 1)
+                    arrays.append(
+                        pc.add(col, pa.scalar(off, type=field.type)).cast(
+                            field.type
+                        )
+                    )
+            parts.append(pa.table(arrays, schema=src.schema))
+        out = pa.concat_tables(parts)
+        pq.write_table(out, os.path.join(DST, f"{t}.parquet"))
+        print(t, src.num_rows, "->", out.num_rows)
+
+
+if __name__ == "__main__":
+    main()
