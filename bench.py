@@ -94,6 +94,9 @@ HEADLINE = [
     # First recorded in BENCH_r08.
     "x98_lorenz_deciles",  # global-rank spend concentration
     "c98_preference_pairs",  # per-stratum paired window extrema
+    # r8 batch-15: wedge-join link prediction. First recorded in
+    # BENCH_r08.
+    "c99_adamic_adar",  # Adamic-Adar over co-purchase wedges
 ]
 
 
