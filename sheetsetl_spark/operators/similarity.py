@@ -803,3 +803,81 @@ def cosine_topk_pq(
         F.round("sim", 6).alias("sim"),
         "pq_score",
     )
+
+
+def _sqdist(vec_col: str, center: list[float]) -> Column:
+    """Squared L2 distance from a vector column to a LITERAL center,
+    as the same defined left-fold both engines use for dot products —
+    sequential order makes the double chain bit-identical to a DuckDB
+    LIST_REDUCE twin over the identical literal."""
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_coreset(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985 — the 2-approximation to the k-center cover): pick
+    the max-norm vector, then k-1 times the point FARTHEST from the
+    selected set. The data-selection primitive for training pipelines
+    — a diversity-maximizing seed set / dedup anchor set whose cover
+    radius certifies how well k points summarize the corpus.
+
+    Scale shape: round r is ONE corpus scan computing min(dist² to the
+    r selected centers) per row — centers are driver-side literals
+    (bounded state: k rows of dim doubles, the BPE-argmax precedent) —
+    followed by a 1-row TakeOrdered argmax. Total O(n*k*dim) with NO
+    shuffle in the distance pass; the only movement is k one-row
+    argmax collects. Determinism: every distance is the defined
+    left-fold over doubles (bit-identical in DuckDB's LIST_REDUCE),
+    and both argmaxes tie-break on the id.
+
+    Output: (sel_rank, vec_id, d2_at_selection) — d2 is the squared
+    distance to the previously-selected set at the moment of selection
+    (0.0 for the seed row), 6dp-rounded. d2 of the LAST row upper-
+    bounds the cover radius² of the k-1 preceding centers.
+    """
+    from sheetsetl_spark.operators.text import round6_bin
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    norm2 = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    seed = (
+        base.select("vid", "v", norm2.alias("crit"))
+        .orderBy(F.col("crit").desc(), F.col("vid"))
+        .limit(1)
+        .collect()[0]
+    )
+    picks = [(1, seed.vid, 0.0)]
+    centers = [list(seed.v)]
+    cur = base.withColumn("mind2", _sqdist("v", centers[0]))
+    for r in range(2, k + 1):
+        top = (
+            cur.orderBy(F.col("mind2").desc(), F.col("vid")).limit(1).collect()[0]
+        )
+        picks.append((r, top.vid, top.mind2))
+        centers.append(list(top.v))
+        cur = cur.withColumn(
+            "mind2", F.least(F.col("mind2"), _sqdist("v", centers[-1]))
+        )
+    out = embeddings.sparkSession.createDataFrame(
+        picks, ["sel_rank", "vid", "d2"]
+    )
+    return out.select(
+        F.col("sel_rank").cast("int").alias("sel_rank"),
+        F.col("vid").cast("long").alias("vec_id"),
+        round6_bin(F.col("d2")).alias("d2_at_selection"),
+    )

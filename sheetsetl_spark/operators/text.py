@@ -1230,3 +1230,80 @@ def span_corruption(
         .cast("long")
         .alias("n_spans"),
     ).select(F.col("__id").alias(id_col), "corrupted", "target", "n_spans")
+
+
+def term_keyness(
+    docs: DataFrame,
+    in_a: Column,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Dunning log-likelihood (G2) term keyness between two corpus
+    slices (Dunning 1993) — the corpus-comparison report a curation
+    pipeline reads to see WHAT changed between two crawls / sources
+    before deciding whether the drift is boilerplate, spam, or topic:
+
+        G2 = 2 * (a*ln(a/E_a) + b*ln(b/E_b)),
+        E_a = N_a*(a+b)/(N_a+N_b),  E_b likewise
+
+    where a/b are the term's token counts in slice A/B and N_a/N_b the
+    slice token totals. PSI (x95) says THAT a distribution moved;
+    keyness names the terms responsible, signed by direction.
+
+    Scale shape: one token explode -> one (term, slice) hash aggregate
+    -> one (term) aggregate; the two slice totals broadcast back as a
+    one-row aggregate. Portability: each ln factor is 6dp-rounded
+    before the integer-weighted combination (the x82/c70 rounded-log
+    recipe), so both engines combine identical doubles.
+
+    Output: top ``top`` terms by G2 (tie-break term), with counts and
+    sign (+1 over-represented in A, -1 in B).
+    """
+    toks = docs.select(
+        in_a.cast("long").alias("in_a"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    cells = toks.groupBy("term").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("b"),
+    )
+    # cells feeds BOTH the totals aggregate and the keyness expression;
+    # un-pinned, each consumer re-runs the corpus explode+aggregate
+    # (two corpus scans — caught by the plan test). The lazy checkpoint
+    # materializes the vocabulary-sized frame once.
+    cells = cells.localCheckpoint(eager=False)
+    totals = cells.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    t = cells.filter(F.col("a") + F.col("b") >= min_count).crossJoin(
+        F.broadcast(totals)
+    )
+    cnt = F.col("a") + F.col("b")
+    e_a = F.col("na").cast("double") * cnt / (F.col("na") + F.col("nb"))
+    e_b = F.col("nb").cast("double") * cnt / (F.col("na") + F.col("nb"))
+    l_a = round6_bin(F.log(F.col("a") / e_a))
+    l_b = round6_bin(F.log(F.col("b") / e_b))
+    g2 = round6_bin(
+        F.lit(2.0)
+        * (
+            F.when(F.col("a") > 0, F.col("a") * l_a).otherwise(F.lit(0.0))
+            + F.when(F.col("b") > 0, F.col("b") * l_b).otherwise(F.lit(0.0))
+        )
+    )
+    sign = F.when(
+        F.col("a").cast("double") * F.col("nb")
+        > F.col("b").cast("double") * F.col("na"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        t.select(
+            "term",
+            F.col("a").alias("cnt_a"),
+            F.col("b").alias("cnt_b"),
+            sign.alias("direction"),
+            g2.alias("g2"),
+        )
+        .orderBy(F.col("g2").desc(), "term")
+        .limit(top)
+    )

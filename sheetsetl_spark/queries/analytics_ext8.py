@@ -245,3 +245,120 @@ def x101_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violates_02"
         ),
     )
+
+
+_KEY_A_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@query(
+    "c101_term_keyness",
+    oracle=f"""
+    WITH toks AS (
+      SELECT CASE WHEN source IN {_KEY_A_SOURCES} THEN 1 ELSE 0 END AS in_a,
+             UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents
+    ),
+    cells AS (SELECT term, CAST(SUM(in_a) AS BIGINT) AS a,
+                     CAST(SUM(1 - in_a) AS BIGINT) AS b
+              FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                   CAST(SUM(b) AS BIGINT) AS nb FROM cells),
+    t AS (SELECT * FROM cells, tot WHERE a + b >= 5)
+    SELECT term, a AS cnt_a, b AS cnt_b,
+      CASE WHEN CAST(a AS DOUBLE) * nb > CAST(b AS DOUBLE) * na
+           THEN 1 ELSE -1 END AS direction,
+      {round6_bin_sql(
+          "2.0 * ("
+          "CASE WHEN a > 0 THEN a * ("
+          + round6_bin_sql(
+              "LN(a / (CAST(na AS DOUBLE) * (a + b) / (na + nb)))"
+          )
+          + ") ELSE 0.0 END"
+          " + CASE WHEN b > 0 THEN b * ("
+          + round6_bin_sql(
+              "LN(b / (CAST(nb AS DOUBLE) * (a + b) / (na + nb)))"
+          )
+          + ") ELSE 0.0 END)"
+      )} AS g2
+    FROM t ORDER BY g2 DESC, term LIMIT 50
+    """,
+)
+def c101_term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (corpus-comparison tier): Dunning G2 term keyness of
+    sources src0-src4 vs the rest (operators/text.py::term_keyness) —
+    x95's PSI says THAT the mix moved; keyness names WHICH terms moved
+    it, signed by direction. One explode + two hash aggregates; slice
+    totals broadcast back as a one-row frame; each ln factor 6dp-rounded
+    before its integer-weighted combination (the x82/c70 recipe)."""
+    from sheetsetl_spark.operators.text import term_keyness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return term_keyness(
+        docs,
+        in_a=F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        min_count=5,
+        top=50,
+    )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Chained-CTE DuckDB twin of the greedy k-center traversal: every
+    round re-derives argmax(min dist^2 to the selected set) with the
+    same defined left-fold distances and (value DESC, vec_id) tie-break.
+    Each round's distance frame is MATERIALIZED — un-hinted, DuckDB
+    re-inlines the previous round's frame into both of its two
+    consumers and the plan doubles per round (the k-core lesson)."""
+
+    def fold(expr: str) -> str:
+        return (
+            "LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, "
+            f"LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t.v)), i -> {expr})), "
+            "(acc, x) -> acc + x)"
+        )
+
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "n AS (SELECT vec_id, v, LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, "
+        "LIST_TRANSFORM(v, x -> x * x)), (acc, x) -> acc + x) AS crit FROM e)",
+        "s1 AS (SELECT vec_id, v AS cv FROM n ORDER BY crit DESC, vec_id "
+        "LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT t.vec_id, t.v, "
+        + fold("(t.v[i] - cv[i]) * (t.v[i] - cv[i])")
+        + " AS mind2 FROM e t CROSS JOIN s1)",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"s{r} AS (SELECT vec_id, v AS cv, mind2 FROM d{r - 1} "
+            f"ORDER BY mind2 DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT t.vec_id, t.v, "
+                f"LEAST(t.mind2, "
+                + fold("(t.v[i] - cv[i]) * (t.v[i] - cv[i])")
+                + f") AS mind2 FROM d{r - 1} t CROSS JOIN s{r})"
+            )
+    from sheetsetl_spark.operators.text import round6_bin_sql as r6
+
+    selects = [
+        "SELECT 1 AS sel_rank, vec_id, 0.0 AS d2_at_selection FROM s1"
+    ] + [
+        f"SELECT {r}, vec_id, {r6('mind2')} FROM s{r}" for r in range(2, k + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("c102_kcenter_coreset", oracle=_kcenter_oracle())
+def c102_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal, Gonzalez's
+    2-approximation) over the embeddings table — the diversity-
+    maximizing seed-set selection a training pipeline runs before
+    sampling or labeling (operators/similarity.py::kcenter_coreset).
+    Each of the 8 rounds is one shuffle-free corpus scan against
+    broadcast literal centers plus a 1-row argmax collect (bounded
+    driver state, the BPE-argmax precedent); distances are the defined
+    left-fold, bit-identical to the oracle's LIST_REDUCE."""
+    from sheetsetl_spark.operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=8)

@@ -170,3 +170,79 @@ def test_x101_plan_bounded_spine_broadcast(spark):
             assert "SinglePartition" not in ctx, ctx
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_term_keyness_hand_case(spark):
+    """A: 'x x x y' / B: 'y y y z' — 'x' key for A, 'z' key for B, 'y'
+    symmetric-ish. Verify counts, direction, and the G2 formula on 'x'."""
+    from sheetsetl_spark.operators.text import term_keyness
+
+    df = spark.createDataFrame(
+        [("x x x y", 1), ("y y y z", 0)], ["text", "ia"]
+    )
+    out = {
+        r.term: (r.cnt_a, r.cnt_b, r.direction, r.g2)
+        for r in term_keyness(
+            df, in_a=F.col("ia") == 1, text_col="text", min_count=1, top=10
+        ).collect()
+    }
+    # totals: N_a = 4, N_b = 4
+    a, b, na, nb = 3, 0, 4, 4
+    e_a = na * (a + b) / (na + nb)
+    la = math.floor(math.log(a / e_a) * 1e6 + 0.5) / 1e6
+    g2 = math.floor(2.0 * (a * la) * 1e6 + 0.5) / 1e6
+    assert out["x"] == (3, 0, 1, g2)
+    assert out["z"][2] == -1
+    assert out["x"][3] > out["y"][3]  # the skewed term dominates
+
+
+def test_kcenter_first_pick_is_farthest(spark):
+    """On a line of 1-d points the traversal picks the extremes first:
+    seed = max-norm point, second = farthest from it, and cover
+    distance decreases monotonically after round 2."""
+    from sheetsetl_spark.operators.similarity import kcenter_coreset
+
+    pts = [(i, [float(i)]) for i in range(11)]  # 0..10 on a line
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    rows = sorted(
+        kcenter_coreset(df, k=4).collect(), key=lambda r: r.sel_rank
+    )
+    assert rows[0].vec_id == 10  # max norm
+    assert rows[1].vec_id == 0  # farthest from 10: d2 = 100
+    assert rows[1].d2_at_selection == 100.0
+    assert rows[2].vec_id == 5  # midpoint, d2 = 25
+    assert rows[2].d2_at_selection == 25.0
+    d2s = [r.d2_at_selection for r in rows[1:]]
+    assert d2s == sorted(d2s, reverse=True)  # farthest-first invariant
+
+
+def test_c101_plan_no_python_one_explode(spark):
+    """The corpus explode+aggregate must run ONCE: the cells frame is
+    lazy-checkpointed before its two consumers (totals + keyness), so
+    the executed plan reads the pinned RDD instead of re-deriving the
+    explode per consumer (0 or 1 Generate nodes; un-pinned it was 2)."""
+    plan = _executed_plan(QUERIES["c101_term_keyness"](spark, SF_SMALL))
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+    assert plan.count("Generate explode") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c102_plan_shuffle_free_distance_pass(spark):
+    """The k-center distance pass is one corpus scan against literal
+    centers: the returned coreset frame is a tiny local relation, and
+    re-running the operator's internal scan shows no Exchange beyond
+    the 1-row TakeOrdered collects (asserted via the operator's plan
+    on the base scan: no join at all)."""
+    from sheetsetl_spark.catalog import load_table
+    from sheetsetl_spark.operators.similarity import _sqdist
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    scan = emb.withColumn("mind2", _sqdist("v", [0.0] * 64))
+    plan = _executed_plan(scan.orderBy(F.col("mind2").desc(), "vec_id").limit(1))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
