@@ -362,3 +362,78 @@ def c102_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, k=8)
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+    ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@query(
+    "x102_column_profile",
+    oracle=f"""
+    SELECT * FROM (
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS column_name,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+              MIN({expr}) AS min_str, MAX({expr}) AS max_str
+            FROM orders'''
+        for name, expr in _PROFILE_COLS
+    )})
+    """,
+)
+def x102_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: one row per column of `orders` with
+    row/null/exact-distinct counts and min/max (rendered through
+    engine-portable string forms: decimals and dates, never raw double
+    formatting). The data-engineer's first query against an unknown
+    100 TB table, and the statistics a curation pipeline snapshots per
+    ingest to diff against the previous drop.
+
+    Scale shape: ONE corpus scan — Spark plans the multi-column
+    COUNT(DISTINCT ...) aggregate through a single Expand (one pass,
+    |cols|+1 row replication, map-side partials), never one scan per
+    column; min/max/null ride the same aggregate. The result is a
+    |cols|-row frame assembled from per-column scalar structs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    date_str = F.col("o_orderdate").cast("date").cast("string")
+    price_str = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice": price_str,
+        "o_orderdate": date_str,
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for name in exprs:
+        aggs += [
+            (F.count("*") - F.count(name)).cast("long").alias(f"{name}__nn"),
+            F.countDistinct(name).cast("long").alias(f"{name}__nd"),
+            F.min(exprs[name]).alias(f"{name}__mn"),
+            F.max(exprs[name]).alias(f"{name}__mx"),
+        ]
+    wide = orders.agg(*aggs)
+    struct_rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{name}__nn").alias("n_null"),
+                F.col(f"{name}__nd").alias("n_distinct"),
+                F.col(f"{name}__mn").alias("min_str"),
+                F.col(f"{name}__mx").alias("max_str"),
+            )
+            for name in exprs
+        ]
+    )
+    return wide.select(F.explode(struct_rows).alias("p")).select("p.*")

@@ -246,3 +246,16 @@ def test_c102_plan_shuffle_free_distance_pass(spark):
     assert "Join" not in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_x102_plan_one_scan_expand(spark):
+    """The multi-column COUNT(DISTINCT) profile must stay ONE corpus
+    scan through an Expand (gid) aggregate — never a scan per column."""
+    df = QUERIES["x102_column_profile"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Expand" in final, final
+    assert final.count("FileScan") == 1, final
+    for marker in _PY_NODES:
+        assert marker not in final, marker
