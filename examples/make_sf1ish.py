@@ -32,7 +32,9 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SF1ISH_DIR", "/tmp/sf1ish")
-REPLICAS = 10
+# 10 = the standard 10x step; SF1ISH_REPLICAS=100 builds the 100x point
+# (the vocabulary-permutation / coordinate-roll laws hold at any k).
+REPLICAS = int(os.environ.get("SF1ISH_REPLICAS", "10"))
 
 
 def main() -> None:
@@ -71,8 +73,18 @@ def main() -> None:
     m = len(e["vec_id"])
     vecs = np.array(e["embedding"], dtype=np.float32)
     eout = {"vec_id": [], "embedding": [], "label": []}
+    dim = vecs.shape[1]
     for k in range(REPLICAS):
-        rolled = np.roll(vecs, k, axis=1)
+        rolled = np.roll(vecs, k % dim, axis=1)
+        if k >= dim:
+            # rolls wrap at dim, so replica k would exactly duplicate
+            # replica k-dim's vector set. A per-replica uniform sign
+            # pattern is still an isometry (within-replica cosines
+            # preserved exactly) but scrambles cross-replica alignment.
+            signs = np.random.default_rng(1000 + k).choice(
+                np.array([-1.0, 1.0], dtype=np.float32), size=dim
+            )
+            rolled = rolled * signs
         eout["vec_id"].extend(int(v) + k * m for v in e["vec_id"])
         eout["embedding"].extend(rolled.tolist())
         eout["label"].extend(e["label"])
