@@ -437,3 +437,126 @@ def x102_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(struct_rows).alias("p")).select("p.*")
+
+
+@query(
+    "c103_conformal_coverage",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ('0x' || SUBSTRING(MD5('cal:' || CAST(o_orderkey AS VARCHAR)),
+                                1, 8))::BIGINT < 2147483648 AS is_cal
+      FROM orders
+    ),
+    pred AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_cal,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS yhat
+      FROM base WHERE is_cal GROUP BY 1
+    ),
+    cal_resid AS (
+      SELECT b.o_orderpriority, ABS(b.o_totalprice - p.yhat) AS r,
+             b.o_orderkey, p.n_cal
+      FROM base b JOIN pred p USING (o_orderpriority) WHERE b.is_cal
+    ),
+    qhat AS (
+      SELECT o_orderpriority, r AS q FROM (
+        SELECT o_orderpriority, r, n_cal,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY r, o_orderkey) AS rk
+        FROM cal_resid
+      ) WHERE rk = LEAST((9 * n_cal + 18) // 10, n_cal)
+    )
+    SELECT b.o_orderpriority, p.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           {round6_bin_sql("q.q")} AS q_hat,
+           {round6_bin_sql(
+               "CAST(SUM(CASE WHEN ABS(b.o_totalprice - p.yhat) <= q.q"
+               " THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+           )} AS coverage
+    FROM base b JOIN pred p USING (o_orderpriority)
+                JOIN qhat q USING (o_orderpriority)
+    WHERE NOT b.is_cal
+    GROUP BY 1, 2, q.q
+    """,
+)
+def c103_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with measured coverage
+    (Vovk et al. / the distribution-free eval a model gate runs): a
+    deterministic md5 split carves calibration/test halves; the
+    per-priority calibration-mean 'model' yields absolute residuals;
+    q_hat is the EXACT ceil((n+1)*0.9)-th order statistic of the
+    calibration residuals (integer rank arithmetic, orderkey
+    tie-break); coverage = share of held-out residuals <= q_hat
+    (guaranteed >= 0.9 in expectation — asserted as a unit test).
+
+    Scale shape: one corpus scan for the split + two keyed aggregates;
+    the rank runs in a priority-KEYED window (never single-partition);
+    the 5-row pred/q_hat frames broadcast back onto the test scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cal:"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (u < F.lit(2147483648)).alias("is_cal"),
+    )
+    cal = base.filter(F.col("is_cal"))
+    pred = cal.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("yhat"),
+    )
+    cal_resid = cal.join(F.broadcast(pred), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_cal",
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - F.col("yhat")).alias("r"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("r", "o_orderkey")
+    k = F.least(
+        (F.lit(9) * F.col("n_cal") + F.lit(18)) / F.lit(10), F.col("n_cal")
+    )
+    qhat = (
+        cal_resid.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == F.floor(k).cast("long"))
+        .select("o_orderpriority", F.col("r").alias("q"))
+    )
+    test = base.filter(~F.col("is_cal"))
+    return (
+        test.join(F.broadcast(pred), "o_orderpriority")
+        .join(F.broadcast(qhat), "o_orderpriority")
+        .groupBy("o_orderpriority", "n_cal", "q")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            round6_bin(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("o_totalprice") - F.col("yhat"))
+                        <= F.col("q"),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("coverage"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_cal",
+            "n_test",
+            round6_bin(F.col("q")).alias("q_hat"),
+            "coverage",
+        )
+    )

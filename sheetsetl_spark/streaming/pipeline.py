@@ -1240,3 +1240,67 @@ class DecontaminationIngestForeachBatch:
                 .partitionBy("__batch_id")
                 .parquet(out_dir)
             )
+
+
+class HoltIngestForeachBatch:
+    """Incrementally maintained daily-series store feeding Holt linear-
+    trend smoothing — the streaming read-side twin of
+    operators/incremental.py::holt_by_key (c100's batch query).
+
+    Merge property: the daily frame is a LINEAR aggregate (per-(key,
+    day) DECIMAL sums), so summing each micro-batch's partials is
+    EXACTLY the daily series a one-shot aggregation over the full
+    history would produce — decimal addition is associative and
+    order-free. The sequential Holt fold then runs over that identical
+    bounded series, so the streaming estimate equals the batch
+    operator's bit-for-bit (tested). Per-batch cost is one scan of the
+    batch plus a (keys x days-touched) write; nothing rescans history.
+
+    Replay contract: dynamic partition overwrite keyed by batch id —
+    reprocessing a batch rewrites its own partial partition instead of
+    double-counting (tested).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        key_col: str,
+        date_col: str,
+        value_col: str,
+    ):
+        self.store_dir = store_dir
+        self.key_col = key_col
+        self.date_col = date_col
+        self.value_col = value_col
+        self.batches_seen: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen.append(batch_id)
+        daily = batch_df.groupBy(
+            F.col(self.key_col).alias("__k"),
+            F.to_date(self.date_col).alias("__day"),
+        ).agg(
+            F.sum(F.col(self.value_col).cast("decimal(18,6)")).alias("__part")
+        )
+        (
+            daily.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(self.store_dir)
+        )
+
+    def smoothed(self, spark: SparkSession) -> DataFrame:
+        """(key, n_points, level, trend, forecast_7) over the merged
+        store — identical to holt_by_key over the full ingested
+        history (the per-day decimal partials merge exactly)."""
+        from sheetsetl_spark.operators.incremental import holt_by_key
+
+        merged = (
+            spark.read.parquet(self.store_dir)
+            .groupBy("__k", "__day")
+            .agg(F.sum("__part").cast("double").alias("__x"))
+        )
+        return holt_by_key(
+            merged, key_col="__k", order_col="__day", value_col="__x"
+        )

@@ -259,3 +259,26 @@ def test_x102_plan_one_scan_expand(spark):
     assert final.count("FileScan") == 1, final
     for marker in _PY_NODES:
         assert marker not in final, marker
+
+
+def test_c103_conformal_guarantee_and_plan(spark):
+    """Split-conformal coverage must hit >= ~0.9 on held-out rows (the
+    distribution-free guarantee; slack for finite samples), q_hat > 0,
+    and the rank runs in a priority-KEYED window (no single-partition
+    corpus sort), with the 5-row frames broadcast."""
+    df = QUERIES["c103_conformal_coverage"](spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.q_hat > 0
+        assert r.coverage >= 0.85, (r.o_orderpriority, r.coverage)
+        assert abs(r.n_cal - r.n_test) < 0.2 * (r.n_cal + r.n_test)
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "windowspecdefinition" in ln:
+            ctx = "\n".join(lines[i : i + 4])
+            assert "SinglePartition" not in ctx, ctx
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker

@@ -933,3 +933,41 @@ def test_quantile_sketch_ingest_matches_oneshot(spark, tmp_path):
     assert got == want and len(got) == 4
     # sanity: median of 0..999-ish lands mid-domain
     assert 400.0 < got[0.5] < 600.0
+
+
+def test_holt_ingest_matches_oneshot(spark, tmp_path):
+    """Streaming Holt (read-side twin of c100): per-batch per-(key, day)
+    DECIMAL partials merge into EXACTLY the one-shot daily series, so the
+    sequential fold over the merged store is bit-identical to
+    operators/incremental.py::holt_by_key over the full history; a
+    replayed batch changes nothing (dynamic partition overwrite)."""
+    from pyspark.sql import functions as F
+
+    from sheetsetl_spark.operators.incremental import holt_by_key
+    from sheetsetl_spark.streaming import HoltIngestForeachBatch
+
+    rows1 = [("A", "2024-01-01", 4.0), ("A", "2024-01-02", 3.0),
+             ("B", "2024-01-01", 10.0)]
+    rows2 = [("A", "2024-01-02", 5.0),  # same (key, day): partials must sum
+             ("A", "2024-01-03", 6.0), ("B", "2024-01-02", 20.0)]
+    b1 = spark.createDataFrame(rows1, "k string, d string, x double")
+    b2 = spark.createDataFrame(rows2, "k string, d string, x double")
+
+    gate = HoltIngestForeachBatch(str(tmp_path / "holt"), "k", "d", "x")
+    gate(b1, 0)
+    gate(b2, 1)
+    gate(b2, 1)  # replay: must rewrite, not double-count
+
+    got = {r["__k"]: (r.n_points, r.level, r.trend, r.forecast_7)
+           for r in gate.smoothed(spark).collect()}
+    daily = (
+        b1.unionByName(b2)
+        .groupBy(F.col("k"), F.to_date("d").alias("day"))
+        .agg(F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("v"))
+    )
+    want = {r.k: (r.n_points, r.level, r.trend, r.forecast_7)
+            for r in holt_by_key(daily, "k", "day", "v").collect()}
+    assert got == want
+    # hand-check key A: days [4, 8, 6] -> l1=2,t1=1; l2=5.5,t2=2.25;
+    # l3=6.875,t3=1.8125
+    assert got["A"] == (3, 6.875, 1.8125, 6.875 + 7 * 1.8125)
