@@ -102,6 +102,12 @@ def test_orders_queries_on_random_fixtures(spark, rows):
             "x64_benford_firstdigit",
             "b64_map_functions",
             "c47_data_quality_report",
+            # batch-15/17/18: singleton daily series (Holt), tiny or
+            # empty calibration splits (conformal), constant columns
+            # (profile min == max, n_distinct 1)
+            "c100_holt_linear",
+            "c103_conformal_coverage",
+            "x102_column_profile",
         ],
     )
 
@@ -113,6 +119,8 @@ _line_row = st.tuples(
     st.integers(1, 50),  # quantity
     st.integers(100, 999999).map(lambda c: c / 100.0),  # extendedprice
     st.sampled_from([0.0, 0.02, 0.05, 0.1]),  # discount
+    st.integers(1, 6),  # orderkey: few orders -> big baskets
+    st.integers(1, 8),  # partkey: repeats within an order
 )
 
 
@@ -125,6 +133,8 @@ def test_lineitem_queries_on_random_fixtures(spark, rows):
             "l_quantity": pa.array([float(r[1]) for r in rows], type=pa.float64()),
             "l_extendedprice": pa.array([r[2] for r in rows], type=pa.float64()),
             "l_discount": pa.array([r[3] for r in rows], type=pa.float64()),
+            "l_orderkey": pa.array([r[4] for r in rows], type=pa.int64()),
+            "l_partkey": pa.array([r[5] for r in rows], type=pa.int64()),
         }
     )
     d = _write_dir({"lineitem": t})
@@ -136,7 +146,14 @@ def test_lineitem_queries_on_random_fixtures(spark, rows):
     _check(
         spark,
         d,
-        ["x50_regression_aggregates", "x56_histogram_2d", "x58_weighted_median"],
+        [
+            "x50_regression_aggregates",
+            "x56_histogram_2d",
+            "x58_weighted_median",
+            # batch-15: degenerate baskets (singleton orders contribute
+            # no pairs; duplicate (order, part) memberships dedupe)
+            "c99_adamic_adar",
+        ],
     )
 
 
@@ -289,7 +306,18 @@ def test_customer_queries_on_random_fixtures(spark, rows):
     d = _write_dir({"customer": cust, "nation": nation, "region": region})
     # b24 exercises singleton groups (null var) and constant groups
     # (exactly-zero var via the relative floor)
-    _check(spark, d, ["b24_stats_agg", "x53_conditional_agg", "x62_ratio_to_report"])
+    _check(
+        spark,
+        d,
+        [
+            "b24_stats_agg",
+            "x53_conditional_agg",
+            "x62_ratio_to_report",
+            # batch-15: zero-width buckets (all-equal balances),
+            # singleton QI classes, negative balances
+            "x101_t_closeness",
+        ],
+    )
 
 
 # --- partsupp-shaped (part × supplier CTE derivation + star dims) ----------
