@@ -466,3 +466,141 @@ def test_sorted_neighborhood_equals_bruteforce(spark, names, window):
         for j in range(i + 1, min(i + window, len(order)))
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_adamic_adar_matches_python_reference(spark, edges):
+    """adamic_adar_bipartite == the direct Python computation (dedup
+    memberships, per-group 1/ln(|g|) 6dp weights, decimal-style sums)
+    on random bipartite graphs, including degenerate baskets."""
+    import math
+    from collections import defaultdict
+
+    from sheetsetl_spark.operators.graph import adamic_adar_bipartite
+
+    df = spark.createDataFrame(
+        [(f"g{g}", f"i{i}") for g, i in edges], ["g", "item"]
+    )
+    got = {
+        (r.item_a, r.item_b): (r.n_common, r.aa_score)
+        for r in adamic_adar_bipartite(df, "g", "item", top=10000).collect()
+    }
+
+    groups = defaultdict(set)
+    for g, i in edges:
+        groups[g].add(f"i{i}")
+    want: dict[tuple[str, str], list] = defaultdict(lambda: [0, 0.0])
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        term = math.floor(1.0 / math.log(len(members)) * 1e6 + 0.5) / 1e6
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                want[(ms[x], ms[y])][0] += 1
+                want[(ms[x], ms[y])][1] += term
+    assert set(got) == set(want)
+    for k, (n, s) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-9, (k, got[k], (n, s))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(-99999, 99999).map(lambda c: c / 100.0)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_holt_fold_matches_python_reference(spark, series):
+    """holt_by_key == the sequential Python recurrence bit-for-bit: the
+    0.5 constants make every multiply exact, and CPython runs the same
+    IEEE addition order as the JVM fold."""
+    import math
+
+    from sheetsetl_spark.operators.incremental import holt_by_key
+
+    rows = [(f"k{k}", i, x) for i, (k, x) in enumerate(series)]
+    df = spark.createDataFrame(rows, ["key", "i", "x"])
+    got = {
+        r.key: (r.n_points, r.level, r.trend, r.forecast_7)
+        for r in holt_by_key(df, "key", "i", "x").collect()
+    }
+
+    def r6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    per: dict[str, list[float]] = {}
+    for k, i, x in rows:
+        per.setdefault(k, []).append(x)  # i is already in insert order
+    for k, xs in per.items():
+        l = t = 0.0
+        for x in xs:
+            nl = 0.5 * x + 0.5 * (l + t)
+            nt = 0.5 * ((0.5 * x + 0.5 * (l + t)) - l) + 0.5 * t
+            l, t = nl, nt
+        assert got[k] == (len(xs), r6(l), r6(t), r6(l + 7.0 * t)), k
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(-999, 999).map(lambda c: c / 100.0),
+            st.integers(-999, 999).map(lambda c: c / 100.0),
+            st.integers(-999, 999).map(lambda c: c / 100.0),
+        ),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_kcenter_matches_python_greedy(spark, vecs):
+    """kcenter_coreset == the pure-Python farthest-point traversal with
+    the same left-fold distances and (value, id) tie-breaks."""
+    import math
+
+    from sheetsetl_spark.operators.similarity import kcenter_coreset
+
+    k = min(4, len(vecs))
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = [
+        (r.sel_rank, r.vec_id, r.d2_at_selection)
+        for r in sorted(
+            kcenter_coreset(df, k=k).collect(), key=lambda r: r.sel_rank
+        )
+    ]
+
+    def fold(items):
+        acc = 0.0
+        for v in items:
+            acc = acc + v
+        return acc
+
+    def d2(a, b):
+        return fold([(x - y) * (x - y) for x, y in zip(a, b)])
+
+    def r6(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    pts = {i: list(v) for i, v in enumerate(vecs)}
+    norm = {i: fold([x * x for x in v]) for i, v in pts.items()}
+    seed = max(pts, key=lambda i: (norm[i], -i))
+    want = [(1, seed, 0.0)]
+    mind = {i: d2(v, pts[seed]) for i, v in pts.items()}
+    for r in range(2, k + 1):
+        nxt = max(pts, key=lambda i: (mind[i], -i))
+        want.append((r, nxt, r6(mind[nxt])))
+        for i, v in pts.items():
+            mind[i] = min(mind[i], d2(v, pts[nxt]))
+    assert got == want
