@@ -427,12 +427,19 @@ def adamic_adar_bipartite(
     items = df.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("item")
     ).distinct()
+    # items feeds the size aggregate AND the weight join; weighted feeds
+    # BOTH sides of the pair self-join. Un-pinned, Spark re-derived the
+    # corpus scan+distinct up to 6x (ReusedExchange only caught 2) —
+    # the lazy checkpoints make it one scan + one distinct + one join.
+    items = items.localCheckpoint(eager=False)
     sizes = items.groupBy("g").agg(F.count("*").alias("__gs"))
     if max_group_size is not None:
         sizes = sizes.filter(F.col("__gs") <= max_group_size)
-    weighted = items.join(
-        sizes.filter(F.col("__gs") >= 2), "g"
-    ).withColumn("term", round6_bin(F.lit(1.0) / F.log(F.col("__gs"))))
+    weighted = (
+        items.join(sizes.filter(F.col("__gs") >= 2), "g")
+        .withColumn("term", round6_bin(F.lit(1.0) / F.log(F.col("__gs"))))
+        .localCheckpoint(eager=False)
+    )
     a = weighted.select("g", F.col("item").alias("item_a"), "term")
     b = weighted.select("g", F.col("item").alias("item_b"))
     pairs = a.join(b, "g").filter(F.col("item_a") < F.col("item_b"))
