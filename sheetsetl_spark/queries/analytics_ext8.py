@@ -184,9 +184,12 @@ def x101_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference|; the per-bucket numerators c_j*N - g_j*n_c are EXACT
     integers, so the only floating-point op is one final division.
 
-    Scale: two corpus groupBys; the spine/cumulative stage runs on
-    classes x buckets (<= 1250 rows at any corpus size) with the 10-row
-    global distribution broadcast."""
+    Scale: exactly TWO corpus scans — the min/max bounds pass and one
+    (class, bucket) groupBy. The class/bucket/global marginals all
+    derive from that bounded cell frame (<= classes x buckets rows at
+    any corpus size, lazy-checkpointed so its three consumers don't
+    re-run the corpus aggregate), and the 10-row global distribution
+    broadcasts back."""
     cust = load_table(spark, sf_dir, "customer")
     b = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(float(_TC_BUCKETS))
@@ -198,13 +201,15 @@ def x101_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_TC_BUCKETS - 1).cast("long"),
         ).alias("bucket"),
     )
-    g = binned.groupBy("bucket").agg(F.count("*").cast("long").alias("gcnt"))
-    tot = binned.agg(F.count("*").cast("long").alias("n"))
-    cls = binned.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count("*").cast("long").alias("n_c")
+    cell = (
+        binned.groupBy("c_nationkey", "c_mktsegment", "bucket")
+        .agg(F.count("*").cast("long").alias("ccnt"))
+        .localCheckpoint(eager=False)
     )
-    cell = binned.groupBy("c_nationkey", "c_mktsegment", "bucket").agg(
-        F.count("*").cast("long").alias("ccnt")
+    g = cell.groupBy("bucket").agg(F.sum("ccnt").cast("long").alias("gcnt"))
+    tot = cell.agg(F.sum("ccnt").cast("long").alias("n"))
+    cls = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("ccnt").cast("long").alias("n_c")
     )
     spine = (
         cls.crossJoin(F.broadcast(tot))
