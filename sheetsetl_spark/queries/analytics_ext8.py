@@ -509,12 +509,17 @@ def c103_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
+    # base feeds the calibration aggregate, the residual rank AND the
+    # test-side coverage scan — un-pinned, Spark re-ran the corpus scan
+    # + md5 split up to 7x (ReusedExchange caught 1). The pinned frame
+    # is the 4 pruned columns, so the one-time materialization replaces
+    # six re-scans.
     base = orders.select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
         (u < F.lit(2147483648)).alias("is_cal"),
-    )
+    ).localCheckpoint(eager=False)
     cal = base.filter(F.col("is_cal"))
     pred = cal.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_cal"),
