@@ -138,7 +138,10 @@ def c83_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    ranked = similarity.cosine_topk(emb, q, k=10)
+    # the kNN kernel's 80-row output feeds several metric branches in
+    # ranking_metrics — pinned so the corpus kernel runs once (scan
+    # audit: 7 embeddings scans un-pinned, ReusedExchange caught 1)
+    ranked = similarity.cosine_topk(emb, q, k=10).localCheckpoint(eager=False)
     lab_cnt = emb.groupBy("label").agg(F.count("*").alias("__lc"))
     ql = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
     rel = (
@@ -536,8 +539,12 @@ def c91_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
-    exact = similarity.cosine_topk(emb, queries_df, k=10).select(
-        "query_id", "neighbor_id"
+    # the exact kernel is the recall denominator for BOTH compared
+    # methods — pinned so it runs once (scan audit: 8 embeddings scans)
+    exact = (
+        similarity.cosine_topk(emb, queries_df, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
 
     def recall_of(approx: DataFrame, method: str) -> DataFrame:
