@@ -570,3 +570,107 @@ def c103_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+_JL_K, _JL_DIM, _JL_SAMPLE = 16, 64, 50
+
+
+def _jl_oracle() -> str:
+    """DuckDB twin of the JL projection eval: the SAME seeded +/-1 plane
+    literals inline (the LSH-oracle idiom), LIST_DOT_PRODUCT for the
+    projections (bit-identical to the Spark left-fold), LIST_REDUCE
+    left-folds for both squared distances."""
+    from sheetsetl_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(_JL_K, _JL_DIM, tag="jl")
+    proj = ", ".join(
+        "LIST_DOT_PRODUCT(["
+        + ", ".join(repr(v) for v in row)
+        + "]::DOUBLE[], v) / 4.0"
+        for row in planes
+    )
+    def foldd(a: str, b: str, n: int) -> str:
+        return (
+            "LIST_REDUCE(LIST_PREPEND(0.0::DOUBLE, "
+            f"LIST_TRANSFORM(GENERATE_SERIES(1, {n}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    from sheetsetl_spark.operators.text import round6_bin_sql as r6
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {_JL_SAMPLE}
+    ),
+    p AS (SELECT vec_id, v, [{proj}] AS y FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {r6(foldd('a.v', 'b.v', _JL_DIM))} AS d2_orig,
+           {r6(foldd('a.y', 'b.y', _JL_K))} AS d2_proj,
+           {r6(foldd('a.y', 'b.y', _JL_K) + " / " + foldd('a.v', 'b.v', _JL_DIM))} AS ratio
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    """
+
+
+@query("c104_jl_projection", oracle=_jl_oracle())
+def c104_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 16 dims via the
+    seeded +/-1 planes, scaled 1/sqrt(k)) with MEASURED pairwise
+    distance distortion on a bounded sample — the cheap-ANN scale path:
+    project once map-side, run downstream similarity in 1/4 the bytes,
+    and this query is the evidence of what that costs (ratio
+    distribution of projected vs original squared distances; JL says
+    concentration around 1). The projection is one corpus-linear
+    map-side pass at any scale; the distortion EVAL joins only the
+    bounded sample with itself (the c35/c91 honest-ANN practice:
+    the approximation ships with its measured error)."""
+    from sheetsetl_spark.operators.similarity import _sqdist, hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < _JL_SAMPLE).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planes = hyperplanes(_JL_K, _JL_DIM, tag="jl")
+    projs = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(4.0)
+        )
+        for row in planes
+    ]
+    p = base.withColumn("y", F.array(*projs)).localCheckpoint(eager=False)
+
+    def fold_d2(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = p.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("y").alias("yb")
+    )
+    d2o = fold_d2("va", "vb")
+    d2p = fold_d2("ya", "yb")
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round6_bin(d2o).alias("d2_orig"),
+            round6_bin(d2p).alias("d2_proj"),
+            round6_bin(d2p / d2o).alias("ratio"),
+        )
+    )

@@ -282,3 +282,18 @@ def test_c103_conformal_guarantee_and_plan(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_c104_jl_distortion_concentrates(spark):
+    """JL with k=16 must concentrate pairwise distance ratios around 1
+    (sigma ~ sqrt(2/k) ~ 0.35): mean ratio in [0.8, 1.2], all ratios
+    positive, and the pair pool is exactly C(sample, 2)."""
+    rows = QUERIES["c104_jl_projection"](spark, SF_SMALL).collect()
+    n = len(rows)
+    assert n == 50 * 49 // 2
+    ratios = [r.ratio for r in rows]
+    assert all(x > 0 for x in ratios)
+    mean = sum(ratios) / n
+    assert 0.8 < mean < 1.2, mean
+    within = sum(1 for x in ratios if abs(x - 1) <= 0.75) / n
+    assert within > 0.9, within
