@@ -97,6 +97,10 @@ HEADLINE = [
     # r8 batch-15: wedge-join link prediction. First recorded in
     # BENCH_r08.
     "c99_adamic_adar",  # Adamic-Adar over co-purchase wedges
+    # r8 batch-15/18: ordered sequential recurrence + conformal eval.
+    # First recorded in BENCH_r08.
+    "c100_holt_linear",  # [level, trend] fold over the daily series
+    "c103_conformal_coverage",  # exact order-statistic q_hat + coverage
 ]
 
 
