@@ -225,7 +225,17 @@ def test_embedding_queries_on_random_fixtures(spark, vecs):
         }
     )
     d = _write_dir({"embeddings": t})
-    _check(spark, d, ["b63_higher_order_arrays", "c42_embedding_covariance"])
+    _check(
+        spark,
+        d,
+        [
+            "b63_higher_order_arrays",
+            "c42_embedding_covariance",
+            # batch-16: k > n corpora (argmax over all-zero min-dists must
+            # tie-break identically), duplicate vectors, zero vectors
+            "c102_kcenter_coreset",
+        ],
+    )
 
 
 # --- documents-shaped ------------------------------------------------------
