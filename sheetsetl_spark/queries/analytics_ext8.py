@@ -674,3 +674,187 @@ def c104_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6_bin(d2p / d2o).alias("ratio"),
         )
     )
+
+
+_NEY_BUDGET = 1000
+
+
+@query(
+    "c105_neyman_allocation",
+    oracle=f"""
+    WITH mom AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                      * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sxx
+      FROM orders GROUP BY 1
+    ),
+    sdev AS (
+      SELECT o_orderpriority, n_pop,
+             CASE WHEN n_pop <= 1 THEN 0.0
+                  WHEN (sxx - sx * sx / n_pop) / (n_pop - 1)
+                       <= ((sx / n_pop) * (sx / n_pop) + 1) * 1e-9 THEN 0.0
+                  ELSE FLOOR(SQRT((sxx - sx * sx / n_pop) / (n_pop - 1))
+                             * 10000.0 + 0.5) / 10000.0
+             END AS s_h
+      FROM mom
+    ),
+    w AS (
+      SELECT o_orderpriority, n_pop, s_h,
+             CAST(FLOOR(n_pop * s_h + 0.5) AS BIGINT) AS wu
+      FROM sdev
+    ),
+    t AS (SELECT CAST(SUM(wu) AS BIGINT) AS tw, CAST(SUM(n_pop) AS BIGINT)
+                 AS tn FROM w),
+    eff AS (
+      SELECT w.*, CASE WHEN t.tw = 0 THEN w.n_pop ELSE w.wu END AS ew,
+             CASE WHEN t.tw = 0 THEN t.tn ELSE t.tw END AS et
+      FROM w CROSS JOIN t
+    ),
+    alloc AS (
+      SELECT o_orderpriority, n_pop, s_h,
+             ({_NEY_BUDGET} * ew) // et AS base,
+             ({_NEY_BUDGET} * ew) % et AS rem,
+             ROW_NUMBER() OVER (ORDER BY ({_NEY_BUDGET} * ew) % et DESC,
+                                o_orderpriority) AS rrk,
+             {_NEY_BUDGET} - CAST(SUM(({_NEY_BUDGET} * ew) // et)
+                                  OVER () AS BIGINT) AS leftover
+      FROM eff
+    ),
+    final AS (
+      SELECT o_orderpriority, n_pop, s_h,
+             CAST(base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_alloc
+      FROM alloc
+    ),
+    ranked AS (
+      SELECT o.o_orderpriority, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o.o_orderpriority
+                                ORDER BY MD5('ney:' || CAST(o.o_orderkey
+                                             AS VARCHAR)), o.o_orderkey)
+               AS rk
+      FROM orders o
+    )
+    SELECT f.o_orderpriority, f.n_pop, f.s_h, f.n_alloc,
+           CAST(COUNT(r.o_totalprice) AS BIGINT) AS n_sampled,
+           ROUND(CAST(SUM(CAST(r.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(r.o_totalprice), 6) AS sample_mean
+    FROM final f LEFT JOIN ranked r
+      ON r.o_orderpriority = f.o_orderpriority AND r.rk <= f.n_alloc
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def c105_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling (the survey-statistics
+    optimum: per-stratum sample size n_h proportional to N_h * S_h, so
+    high-variance strata get more of the budget than c7's proportional
+    rule gives them): exact decimal-moment stddevs (the b24 recipe),
+    allocation by INTEGER largest-remainder arithmetic over 6dp-scaled
+    weight units (floor division + modular remainder ranking — no
+    engine-order-sensitive double sums anywhere in the allocation), an
+    all-constant-strata fallback to population weights, and the sample
+    itself drawn per stratum as the n_h smallest md5(tag:orderkey)
+    uniforms (reproducible on any cluster or partitioning).
+
+    Scale shape: one corpus scan for the moments, one priority-keyed
+    rank window for the draw; the 5-row allocation math broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    # asymmetric casts, both exact: Spark multiplies (18,4) factors
+    # ((37,8) product, inside the 38-digit cap) while the ORACLE casts
+    # to DECIMAL(19,4) because DuckDB stores <=18-digit decimals in
+    # int64 and its multiply overflows on totalprice^2 (~1.4e19);
+    # 19 digits force the int128 path. Same exact value either way.
+    price4 = F.col("o_totalprice").cast("decimal(18,4)")
+    mom = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(price4 * price4).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n_pop"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    s_h = (
+        F.when(n <= 1, F.lit(0.0))
+        .when(var <= ((sx / n) * (sx / n) + 1) * 1e-9, F.lit(0.0))
+        .otherwise(F.floor(F.sqrt(var) * 10000.0 + 0.5) / 10000.0)
+    )
+    w = mom.select(
+        "o_orderpriority",
+        "n_pop",
+        s_h.alias("s_h"),
+        F.floor(n * s_h + 0.5).cast("long").alias("wu"),
+    )
+    t = w.agg(
+        F.sum("wu").cast("long").alias("tw"),
+        F.sum("n_pop").cast("long").alias("tn"),
+    )
+    eff = w.crossJoin(F.broadcast(t)).select(
+        "o_orderpriority",
+        "n_pop",
+        "s_h",
+        F.when(F.col("tw") == 0, F.col("n_pop")).otherwise(F.col("wu")).alias("ew"),
+        F.when(F.col("tw") == 0, F.col("tn")).otherwise(F.col("tw")).alias("et"),
+    )
+    budget = F.lit(_NEY_BUDGET)
+    # DIV/% keep the allocation in exact int64 arithmetic — a double
+    # division here can floor across an integer boundary differently
+    # from DuckDB's // once the products leave double's 2^53 range
+    alloc = eff.selectExpr(
+        "o_orderpriority",
+        "n_pop",
+        "s_h",
+        f"CAST(({_NEY_BUDGET} * ew) DIV et AS BIGINT) AS base",
+        f"CAST(({_NEY_BUDGET} * ew) % et AS BIGINT) AS rem",
+    )
+    wrk = Window.orderBy(F.col("rem").desc(), "o_orderpriority")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    final = alloc.select(
+        "o_orderpriority",
+        "n_pop",
+        "s_h",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(wrk)
+                <= budget - F.sum("base").over(wall),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(
+            F.md5(
+                F.concat(F.lit("ney:"), F.col("o_orderkey").cast("string"))
+            ),
+            "o_orderkey",
+        )
+    )
+    ranked = orders.select(
+        "o_orderpriority", "o_totalprice", rk.alias("rk")
+    )
+    return (
+        final.join(
+            ranked,
+            (ranked["o_orderpriority"] == final["o_orderpriority"])
+            & (F.col("rk") <= F.col("n_alloc")),
+            "left",
+        )
+        .drop(ranked["o_orderpriority"])
+        .groupBy("o_orderpriority", "n_pop", "s_h", "n_alloc")
+        .agg(
+            F.count("o_totalprice").cast("long").alias("n_sampled"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("o_totalprice"),
+                6,
+            ).alias("sample_mean"),
+        )
+    )

@@ -297,3 +297,22 @@ def test_c104_jl_distortion_concentrates(spark):
     assert 0.8 < mean < 1.2, mean
     within = sum(1 for x in ratios if abs(x - 1) <= 0.75) / n
     assert within > 0.9, within
+
+
+def test_c105_neyman_allocation_properties(spark):
+    """Allocation must sum exactly to the budget (largest-remainder),
+    every stratum's draw fills min(n_alloc, n_pop), and the Neyman
+    property holds: a stratum's allocation share can exceed its
+    population share only through higher variance."""
+    rows = QUERIES["c105_neyman_allocation"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert sum(r.n_alloc for r in rows) == 1000
+    for r in rows:
+        assert r.n_sampled == min(r.n_alloc, r.n_pop), r
+        assert r.s_h > 0
+    # share ratio alloc/pop tracks s_h ordering: the highest-variance
+    # stratum's alloc-to-pop ratio is >= the lowest-variance one's
+    by_s = sorted(rows, key=lambda r: r.s_h)
+    lo, hi = by_s[0], by_s[-1]
+    assert hi.n_alloc / hi.n_pop >= lo.n_alloc / lo.n_pop
