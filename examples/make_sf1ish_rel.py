@@ -30,7 +30,8 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SF1ISH_REL_DIR", "/tmp/sf1ish_rel")
-REPLICAS = 10
+# 10 = the standard step; SF1ISH_REL_REPLICAS=100 builds the 100x point
+REPLICAS = int(os.environ.get("SF1ISH_REL_REPLICAS", "10"))
 
 # table -> columns that must shift per replica (column -> offset source)
 KEYED = {
@@ -59,7 +60,11 @@ def main() -> None:
     }
     for t, cols in KEYED.items():
         src = tables[t]
-        parts = []
+        # stream replica-by-replica: at 100x the concatenated lineitem
+        # (600M rows) would not fit in one in-memory Arrow table
+        out_path = os.path.join(DST, f"{t}.parquet")
+        writer = pq.ParquetWriter(out_path, src.schema)
+        total = 0
         for k in range(REPLICAS):
             arrays = []
             for field in src.schema:
@@ -74,10 +79,11 @@ def main() -> None:
                             field.type
                         )
                     )
-            parts.append(pa.table(arrays, schema=src.schema))
-        out = pa.concat_tables(parts)
-        pq.write_table(out, os.path.join(DST, f"{t}.parquet"))
-        print(t, src.num_rows, "->", out.num_rows)
+            part = pa.table(arrays, schema=src.schema)
+            writer.write_table(part)
+            total += part.num_rows
+        writer.close()
+        print(t, src.num_rows, "->", total)
 
 
 if __name__ == "__main__":
