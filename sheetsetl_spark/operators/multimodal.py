@@ -649,6 +649,7 @@ def audio_neardup_pairs(
     window: int = 32,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """EXACT audio near-duplicate pairs: energy-delta fingerprint +
     the shared banded Hamming join (:func:`_banded_hamming_pairs` —
@@ -657,8 +658,13 @@ def audio_neardup_pairs(
     h = audio_energy_hash(
         media, window=window, id_col=id_col, payload_col=payload_col
     )
+    # pass the fingerprint's LIVE bit-width (frames - 1 delta bits) as
+    # hash_bits: banding a short hash over the full 64 leaves high bands
+    # all-zero — one corpus-wide bucket, quadratic candidates at scale
+    # (see _banded_hamming_pairs)
     return _banded_hamming_pairs(
-        h, "ehash", id_col, max_hamming, bands, "clip_a", "clip_b"
+        h, "ehash", id_col, max_hamming, bands, "clip_a", "clip_b",
+        hash_bits=hash_bits,
     )
 
 
@@ -886,21 +892,33 @@ def _banded_hamming_pairs(
     bands: int,
     a_name: str,
     b_name: str,
+    hash_bits: int = 64,
 ) -> DataFrame:
-    """EXACT Hamming-bounded pairs over a 64-bit hash column via banded
+    """EXACT Hamming-bounded pairs over a hash column via banded
     blocking: with ``bands > max_hamming``, pigeonhole guarantees every
     qualifying pair agrees exactly on at least one contiguous bit band —
     candidates come from the (band_idx, band_val) equi-join, never
     all-pairs, and verification is ``bit_count(xor) <= max_hamming``.
-    Shared by the image-dHash and audio-energy-hash near-dup paths."""
+    Shared by the image-dHash and audio-energy-hash near-dup paths.
+
+    ``hash_bits`` MUST be the fingerprint's LIVE bit-width. Banding a
+    31-bit hash over 64 bits leaves the high band identically zero, so
+    that band's equi-join holds the ENTIRE corpus in one bucket and the
+    candidate stream quadruples with every data doubling — found as a
+    100x-scale hang (c52: 125B candidate pairs), invisible at small SF
+    where n^2/2 of a dead band still fits in a second. Pigeonhole
+    needs only that the bands COVER the live bits, so the ceil-split
+    over ``hash_bits`` preserves recall 1."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands={bands} must exceed max_hamming={max_hamming} for the "
             "pigeonhole recall guarantee"
         )
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
+    if hash_bits < bands or hash_bits > 64:
+        raise ValueError(
+            f"hash_bits={hash_bits} must lie in [bands={bands}, 64]"
+        )
+    width = -(-hash_bits // bands)  # ceil: every band holds live bits
     mask = (1 << width) - 1
     # Lazy checkpoint pins ONE materialization of the (id, hash) frame
     # — tiny (16 bytes/row) — before it fans out to both join sides.

@@ -2747,8 +2747,12 @@ def c52_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fn=sfn_pert,
         id_offset=1000000,
     )
+    # 1024 samples / window 32 -> 32 frames -> 31 live delta bits: band
+    # over exactly those (hash_bits=31); the r8 100x step caught the
+    # 64-bit default leaving band 1 all-zero (whole corpus in one
+    # bucket, 125B candidate pairs — a 20-minute hang)
     pairs = mm.audio_neardup_pairs(
-        base.unionAll(pert), max_hamming=1, bands=2, window=32
+        base.unionAll(pert), max_hamming=1, bands=2, window=32, hash_bits=31
     )
     return pairs.select(
         "clip_a", "clip_b", F.col("hamming").cast("int").alias("hamming")

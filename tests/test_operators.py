@@ -1444,3 +1444,53 @@ def test_pagerank_rounded_conserves_mass(spark):
     sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
     total = sum(r.pr for r in pagerank_rounded(sym, iters=5).collect())
     assert abs(total - 1.0) < 1e-3
+
+
+def test_banded_hamming_live_bits_no_dead_band(spark):
+    """Regression for the r8 100x hang: banding a SHORT hash over the
+    full 64 bits leaves high bands identically zero — one corpus-wide
+    bucket whose equi-join is quadratic. With hash_bits set to the live
+    width, every band must carry >1 distinct value on a random corpus,
+    and the pigeonhole recall guarantee must still find a planted
+    Hamming-1 pair."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sheetsetl_spark.operators.multimodal import _banded_hamming_pairs
+
+    # 200 pseudo-random 31-bit hashes + one planted hamming-1 twin
+    def h31(i: int) -> int:
+        return int.from_bytes(hashlib.md5(f"bh:{i}".encode()).digest()[:4], "big") & 0x7FFFFFFF
+
+    rows = [(i, h31(i)) for i in range(200)]
+    rows.append((1000, h31(7) ^ 1))  # hamming 1 from id 7
+    df = spark.createDataFrame(rows, "media_id long, ehash long")
+    pairs = {
+        (r.clip_a, r.clip_b): r.hamming
+        for r in _banded_hamming_pairs(
+            df, "ehash", "media_id", 1, 2, "clip_a", "clip_b", hash_bits=31
+        ).collect()
+    }
+    assert pairs[(7, 1000)] == 1
+    # non-degenerate banding: each band's value set is large on random
+    # hashes (the 64-bit default would make band 1 all-zero)
+    width = -(-31 // 2)
+    mask = (1 << width) - 1
+    stacked = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("ehash"), b * width).bitwiseAND(F.lit(mask))
+                    for b in range(2)
+                ]
+            )
+        ).alias("band_idx", "band_val")
+    )
+    per_band = {
+        r.band_idx: r.nd
+        for r in stacked.groupBy("band_idx")
+        .agg(F.countDistinct("band_val").alias("nd"))
+        .collect()
+    }
+    assert per_band[0] > 100 and per_band[1] > 100, per_band
