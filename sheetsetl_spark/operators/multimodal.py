@@ -675,6 +675,7 @@ def incremental_hamming_neardup_filter(
     id_col: str = "media_id",
     max_hamming: int = 1,
     bands: int = 2,
+    hash_bits: int = 64,
 ) -> DataFrame:
     """Incremental near-dup against a MAINTAINED fingerprint index:
     return the ``new_hashes`` rows whose hash is NOT within
@@ -689,9 +690,14 @@ def incremental_hamming_neardup_filter(
             f"bands={bands} must exceed max_hamming={max_hamming} for the "
             "pigeonhole recall guarantee"
         )
-    if 64 % bands:
-        raise ValueError(f"bands={bands} must divide 64")
-    width = 64 // bands
+    if hash_bits < bands or hash_bits > 64:
+        raise ValueError(
+            f"hash_bits={hash_bits} must lie in [bands={bands}, 64]"
+        )
+    # ceil-split the LIVE bit-width (see _banded_hamming_pairs: banding
+    # a short fingerprint over the storage width leaves high bands
+    # all-zero — one index-wide bucket, quadratic per ingest)
+    width = -(-hash_bits // bands)
     mask = (1 << width) - 1
 
     def stack(df: DataFrame, name: str, h: str) -> DataFrame:
@@ -865,6 +871,7 @@ def image_neardup_pairs(
     bands: int = 2,
     id_col: str = "media_id",
     payload_col: str = "payload",
+    hash_bits: int = 64,
 ) -> DataFrame:
     """EXACT image near-duplicate pairs: dHash + banded Hamming join.
 
@@ -880,7 +887,8 @@ def image_neardup_pairs(
     """
     h = image_dhash(media, id_col=id_col, payload_col=payload_col)
     return _banded_hamming_pairs(
-        h, "dhash", id_col, max_hamming, bands, "img_a", "img_b"
+        h, "dhash", id_col, max_hamming, bands, "img_a", "img_b",
+        hash_bits=hash_bits,
     )
 
 

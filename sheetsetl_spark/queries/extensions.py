@@ -2568,8 +2568,12 @@ def c50_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_fn=pf_pert,
         id_offset=1000000,
     )
+    # 8x8 dHash = 8 rows x 7 adjacent-column bits = 56 live bits; band
+    # over exactly those so both bands carry full-entropy values (the
+    # 64-bit default left 8 dead bits in the high band — harmless here,
+    # unlike c52's fully-dead band, but the intent is now explicit)
     pairs = mm.image_neardup_pairs(
-        base.unionAll(pert), max_hamming=1, bands=2
+        base.unionAll(pert), max_hamming=1, bands=2, hash_bits=56
     )
     return pairs.select(
         "img_a", "img_b", F.col("hamming").cast("int").alias("hamming")

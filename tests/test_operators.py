@@ -1134,8 +1134,21 @@ def test_image_dhash_and_neardup_pairs(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         multimodal.image_neardup_pairs(media, max_hamming=2, bands=2)
-    with _pytest.raises(ValueError, match="divide 64"):
-        multimodal.image_neardup_pairs(media, max_hamming=1, bands=3)
+    # any band count is valid now (ceil-split over the live width);
+    # the guarded parameter is hash_bits itself
+    with _pytest.raises(ValueError, match="hash_bits"):
+        multimodal.image_neardup_pairs(
+            media, max_hamming=1, bands=3, hash_bits=2
+        )
+    # bands=3 over 64 bits is legal now: ceil-split widths, top band
+    # shorter — recall still holds on the planted hamming-1 pair
+    got3 = {
+        (r["img_a"], r["img_b"])
+        for r in multimodal.image_neardup_pairs(
+            media, max_hamming=1, bands=3
+        ).collect()
+    }
+    assert (1, 3) in got3 and (1, 2) in got3
 
 
 def test_resize_then_dhash_canonical_pipeline(spark):
