@@ -621,6 +621,7 @@ class MediaDedupIngestForeachBatch:
         max_hamming: int = 1,
         bands: int = 2,
         id_col: str = "media_id",
+        hash_bits: int = 64,
     ):
         self.history_dir = history_dir
         self.index_dir = index_dir
@@ -629,6 +630,12 @@ class MediaDedupIngestForeachBatch:
         self.max_hamming = max_hamming
         self.bands = bands
         self.id_col = id_col
+        # MUST match the fingerprint's LIVE bit-width when
+        # fingerprint_fn yields short hashes (audio_energy_hash: 31
+        # bits) — banding a short hash over 64 leaves dead all-zero
+        # bands whose equi-join is quadratic in the index size (the r8
+        # 100x c52 finding)
+        self.hash_bits = hash_bits
         self.batches_seen: list[int] = []
 
     def _has_parquet(self, path: str) -> bool:
@@ -651,7 +658,7 @@ class MediaDedupIngestForeachBatch:
         # intra-batch: smaller id wins via the pairwise banded join
         intra = mm._banded_hamming_pairs(
             hashes, self.hash_col, self.id_col, self.max_hamming, self.bands,
-            "m_a", "m_b",
+            "m_a", "m_b", hash_bits=self.hash_bits,
         )
         keep = hashes.join(
             intra.select(F.col("m_b").alias(self.id_col)).distinct(),
@@ -666,6 +673,7 @@ class MediaDedupIngestForeachBatch:
             keep = mm.incremental_hamming_neardup_filter(
                 keep, index, hash_col=self.hash_col, id_col=self.id_col,
                 max_hamming=self.max_hamming, bands=self.bands,
+                hash_bits=self.hash_bits,
             )
         survivors = batch_df.join(
             keep.select(self.id_col), self.id_col, "left_semi"
