@@ -3,11 +3,14 @@ read the TPC-H-ish tables (orders / lineitem / customer) rather than
 documents/embeddings (those use examples/make_sf1ish.py).
 
 Writes $SF1ISH_REL_DIR (default /tmp/sf1ish_rel): 10 key-offset replicas
-of customer, orders and lineitem; every other sf0.1 table is copied.
+of customer, orders, lineitem, part and partsupp; every other sf0.1
+table is copied (supplier joins fan out 10x — same suppliers, 10x flow).
 
 Why key-offset replication is an honest 10x:
-- replica k adds k * (max_key + 1) to c_custkey / o_orderkey (and to
-  o_custkey / l_orderkey / l_partkey consistently), so each replica is
+- replica k adds k * (max_key + 1) to c_custkey / o_orderkey /
+  p_partkey (and to o_custkey / l_orderkey / l_partkey / ps_partkey
+  consistently — FK owners replicate with their referents, so no
+  replica dangles), so each replica is
   a disjoint, structurally identical copy — join fan-outs, group sizes
   and per-order basket shapes are preserved exactly, never inflated.
 - attributes (dates, prices, priorities, balances, segments) are left
@@ -33,13 +36,24 @@ DST = os.environ.get("SF1ISH_REL_DIR", "/tmp/sf1ish_rel")
 # 10 = the standard step; SF1ISH_REL_REPLICAS=100 builds the 100x point
 REPLICAS = int(os.environ.get("SF1ISH_REL_REPLICAS", "10"))
 
-# table -> columns that must shift per replica (column -> offset source)
+# table -> columns that must shift per replica (column -> offset source).
+# Every shifted foreign key's OWNER table is replicated with the same
+# offset, so no replica dangles: lineitem.l_partkey joins its replica's
+# part/partsupp copy with the exact 1x fan-out. l_suppkey / ps_suppkey
+# stay unshifted (supplier is NOT replicated — supplier joins fan out
+# 10x per supplier, which is the honest reading of "same suppliers,
+# 10x the order flow").
 KEYED = {
     "customer": {"c_custkey": "c_custkey"},
     "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "part": {"p_partkey": "p_partkey"},
+    "partsupp": {
+        "ps_partkey": "p_partkey",
+        "ps_suppkey": None,  # supplier table is NOT replicated: keep as-is
+    },
     "lineitem": {
         "l_orderkey": "o_orderkey",
-        "l_partkey": "l_partkey",
+        "l_partkey": "p_partkey",
         "l_suppkey": None,  # supplier table is NOT replicated: keep as-is
     },
 }
@@ -56,7 +70,12 @@ def main() -> None:
     own_max = {
         "c_custkey": pc.max(tables["customer"]["c_custkey"]).as_py(),
         "o_orderkey": pc.max(tables["orders"]["o_orderkey"]).as_py(),
-        "l_partkey": pc.max(tables["lineitem"]["l_partkey"]).as_py(),
+        # p_partkey owns the part-key space: lineitem can reference a
+        # strict subset of part, so the part-side max is the safe stride
+        "p_partkey": max(
+            pc.max(tables["part"]["p_partkey"]).as_py(),
+            pc.max(tables["lineitem"]["l_partkey"]).as_py(),
+        ),
     }
     for t, cols in KEYED.items():
         src = tables[t]

@@ -1505,6 +1505,7 @@ def edit_distance_pairs(
     q: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_len: int = 0,
 ) -> DataFrame:
     """EXACT edit-distance self-join (Ed-Join family — Gravano et al.
     VLDB'01 count filter, Xiao et al. VLDB'08 prefix filter; public
@@ -1561,6 +1562,16 @@ def edit_distance_pairs(
     near-dup family. Strings shorter than q have no grams and are
     excluded (caller guards; the registered query corpus has min
     length >> q).
+
+    ``min_len`` is a caller-CERTIFIED lower bound on ``length(text)``
+    (0 = no claim). When min_len > q*k + q - 1 the short band is empty
+    by construction and its whole subplan (a second corpus scan, an
+    explode and a self-join) is elided — the r8 completeness fix cost
+    ~15% of c82's wall on a corpus whose length filter (200..400 chars)
+    makes the band impossible. The bound must be a property of the
+    input (e.g. the pushed-down length predicate that BUILT the
+    corpus), never a guess: an understated min_len only wastes the
+    empty subplan; an OVERSTATED one silently drops both-short pairs.
 
     Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= k.
     """
@@ -1648,9 +1659,21 @@ def edit_distance_pairs(
             F.max("pnb").alias("__bnb"),
         )
         .filter(
-            F.col("__s")
-            + F.least(F.col("__bna") - F.col("__mi"), F.col("__bnb") - F.col("__mj"))
-            >= F.greatest(F.col("__bna"), F.col("__bnb")) - F.lit(q * k)
+            (
+                F.col("__s")
+                + F.least(
+                    F.col("__bna") - F.col("__mi"), F.col("__bnb") - F.col("__mj")
+                )
+                >= F.greatest(F.col("__bna"), F.col("__bnb")) - F.lit(q * k)
+            )
+            # both-short pairs are owned ENTIRELY by the short-band path
+            # (n_g <= q*k <=> len <= q*k + q - 1), so excluding them
+            # here makes the two candidate streams provably DISJOINT —
+            # the union below needs no corpus-wide distinct shuffle
+            & ~(
+                (F.col("__bna") <= F.lit(q * k))
+                & (F.col("__bnb") <= F.lit(q * k))
+            )
         )
         .select("doc_a", "doc_b")
     )
@@ -1669,28 +1692,33 @@ def edit_distance_pairs(
     # matching every other) is the TRUE output being quadratic, not an
     # algorithmic miss. The verify-stage count filter below is a no-op
     # for these pairs (RHS <= 0), so levenshtein alone decides them.
-    short = base.filter(F.col("__len") <= F.lit(q * k + q - 1)).select(
-        "__id", "__len", F.floor(F.col("__len") / F.lit(k + 1)).alias("__bk")
-    )
-    sa = short.select(
-        F.col("__id").alias("doc_a"),
-        F.col("__len").alias("sla"),
-        F.explode(F.array(F.col("__bk"), F.col("__bk") + 1)).alias("__key"),
-    )
-    sb = short.select(
-        F.col("__id").alias("doc_b"),
-        F.col("__len").alias("slb"),
-        F.explode(F.array(F.col("__bk"), F.col("__bk") + 1)).alias("__key"),
-    )
-    short_cand = (
-        sa.join(sb, "__key")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("sla") - F.col("slb")) <= F.lit(k))
+    if min_len <= q * k + q - 1:
+        short = base.filter(F.col("__len") <= F.lit(q * k + q - 1)).select(
+            "__id", "__len", F.floor(F.col("__len") / F.lit(k + 1)).alias("__bk")
         )
-        .select("doc_a", "doc_b")
-    )
-    cand = cand.unionByName(short_cand).distinct()
+        sa = short.select(
+            F.col("__id").alias("doc_a"),
+            F.col("__len").alias("sla"),
+            F.explode(F.array(F.col("__bk"), F.col("__bk") + 1)).alias("__key"),
+        )
+        sb = short.select(
+            F.col("__id").alias("doc_b"),
+            F.col("__len").alias("slb"),
+            F.explode(F.array(F.col("__bk"), F.col("__bk") + 1)).alias("__key"),
+        )
+        short_cand = (
+            sa.join(sb, "__key")
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.abs(F.col("sla") - F.col("slb")) <= F.lit(k))
+            )
+            .select("doc_a", "doc_b")
+            # a pair can collide on both its shared bucket keys (b AND
+            # b+1): dedupe WITHIN the band only — it is bounded by the
+            # length cutoff, never corpus-sized
+            .distinct()
+        )
+        cand = cand.unionByName(short_cand)
     arrays = sized.groupBy("__id").agg(
         F.sort_array(F.collect_list("tid")).alias("tids"),
         F.count("*").alias("n_g"),

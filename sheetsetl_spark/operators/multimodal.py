@@ -694,11 +694,11 @@ def incremental_hamming_neardup_filter(
         raise ValueError(
             f"hash_bits={hash_bits} must lie in [bands={bands}, 64]"
         )
-    # ceil-split the LIVE bit-width (see _banded_hamming_pairs: banding
-    # a short fingerprint over the storage width leaves high bands
-    # all-zero — one index-wide bucket, quadratic per ingest)
-    width = -(-hash_bits // bands)
-    mask = (1 << width) - 1
+    # balanced-split the LIVE bit-width (see _band_slices: banding a
+    # short fingerprint over the storage width — or a uniform ceil
+    # width past the live bits — leaves a band all-zero: one index-wide
+    # bucket, quadratic per ingest)
+    slices = _band_slices(hash_bits, bands)
 
     def stack(df: DataFrame, name: str, h: str) -> DataFrame:
         return df.select(
@@ -707,10 +707,10 @@ def incremental_hamming_neardup_filter(
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftright(F.col(hash_col), b * width).bitwiseAND(
+                        F.shiftright(F.col(hash_col), shift).bitwiseAND(
                             F.lit(mask)
                         )
-                        for b in range(bands)
+                        for shift, mask in slices
                     ]
                 )
             ).alias("band_idx", "band_val"),
@@ -892,6 +892,25 @@ def image_neardup_pairs(
     )
 
 
+def _band_slices(hash_bits: int, bands: int) -> list:
+    """Balanced (shift, mask) slices covering bits [0, hash_bits):
+    the first ``hash_bits % bands`` bands get ``hash_bits // bands + 1``
+    bits, the rest ``hash_bits // bands``. Every band is NON-EMPTY
+    (hash_bits >= bands is validated by callers) — a uniform ceil width
+    can leave the last band entirely past the live bits (e.g.
+    hash_bits=4, bands=3 -> band 2 covers bits 4-5, identically zero),
+    silently reintroducing the one-bucket quadratic the live-bit
+    banding exists to kill. Disjoint + covering + bands > max_hamming
+    keeps the pigeonhole recall-1 guarantee."""
+    base, rem = divmod(hash_bits, bands)
+    slices, shift = [], 0
+    for b in range(bands):
+        width = base + (1 if b < rem else 0)
+        slices.append((shift, (1 << width) - 1))
+        shift += width
+    return slices
+
+
 def _banded_hamming_pairs(
     hashes: DataFrame,
     hash_col: str,
@@ -926,8 +945,7 @@ def _banded_hamming_pairs(
         raise ValueError(
             f"hash_bits={hash_bits} must lie in [bands={bands}, 64]"
         )
-    width = -(-hash_bits // bands)  # ceil: every band holds live bits
-    mask = (1 << width) - 1
+    slices = _band_slices(hash_bits, bands)  # balanced: no dead band
     # Lazy checkpoint pins ONE materialization of the (id, hash) frame
     # — tiny (16 bytes/row) — before it fans out to both join sides.
     # Without it each side re-derives the hash from its upstream plan,
@@ -944,8 +962,8 @@ def _banded_hamming_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col(hash_col), b * width).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
+                    F.shiftright(F.col(hash_col), shift).bitwiseAND(F.lit(mask))
+                    for shift, mask in slices
                 ]
             )
         ).alias("band_idx", "band_val"),

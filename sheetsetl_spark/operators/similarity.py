@@ -844,38 +844,59 @@ def kcenter_coreset(
     distance to the previously-selected set at the moment of selection
     (0.0 for the seed row), 6dp-rounded. d2 of the LAST row upper-
     bounds the cover radius² of the k-1 preceding centers.
+
+    Lineage discipline (the BPE-loop rule, text.py): ``base`` is
+    lazy-checkpointed once — the parquet scan + array cast materialize
+    on the seed argmax and every later round reuses them — and ``cur``
+    is re-checkpointed each round, so round r's plan is always
+    checkpoint + ONE least() + TakeOrdered, never an r-deep least()
+    chain re-derived from the raw scan (that chain made per-round wall
+    grow linearly: O(k²·n) scalar work and k full re-scans at k≫8).
+
+    Early stop: fewer than k distinct vectors leaves max mind2 = 0 —
+    the selected set already covers the corpus exactly, so the
+    traversal stops (returning < k rows) rather than re-emitting
+    already-selected points. An empty input returns an empty frame.
     """
     from sheetsetl_spark.operators.text import round6_bin
 
     base = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     norm2 = F.aggregate(
         F.transform(F.col("v"), lambda x: x * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    seed = (
+    seed_rows = (
         base.select("vid", "v", norm2.alias("crit"))
         .orderBy(F.col("crit").desc(), F.col("vid"))
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    picks = [(1, seed.vid, 0.0)]
-    centers = [list(seed.v)]
-    cur = base.withColumn("mind2", _sqdist("v", centers[0]))
-    for r in range(2, k + 1):
-        top = (
-            cur.orderBy(F.col("mind2").desc(), F.col("vid")).limit(1).collect()[0]
-        )
-        picks.append((r, top.vid, top.mind2))
-        centers.append(list(top.v))
-        cur = cur.withColumn(
-            "mind2", F.least(F.col("mind2"), _sqdist("v", centers[-1]))
-        )
-    out = embeddings.sparkSession.createDataFrame(
-        picks, ["sel_rank", "vid", "d2"]
-    )
+    spark = embeddings.sparkSession
+    out_schema = "sel_rank long, vid long, d2 double"
+    if not seed_rows:
+        out = spark.createDataFrame([], out_schema)
+    else:
+        seed = seed_rows[0]
+        picks = [(1, seed.vid, 0.0)]
+        centers = [list(seed.v)]
+        cur = base.withColumn(
+            "mind2", _sqdist("v", centers[0])
+        ).localCheckpoint(eager=False)
+        for r in range(2, k + 1):
+            top = (
+                cur.orderBy(F.col("mind2").desc(), F.col("vid")).limit(1).collect()[0]
+            )
+            if top.mind2 <= 0.0:
+                break  # < k distinct points: cover radius already 0
+            picks.append((r, top.vid, top.mind2))
+            centers.append(list(top.v))
+            cur = cur.withColumn(
+                "mind2", F.least(F.col("mind2"), _sqdist("v", centers[-1]))
+            ).localCheckpoint(eager=False)
+        out = spark.createDataFrame(picks, out_schema)
     return out.select(
         F.col("sel_rank").cast("int").alias("sel_rank"),
         F.col("vid").cast("long").alias("vec_id"),

@@ -69,7 +69,10 @@ def c82_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").between(_ED_LO, _ED_HI)
     )
-    return dedup.edit_distance_pairs(docs, k=_ED_K, q=_ED_Q)
+    # min_len is CERTIFIED by the pushed-down n_chars >= 200 predicate
+    # (n_chars == length(text) in this corpus): the short-band subplan
+    # (strings <= q*k + q - 1 = 20 chars) is provably empty and elided
+    return dedup.edit_distance_pairs(docs, k=_ED_K, q=_ED_Q, min_len=_ED_LO)
 
 
 @query(

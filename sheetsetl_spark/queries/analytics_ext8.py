@@ -536,12 +536,15 @@ def c103_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("o_totalprice") - F.col("yhat")).alias("r"),
     )
     w = Window.partitionBy("o_orderpriority").orderBy("r", "o_orderkey")
+    # Integer rank arithmetic end-to-end: DIV stays exact for any bigint
+    # n_cal, whereas (9*n_cal+18)/10 in double drifts past 2^53 — the
+    # same hazard the c105 comment documents.
     k = F.least(
-        (F.lit(9) * F.col("n_cal") + F.lit(18)) / F.lit(10), F.col("n_cal")
+        F.expr("(9 * n_cal + 18) DIV 10"), F.col("n_cal")
     )
     qhat = (
         cal_resid.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == F.floor(k).cast("long"))
+        .filter(F.col("rk") == k.cast("long"))
         .select("o_orderpriority", F.col("r").alias("q"))
     )
     test = base.filter(~F.col("is_cal"))

@@ -156,7 +156,7 @@ class OAuthTokenProvider:
         auth_uri: str,
         scope: str = "https://www.googleapis.com/auth/drive",
         redirect_uri: str = "urn:ietf:wg:oauth:2.0:oob",
-        input_fn: Callable[[str], str] = input,
+        input_fn: Callable[[str], str] | None = None,
         print_fn: Callable[[str], None] = print,
     ) -> Credentials:
         """Interactive consent — the reference's `tools.run_flow` step
@@ -174,6 +174,11 @@ class OAuthTokenProvider:
         ``print_fn`` are injectable so tests drive the flow end-to-end
         against a fake token endpoint with no TTY.
         """
+        if input_fn is None:
+            # resolved at CALL time so a test monkeypatching
+            # builtins.input reaches the CLI path too (a def-time
+            # default binds the original)
+            input_fn = input
         verifier = secrets.token_urlsafe(64)
         challenge = (
             base64.urlsafe_b64encode(

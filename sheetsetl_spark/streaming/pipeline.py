@@ -621,7 +621,7 @@ class MediaDedupIngestForeachBatch:
         max_hamming: int = 1,
         bands: int = 2,
         id_col: str = "media_id",
-        hash_bits: int = 64,
+        hash_bits: int | None = None,
     ):
         self.history_dir = history_dir
         self.index_dir = index_dir
@@ -630,11 +630,14 @@ class MediaDedupIngestForeachBatch:
         self.max_hamming = max_hamming
         self.bands = bands
         self.id_col = id_col
-        # MUST match the fingerprint's LIVE bit-width when
-        # fingerprint_fn yields short hashes (audio_energy_hash: 31
-        # bits) — banding a short hash over 64 leaves dead all-zero
-        # bands whose equi-join is quadratic in the index size (the r8
-        # 100x c52 finding)
+        # The banding MUST track the fingerprint's LIVE bit-width
+        # (audio_energy_hash: n_frames-1 bits, often 31) — banding a
+        # short hash over 64 leaves dead all-zero bands whose equi-join
+        # is quadratic in the index size (the r8 100x c52 finding).
+        # None (default) derives it per batch from the max observed
+        # hash across batch + index — two 1-row aggs over the tiny
+        # hash frames — so no caller has to remember the width; pass
+        # an int only to pin it explicitly.
         self.hash_bits = hash_bits
         self.batches_seen: list[int] = []
 
@@ -654,26 +657,43 @@ class MediaDedupIngestForeachBatch:
         spark = batch_df.sparkSession
         fp = self.fingerprint_fn or mm.image_dhash
 
-        hashes = fp(batch_df).select(self.id_col, self.hash_col)
-        # intra-batch: smaller id wins via the pairwise banded join
-        intra = mm._banded_hamming_pairs(
-            hashes, self.hash_col, self.id_col, self.max_hamming, self.bands,
-            "m_a", "m_b", hash_bits=self.hash_bits,
-        )
-        keep = hashes.join(
-            intra.select(F.col("m_b").alias(self.id_col)).distinct(),
-            self.id_col, "left_anti",
-        )
+        hashes = fp(batch_df).select(
+            self.id_col, self.hash_col
+        ).localCheckpoint(eager=False)
+        index = None
         if self._has_parquet(self.index_dir):
             index = (
                 spark.read.parquet(self.index_dir)
                 .filter(F.col("__batch_id") != batch_id)  # replay safety
                 .drop("__batch_id")
             )
+        hash_bits = self.hash_bits
+        if hash_bits is None:
+            # derive the live width: max hash over batch + index (the
+            # checkpoint above means the fingerprint mapInPandas runs
+            # once, not once per consumer). Recall is banding-invariant
+            # (pigeonhole needs only bands > max_hamming); the width
+            # only kills dead all-zero bands.
+            mx = hashes.agg(F.max(self.hash_col).alias("m")).collect()[0]["m"]
+            live = int(mx).bit_length() if mx else 0
+            if index is not None:
+                imx = index.agg(F.max(self.hash_col).alias("m")).collect()[0]["m"]
+                live = max(live, int(imx).bit_length() if imx else 0)
+            hash_bits = min(64, max(live, self.bands))
+        # intra-batch: smaller id wins via the pairwise banded join
+        intra = mm._banded_hamming_pairs(
+            hashes, self.hash_col, self.id_col, self.max_hamming, self.bands,
+            "m_a", "m_b", hash_bits=hash_bits,
+        )
+        keep = hashes.join(
+            intra.select(F.col("m_b").alias(self.id_col)).distinct(),
+            self.id_col, "left_anti",
+        )
+        if index is not None:
             keep = mm.incremental_hamming_neardup_filter(
                 keep, index, hash_col=self.hash_col, id_col=self.id_col,
                 max_hamming=self.max_hamming, bands=self.bands,
-                hash_bits=self.hash_bits,
+                hash_bits=hash_bits,
             )
         survivors = batch_df.join(
             keep.select(self.id_col), self.id_col, "left_semi"

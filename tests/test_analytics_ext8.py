@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.queries import QUERIES
@@ -316,3 +318,51 @@ def test_c105_neyman_allocation_properties(spark):
     by_s = sorted(rows, key=lambda r: r.s_h)
     lo, hi = by_s[0], by_s[-1]
     assert hi.n_alloc / hi.n_pop >= lo.n_alloc / lo.n_pop
+
+
+def test_kcenter_empty_and_duplicate_inputs(spark):
+    """ADVICE r8: an empty embeddings frame returns an empty result (no
+    IndexError), and k beyond the number of DISTINCT points stops the
+    traversal instead of re-emitting already-selected centers."""
+    from sheetsetl_spark.operators.similarity import kcenter_coreset
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_coreset(empty, k=4).count() == 0
+
+    # 3 distinct points, one duplicated; k=8 must stop at 3 centers
+    pts = [(0, [0.0]), (1, [1.0]), (2, [5.0]), (3, [5.0])]
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    rows = sorted(kcenter_coreset(df, k=8).collect(), key=lambda r: r.sel_rank)
+    assert len(rows) == 3
+    assert len({r.vec_id for r in rows}) == 3  # no repeats
+    assert rows[-1].d2_at_selection > 0.0  # every selection added cover
+
+
+@pytest.mark.slow
+def test_kcenter_per_round_cost_stays_flat(spark):
+    """The r8 verdict's lineage finding, pinned: with base persisted and
+    cur re-checkpointed per round, round r's plan is checkpoint + one
+    least() + argmax — so total wall grows ~linearly in k. Without the
+    checkpoints, round r re-evaluated an r-deep least() chain over the
+    raw scan (O(k^2) scalar work, k corpus re-scans): wall(k=64) over
+    wall(k=16) sat near the quadratic 16x, not the linear 4x. Tolerance
+    8x keeps the test robust to scheduler noise while still failing the
+    quadratic regime."""
+    import time
+
+    from sheetsetl_spark.catalog import load_table
+    from sheetsetl_spark.operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+
+    def wall(k: int) -> float:
+        t0 = time.time()
+        assert kcenter_coreset(emb, k=k).count() == k
+        return time.time() - t0
+
+    wall(4)  # warm: codegen + scan caches
+    w16, w64 = wall(16), wall(64)
+    assert w64 / w16 < 8.0, (
+        f"k-center per-round cost is not flat: k=16 {w16:.1f}s vs "
+        f"k=64 {w64:.1f}s ({w64 / w16:.1f}x for 4x the rounds)"
+    )

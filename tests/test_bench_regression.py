@@ -1,9 +1,13 @@
 """Per-query bench regression guard.
 
-BENCH_r01.json (21.181 s / 26 headline queries at sf0.1) is the recorded
-baseline; a plan change that makes any headline query >2x slower than its
-recorded time fails here loudly instead of surfacing in the next round's
-driver bench.
+Two pins, one bench run:
+
+* BENCH_r01.json (21.181 s / 26 headline queries at sf0.1) is the
+  original recorded baseline; >2x any recorded query fails.
+* BENCH_r08.json (50.952 s / 42 queries) is the freshest full driver
+  bench; >1.5x any of its medians fails. This tighter pin exists
+  because a correctness-motivated +16% drift (c82, round 8) sailed
+  under the 2x-of-r1 bar and was caught by the judge, not a test.
 
 Slow (runs the full headline set at the bench SF) — skipped unless
 SHEETSETL_BENCH_GUARD=1; run explicitly before committing plan-shape
@@ -21,24 +25,26 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
+guard = pytest.mark.skipif(
     os.environ.get("SHEETSETL_BENCH_GUARD") != "1",
     reason="bench guard is opt-in (SHEETSETL_BENCH_GUARD=1); ~1 min at sf0.1",
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASELINE_PATH = os.path.join(REPO, "BENCH_r01.json")
 # Per-query floor: wall times under ~0.5 s are dominated by fixed overhead
 # (job submit, codegen cache) where 2x is noise, not a plan regression.
 MIN_COMPARABLE_SEC = 0.5
-FACTOR = 2.0
 
 
-def test_headline_queries_within_2x_of_recorded_baseline():
-    with open(BASELINE_PATH) as f:
-        baseline = json.load(f)
+def _recorded(path: str) -> dict:
+    with open(os.path.join(REPO, path)) as f:
+        rec = json.load(f)
     # the driver wraps bench.py's JSON line under "parsed"
-    baseline = baseline.get("parsed", baseline)
+    return rec.get("parsed", rec)
+
+
+@pytest.fixture(scope="module")
+def current_bench() -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = subprocess.run(
@@ -49,19 +55,58 @@ def test_headline_queries_within_2x_of_recorded_baseline():
         check=True,
         cwd=REPO,
     ).stdout.strip().splitlines()[-1]
-    current = json.loads(out)
+    return json.loads(out)
 
-    regressions = []
+
+def _regressions(baseline: dict, current: dict, factor: float) -> list:
+    out = []
     for name, base_sec in baseline["queries"].items():
         cur_sec = current["queries"].get(name)
         if cur_sec is None:
             continue  # headline set may rotate; absence is not a regression
-        if base_sec >= MIN_COMPARABLE_SEC and cur_sec > FACTOR * base_sec:
-            regressions.append((name, base_sec, cur_sec))
+        if base_sec >= MIN_COMPARABLE_SEC and cur_sec > factor * base_sec:
+            out.append((name, base_sec, cur_sec))
+    return out
+
+
+def test_regression_detector_catches_planted_drift():
+    """Fast, always-on: the comparator itself must flag a planted 1.6x
+    drift under the 1.5x pin (and ignore sub-floor noise)."""
+    base = _recorded("BENCH_r08.json")
+    planted = dict(base["queries"])
+    planted["c82_edit_distance_join"] = base["queries"]["c82_edit_distance_join"] * 1.6
+    hits = _regressions(base, {"queries": planted}, 1.5)
+    assert [h[0] for h in hits] == ["c82_edit_distance_join"]
+    # a sub-floor query tripling is noise, never a finding
+    noisy = dict(base["queries"])
+    noisy["c16_shard_assignment"] = base["queries"]["c16_shard_assignment"] * 3
+    assert _regressions(base, {"queries": noisy}, 1.5) == []
+
+
+@guard
+def test_headline_queries_within_2x_of_recorded_baseline(current_bench):
+    baseline = _recorded("BENCH_r01.json")
+    regressions = _regressions(baseline, current_bench, 2.0)
     assert not regressions, (
-        f"headline queries regressed beyond {FACTOR}x of BENCH_r01: {regressions}"
+        f"headline queries regressed beyond 2x of BENCH_r01: {regressions}"
     )
     # total-level sanity as well
-    assert current["value"] <= FACTOR * baseline["value"], (
-        f"total bench {current['value']}s vs baseline {baseline['value']}s"
+    assert current_bench["value"] <= 2.0 * baseline["value"], (
+        f"total bench {current_bench['value']}s vs baseline {baseline['value']}s"
+    )
+
+
+@guard
+def test_headline_queries_within_1p5x_of_r8_medians(current_bench):
+    """The drift pin: BENCH_r08 medians at 1.5x. Re-point this at the
+    newest full BENCH_r{N}.json whenever a round's bench lands faster —
+    the pin should always be the best recorded full run."""
+    baseline = _recorded("BENCH_r08.json")
+    regressions = _regressions(baseline, current_bench, 1.5)
+    assert not regressions, (
+        f"headline queries drifted beyond 1.5x of BENCH_r08 medians: "
+        f"{regressions}"
+    )
+    assert current_bench["value"] <= 1.5 * baseline["value"], (
+        f"total bench {current_bench['value']}s vs r8 {baseline['value']}s"
     )

@@ -570,3 +570,38 @@ def test_rate_limit_retry_budget_exhausts_loudly(fake_drive):
     with pytest.raises(urllib.error.HTTPError) as ei:
         client.list_files("folder1")
     assert ei.value.code == 429 and len(sleeps) == 2
+
+
+def test_cli_auth_subcommand_bootstraps_credential(
+    tmp_path, token_server, monkeypatch, capsys
+):
+    """`python -m sheetsetl_spark auth` — the CLI face of the consent
+    flow (the reference's run_flow-then-exit step, loader.py:96-101):
+    exit 0, credential persisted, and the provider path then serves
+    tokens with no further prompting."""
+    from sheetsetl_spark.__main__ import main
+    from sheetsetl_spark.sinks.auth import FileTokenStore, OAuthTokenProvider
+
+    state, base = token_server
+    store_path = str(tmp_path / "creds" / "sheets-etl.json")
+    monkeypatch.setattr("builtins.input", lambda _prompt: "console-code-1")
+    rc = main(
+        [
+            "auth",
+            "--store", store_path,
+            "--client-id", "cid",
+            "--client-secret", "csecret",
+            "--auth-uri", f"{base}/consent",
+            "--token-uri", f"{base}/token",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "re-run" in out and f"{base}/consent?" in out
+    stored = FileTokenStore(store_path).get()
+    assert stored is not None and stored.refresh_token == "refresh-1"
+    assert stored.access_token in state["valid_tokens"]
+    # the stored credential is immediately usable by the token provider
+    provider = OAuthTokenProvider(
+        FileTokenStore(store_path), f"{base}/token", "cid", "csecret"
+    )
+    assert provider() == stored.access_token
