@@ -3,8 +3,9 @@ read the TPC-H-ish tables (orders / lineitem / customer) rather than
 documents/embeddings (those use examples/make_sf1ish.py).
 
 Writes $SF1ISH_REL_DIR (default /tmp/sf1ish_rel): 10 key-offset replicas
-of customer, orders, lineitem, part and partsupp; every other sf0.1
-table is copied (supplier joins fan out 10x — same suppliers, 10x flow).
+of customer, orders, lineitem and part; every other sf0.1 table is
+copied (supplier joins fan out 10x — same suppliers, 10x flow; the
+derived partsupp scales with part automatically).
 
 Why key-offset replication is an honest 10x:
 - replica k adds k * (max_key + 1) to c_custkey / o_orderkey /
@@ -46,11 +47,10 @@ REPLICAS = int(os.environ.get("SF1ISH_REL_REPLICAS", "10"))
 KEYED = {
     "customer": {"c_custkey": "c_custkey"},
     "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    # partsupp has no parquet — it is DERIVED from part x supplier
+    # (queries/tpch_partsupp.py::PARTSUPP_SQL), so replicating part
+    # scales the derived partsupp consistently for free
     "part": {"p_partkey": "p_partkey"},
-    "partsupp": {
-        "ps_partkey": "p_partkey",
-        "ps_suppkey": None,  # supplier table is NOT replicated: keep as-is
-    },
     "lineitem": {
         "l_orderkey": "o_orderkey",
         "l_partkey": "p_partkey",

@@ -690,6 +690,16 @@ def cosine_topk_pq(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # The interpreted-HOF normalize is the expensive pass here (~300us/
+    # row), and a compact parquet fixture can expose far fewer splits
+    # than cores (the 100x file: 8 row groups on 32 cores) — spread the
+    # narrow (vid, v) frame BEFORE the heavy math. Only widen, never
+    # shrink: a real cluster scan already has thousands of splits and
+    # must not be funneled through defaultParallelism.
+    spark = embeddings.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if unit.rdd.getNumPartitions() < want:
+        unit = unit.repartition(want)
     # Norm once per row (not inside the transform lambda — there it
     # would re-run the d-element fold per element; the r6 guard-cost
     # lesson, similarity._checked_norm docstring).
@@ -697,6 +707,11 @@ def cosine_topk_pq(
         unit.withColumn("n", _checked_norm("v"))
         .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("n")))
         .select("vid", "u")
+        # 5 consumers (codebook build, corpus subvectors, query
+        # subvectors, query unit row, re-rank join): un-pinned, each
+        # re-ran the normalize — the r8 multi-consumer rule. One
+        # materialization replaces five; 100x measured 233.5s -> ~25s.
+        .localCheckpoint(eager=False)
     )
 
     def subspaces(col: str) -> Column:
@@ -706,7 +721,6 @@ def cosine_topk_pq(
             *[F.slice(F.col(col), s * sub + 1, sub) for s in range(m)]
         )
 
-    spark = embeddings.sparkSession
     seed_df = spark.createDataFrame(
         [(int(sid), j) for j, sid in enumerate(seed_ids)],
         "seed_id long, j int",
