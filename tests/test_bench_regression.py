@@ -69,6 +69,17 @@ def _regressions(baseline: dict, current: dict, factor: float) -> list:
     return out
 
 
+def _comparable_totals(baseline: dict, current: dict) -> tuple[float, float]:
+    """Totals over the INTERSECTION of query sets: the headline set has
+    grown 26 -> 42 since r1, so raw total-vs-total compares different
+    workloads (42 queries can never beat a 26-query total)."""
+    common = set(baseline["queries"]) & set(current["queries"])
+    return (
+        sum(baseline["queries"][n] for n in common),
+        sum(current["queries"][n] for n in common),
+    )
+
+
 def test_regression_detector_catches_planted_drift():
     """Fast, always-on: the comparator itself must flag a planted 1.6x
     drift under the 1.5x pin (and ignore sub-floor noise)."""
@@ -90,9 +101,10 @@ def test_headline_queries_within_2x_of_recorded_baseline(current_bench):
     assert not regressions, (
         f"headline queries regressed beyond 2x of BENCH_r01: {regressions}"
     )
-    # total-level sanity as well
-    assert current_bench["value"] <= 2.0 * baseline["value"], (
-        f"total bench {current_bench['value']}s vs baseline {baseline['value']}s"
+    # total-level sanity over the comparable subset
+    base_tot, cur_tot = _comparable_totals(baseline, current_bench)
+    assert cur_tot <= 2.0 * base_tot, (
+        f"comparable-query total {cur_tot:.1f}s vs r1 {base_tot:.1f}s"
     )
 
 
@@ -107,6 +119,7 @@ def test_headline_queries_within_1p5x_of_r8_medians(current_bench):
         f"headline queries drifted beyond 1.5x of BENCH_r08 medians: "
         f"{regressions}"
     )
-    assert current_bench["value"] <= 1.5 * baseline["value"], (
-        f"total bench {current_bench['value']}s vs r8 {baseline['value']}s"
+    base_tot, cur_tot = _comparable_totals(baseline, current_bench)
+    assert cur_tot <= 1.5 * base_tot, (
+        f"comparable-query total {cur_tot:.1f}s vs r8 {base_tot:.1f}s"
     )
