@@ -485,11 +485,22 @@ def embedding_neardup_pairs(
     (sign of dot with deterministic ±1 hyperplanes), split into ``bands``
     bands; vectors agreeing on any full band collide. Banding is the
     OR-construction that keeps recall ≈ 1 for sims near the threshold
-    (defaults: 4 bands × 8 planes — 256 values/band keeps buckets, and
-    therefore candidate pairs, small) while the candidate join stays an
-    equi-join on (band_idx, band_val) —
-    the only pattern that survives a billion-vector corpus (never a cross
-    join). Verification computes exact cosine only for candidates.
+    while the candidate join stays an equi-join on (band_idx, band_val)
+    — the only pattern that survives a billion-vector corpus (never a
+    cross join). Verification computes exact cosine only for candidates.
+
+    PARAMETER-SCALING RULE (measured, SCALE.md round-9): the band VALUE
+    SPACE ``2^(num_planes/bands)`` must track the corpus size to keep
+    per-bucket occupancy O(1). The defaults' 8-bit bands (256 values)
+    suit ~10^3-10^4 vectors; at 200k vectors (the 100x fixture) the
+    per-band candidate mass of 8-bit bands spilled 78 GB before dying,
+    while 16-bit bands (num_planes=64, bands=4) completed in 75.7s with
+    every planted >=0.98 pair still recovered. Same defect class as the
+    media tier's dead-band quadratic: bucket occupancy, not corpus
+    size, is what the equi-join pays for. Widening bands lowers
+    per-band recall (p^w for plane-agreement p), so when you widen,
+    re-check recall on your threshold — near sim 0.98+, 16-bit bands x4
+    keep recall >0.99; for looser thresholds add bands as you widen.
 
     Output: (vec_a, vec_b, sim) with vec_a < vec_b and sim >= threshold.
     """
@@ -498,10 +509,15 @@ def embedding_neardup_pairs(
     rows_per_band = num_planes // bands
     # Signature bits cost num_planes × dim multiply-adds per vector and
     # feed three consumers (banding + both verify sides) — persist so the
-    # projection runs once instead of three times.
+    # projection runs once instead of three times; widen first so the
+    # projection (and every cached partition downstream) isn't capped at
+    # a compact fixture's row-group count (skew.widen_to_cores).
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     sig = scoped_persist(
         _embedding_signatures(
-            vectors, num_planes, dim, id_col, vec_col, "embedding_neardup_pairs"
+            widen_to_cores(vectors),
+            num_planes, dim, id_col, vec_col, "embedding_neardup_pairs",
         )
     )
     band_arr = F.array(
@@ -877,8 +893,12 @@ def semantic_dedup(
     than detonating a c^2 join on a degenerate centroid.
     """
     from sheetsetl_spark.operators.similarity import _dot
+    from sheetsetl_spark.operators.skew import widen_to_cores
 
-    e = vectors.select(
+    # the assignment crossJoin (corpus x broadcast centroids, an
+    # interpreted dot per pair) is compute-dense: don't let a compact
+    # fixture's 2-8 row groups cap it (r9 100x find)
+    e = widen_to_cores(vectors).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("vn", F.sqrt(_dot("v", "v")))
     cent = e.filter(F.col("vec_id") < num_centroids).select(
@@ -892,6 +912,10 @@ def semantic_dedup(
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
         .select("vec_id", "v", "vn", "cent_id")
+        # 3 consumers (both pairwise sides + the final anti-join), and
+        # the frame embeds the corpus x centroids assignment crossJoin —
+        # un-pinned, each consumer re-ran it (the multi-consumer rule)
+        .localCheckpoint(eager=False)
     )
     pairwise = assigned
     if max_cluster_size is not None:

@@ -693,13 +693,12 @@ def cosine_topk_pq(
     # The interpreted-HOF normalize is the expensive pass here (~300us/
     # row), and a compact parquet fixture can expose far fewer splits
     # than cores (the 100x file: 8 row groups on 32 cores) — spread the
-    # narrow (vid, v) frame BEFORE the heavy math. Only widen, never
-    # shrink: a real cluster scan already has thousands of splits and
-    # must not be funneled through defaultParallelism.
+    # narrow (vid, v) frame BEFORE the heavy math (widen-only; see
+    # skew.widen_to_cores).
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     spark = embeddings.sparkSession
-    want = spark.sparkContext.defaultParallelism
-    if unit.rdd.getNumPartitions() < want:
-        unit = unit.repartition(want)
+    unit = widen_to_cores(unit)
     # Norm once per row (not inside the transform lambda — there it
     # would re-run the d-element fold per element; the r6 guard-cost
     # lesson, similarity._checked_norm docstring).

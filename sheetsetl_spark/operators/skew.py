@@ -80,3 +80,26 @@ def skew_report(
         .orderBy(F.col("cnt").desc(), F.col("key"))
         .limit(top)
     )
+
+
+def widen_to_cores(df):
+    """Widen-only repartition: spread ``df`` across defaultParallelism
+    when its scan exposes fewer splits than the cluster has cores.
+
+    Compactly-written parquet (few row groups) caps a whole downstream
+    pipeline's parallelism at the split count — the r9 find was the
+    100x embeddings fixture exposing 8 row groups on 32 cores, so the
+    most expensive pass of every embedding operator ran at 1/4
+    utilization (and the 10x file: 2 splits). Only ever WIDENS: a real
+    cluster scan with thousands of splits passes through untouched, so
+    this never funnels a large corpus into a driver-chosen partition
+    count. Use at the head of compute-dense per-row pipelines
+    (signature projection, normalize folds, centroid assignment), not
+    in front of plain scans — the shuffle only pays for itself when
+    per-row work dominates.
+    """
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
