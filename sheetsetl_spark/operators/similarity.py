@@ -871,10 +871,17 @@ def kcenter_coreset(
     traversal stops (returning < k rows) rather than re-emitting
     already-selected points. An empty input returns an empty frame.
     """
+    from sheetsetl_spark.operators.skew import widen_to_cores
     from sheetsetl_spark.operators.text import round6_bin
 
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    # widen before the checkpoint: the pinned partitions inherit the
+    # input's split count, and every one of the k distance rounds scans
+    # them (compact-fixture row groups would cap all k rounds at 2-8-way)
+    base = widen_to_cores(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     ).localCheckpoint(eager=False)
     norm2 = F.aggregate(
         F.transform(F.col("v"), lambda x: x * x),
