@@ -866,10 +866,14 @@ def kcenter_coreset(
     chain re-derived from the raw scan (that chain made per-round wall
     grow linearly: O(k²·n) scalar work and k full re-scans at k≫8).
 
-    Early stop: fewer than k distinct vectors leaves max mind2 = 0 —
-    the selected set already covers the corpus exactly, so the
-    traversal stops (returning < k rows) rather than re-emitting
-    already-selected points. An empty input returns an empty frame.
+    Degenerate inputs: an empty frame returns an empty result. With
+    fewer than k DISTINCT vectors the cover radius hits 0 and every
+    later round re-emits the smallest-vid point at d2 = 0.0 — kept
+    deliberately (not an early stop) because the DuckDB oracle's
+    unrolled per-round CTE chain reproduces exactly this argmax
+    tie-break, and the random-fixture hypothesis sweep pins the parity
+    on duplicate/zero-vector corpora; callers wanting a trimmed set
+    drop rows with sel_rank > 1 and d2_at_selection = 0.
     """
     from sheetsetl_spark.operators.skew import widen_to_cores
     from sheetsetl_spark.operators.text import round6_bin
@@ -909,8 +913,6 @@ def kcenter_coreset(
             top = (
                 cur.orderBy(F.col("mind2").desc(), F.col("vid")).limit(1).collect()[0]
             )
-            if top.mind2 <= 0.0:
-                break  # < k distinct points: cover radius already 0
             picks.append((r, top.vid, top.mind2))
             centers.append(list(top.v))
             cur = cur.withColumn(

