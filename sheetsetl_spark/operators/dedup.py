@@ -586,8 +586,14 @@ def embedding_band_index(
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rpb = num_planes // bands
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    # the signature projection is num_planes x dim interpreted
+    # multiply-adds per vector — the compute-dense case widen_to_cores
+    # exists for (a compact corpus parquet exposes 1-8 row groups)
     sig = _embedding_signatures(
-        vectors, num_planes, dim, id_col, vec_col, "embedding_band_index"
+        widen_to_cores(vectors), num_planes, dim, id_col, vec_col,
+        "embedding_band_index",
     )
     band_arr = F.array(
         *[F.substring("bits", b * rpb + 1, rpb) for b in range(bands)]

@@ -1507,3 +1507,24 @@ def test_banded_hamming_live_bits_no_dead_band(spark):
         .collect()
     }
     assert per_band[0] > 100 and per_band[1] > 100, per_band
+
+
+def test_band_slices_cover_disjoint_nonempty_exhaustive():
+    """The ADVICE-r8 dead-band space, swept exhaustively: for EVERY
+    (hash_bits, bands) combo the callers can validate (bands <=
+    hash_bits <= 64), the balanced slices must cover bits [0,
+    hash_bits) exactly once with every band non-empty — the uniform
+    ceil width failed e.g. (4, 3), leaving band 2 past the live bits."""
+    from sheetsetl_spark.operators.multimodal import _band_slices
+
+    for hash_bits in range(1, 65):
+        for bands in range(1, hash_bits + 1):
+            slices = _band_slices(hash_bits, bands)
+            assert len(slices) == bands
+            seen = 0
+            for shift, mask in slices:
+                assert mask > 0, (hash_bits, bands, shift)  # non-empty band
+                block = mask << shift
+                assert seen & block == 0, (hash_bits, bands)  # disjoint
+                seen |= block
+            assert seen == (1 << hash_bits) - 1, (hash_bits, bands)  # cover
