@@ -71,13 +71,18 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, sim) with sim rounded to 6 for
     hash-stability; rank ties broken by neighbor id.
     """
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     # Norms are computed ONCE per row in each side's projection — inside
     # the pair expression they'd be re-derived |queries|x per corpus row.
+    # The corpus side (norm fold + |q| dots per row, all interpreted)
+    # widens past the fixture's row-group parallelism; the query side
+    # is broadcast-tiny.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("qn", _checked_norm("qv"))
-    c = embeddings.select(
+    c = widen_to_cores(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cn", _checked_norm("cv"))
@@ -136,9 +141,13 @@ def cosine_topk_ivf(
     can be persisted bucketed-by-centroid so repeated query batches skip
     the assignment scan entirely.
     """
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     # One norm per vector/centroid/query, computed in the projections and
     # carried through every stage — never re-derived inside pair math.
-    e = embeddings.select(
+    # Corpus side widened: assignment is |centroids| interpreted dots
+    # per row, capped at the fixture's row-group count otherwise.
+    e = widen_to_cores(embeddings).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("vn", _checked_norm("v"))
     cent = e.filter(F.col("vec_id") < num_centroids).select(
@@ -255,8 +264,12 @@ def cosine_topk_lsh(
             F.concat_ws("", bits).alias(f"{out}_bits"),
         )
 
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     q = sig(queries, "query_id")
-    c = sig(embeddings, "neighbor_id")
+    # corpus-side signature = num_planes x dim interpreted multiply-adds
+    # per row — widen past the fixture's row-group parallelism
+    c = sig(widen_to_cores(embeddings), "neighbor_id")
 
     def stacked(df: DataFrame, out: str) -> DataFrame:
         band_arr = F.array(
@@ -387,8 +400,13 @@ def cosine_topk_quantized(
         sel = df.select(F.col(id_col).alias(out), qv.alias(f"{out}_qv"))
         return sel.withColumn(f"{out}_qn", _checked_norm(f"{out}_qv"))
 
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     qs = q(queries, "query_id")
-    c = q(embeddings, "neighbor_id")
+    # corpus-side quantize + norm are interpreted folds per row — the
+    # compute-dense case widen_to_cores exists for; the query side is
+    # broadcast-tiny and stays as-is
+    c = q(widen_to_cores(embeddings), "neighbor_id")
     sim = _dot("query_id_qv", "neighbor_id_qv") / (
         F.col("query_id_qn") * F.col("neighbor_id_qn")
     )

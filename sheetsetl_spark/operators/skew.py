@@ -82,7 +82,7 @@ def skew_report(
     )
 
 
-def widen_to_cores(df):
+def widen_to_cores(df, min_input_bytes: int = 2 << 20):
     """Widen-only repartition: spread ``df`` across defaultParallelism
     when its scan exposes fewer splits than the cluster has cores.
 
@@ -97,9 +97,40 @@ def widen_to_cores(df):
     (signature projection, normalize folds, centroid assignment), not
     in front of plain scans — the shuffle only pays for itself when
     per-row work dominates.
+
+    ``min_input_bytes`` keeps the exchange away from inputs too small
+    to amortize it: the repartition's fixed ~0.3-0.5s (extra stage +
+    shuffle files) regressed sub-second ANN queries past their bench
+    pins on the 0.8 MB sf0.1 fixture while buying nothing. When the
+    frame's lineage reaches readable files, their summed size gates
+    the widen; frames with no file lineage (streaming micro-batches,
+    createDataFrame fixtures) widen on the partition test alone, as
+    before.
     """
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            path = unquote(p.path) if p.scheme in ("file", "") else None
+            if path is None:
+                total = None  # remote FS: size unknown, widen on splits
+                break
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                total = None
+                break
+        if total is not None and total < min_input_bytes:
+            return df
+    return df.repartition(want)
