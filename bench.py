@@ -24,10 +24,25 @@ full list — interleaving spreads a transient load spike across queries
 instead of concentrating it on one — and the artifact records the
 per-query MEDIAN plus the min/max spread, so a round-over-round delta
 can be read against the same-round spread before calling it a trend.
+
+Load-aware (r9 verdict №2): BENCH_r09 recorded a phantom +14% because
+the final refresh ran during post-test-suite load decay (1-min loadavg
+takes ~3 min to fall after a saturating pytest run; every "regressed"
+query was back to normal warm-isolated on an idle machine). The bench
+now (a) WAITS for the 1-min loadavg to fall below
+$SPARK_GRAFT_LOAD_GATE (default 2.0, 0 disables) before opening the
+session, bounded by $SPARK_GRAFT_LOAD_WAIT_SEC (default 300), and
+(b) records `"load": [before, after]` in the stdout line — `before` is
+the honest external-idleness signal; `after` mostly reflects the
+bench's own local[32] footprint and is recorded for completeness. If
+the wait times out, `"load_flag": true` marks the totals as suspect so
+a verdict reader adjudicates against bench_detail's spread instead of
+calling a trend.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -104,10 +119,33 @@ HEADLINE = [
 ]
 
 
+def _wait_for_idle() -> tuple[float, bool]:
+    """Block until the 1-min loadavg falls below the gate (or the wait
+    budget runs out). Returns (loadavg at release, timed-out flag)."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300"))
+    load = os.getloadavg()[0]
+    if gate <= 0:
+        return load, False
+    waited = 0.0
+    while load > gate and waited < budget:
+        print(
+            f"bench: loadavg {load:.2f} > gate {gate} — waiting for idle "
+            f"({waited:.0f}/{budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+        waited += 10
+        load = os.getloadavg()[0]
+    return load, load > gate
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    load_before, load_flag = _wait_for_idle()
 
     spark = build_session(app_name="sheetsetl-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,6 +187,15 @@ def main() -> None:
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - start, 3))
+            # Checkpoint hygiene (r9 verdict №8): operators that pin
+            # multi-consumer frames via localCheckpoint leave checkpoint
+            # RDD blocks alive until the Python DataFrame is collected
+            # and the async ContextCleaner runs; across 42 queries x 3
+            # passes the lingering blocks were the suspected noise mode
+            # behind x98's loaded-session spread. Dropping the Python
+            # refs here (outside the timed region) lets the cleaner
+            # release them before the next query is timed.
+            gc.collect()
 
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
@@ -161,26 +208,37 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    load_after = os.getloadavg()[0]
     try:
         with open(detail_path, "w") as f:
             json.dump(
-                {"spread": spread, "samples": samples, "runs": runs, "sf": sf},
+                {
+                    "spread": spread,
+                    "samples": samples,
+                    "runs": runs,
+                    "sf": sf,
+                    "load": [round(load_before, 2), round(load_after, 2)],
+                    "load_flag": load_flag,
+                },
                 f,
                 indent=1,
             )
     except OSError as exc:  # side artifact is best-effort
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "runs": runs,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": sf,
+        # external-load record (r9 verdict №2): `before` is sampled at
+        # idle-gate release, `after` includes the bench's own footprint
+        "load": [round(load_before, 2), round(load_after, 2)],
+    }
+    if load_flag:
+        payload["load_flag"] = True  # idle wait timed out: totals suspect
+    line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         print(
             f"bench: WARNING stdout line is {len(line)} chars (>1800); "

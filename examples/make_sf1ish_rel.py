@@ -5,7 +5,10 @@ documents/embeddings (those use examples/make_sf1ish.py).
 Writes $SF1ISH_REL_DIR (default /tmp/sf1ish_rel): 10 key-offset replicas
 of customer, orders, lineitem and part; every other sf0.1 table is
 copied (supplier joins fan out 10x — same suppliers, 10x flow; the
-derived partsupp scales with part automatically).
+derived partsupp scales with part automatically, and the part-key
+stride is rounded up to a multiple of the supplier count so each
+replica's parts map onto the SAME supplier set — structural identity
+holds for partsupp-keyed joins too, not just direct FK joins).
 
 Why key-offset replication is an honest 10x:
 - replica k adds k * (max_key + 1) to c_custkey / o_orderkey /
@@ -67,15 +70,32 @@ def main() -> None:
 
     # offsets come from the MAX of the column that owns each key space
     tables = {t: pq.read_table(os.path.join(SRC, f"{t}.parquet")) for t in KEYED}
+    # The derived partsupp assigns ps_suppkey = (p_partkey + i) % |S|
+    # (queries/tpch_partsupp.py::PARTSUPP_SQL), so the part-key stride
+    # must be ≡ 0 (mod |S|) or each replica's parts land on a DIFFERENT
+    # supplier set and Q9/Q20's composite (ps_partkey, ps_suppkey) =
+    # (l_partkey, l_suppkey) join matches a different lineitem subset
+    # per replica (ADVICE r9) — round the stride up to a multiple of
+    # the (unreplicated) supplier count. ps_availqty/ps_supplycost
+    # still vary per replica (their moduli 9999/99900 are attribute
+    # mixers, not join keys — per-part variation exists at 1x too).
+    scount = pq.read_metadata(os.path.join(SRC, "supplier.parquet")).num_rows
+    part_stride = (
+        max(
+            pc.max(tables["part"]["p_partkey"]).as_py(),
+            pc.max(tables["lineitem"]["l_partkey"]).as_py(),
+        )
+        + 1
+    )
+    part_stride = -(-part_stride // scount) * scount
     own_max = {
         "c_custkey": pc.max(tables["customer"]["c_custkey"]).as_py(),
         "o_orderkey": pc.max(tables["orders"]["o_orderkey"]).as_py(),
         # p_partkey owns the part-key space: lineitem can reference a
-        # strict subset of part, so the part-side max is the safe stride
-        "p_partkey": max(
-            pc.max(tables["part"]["p_partkey"]).as_py(),
-            pc.max(tables["lineitem"]["l_partkey"]).as_py(),
-        ),
+        # strict subset of part, so the part-side max is the safe base;
+        # stored as stride-1 so `off = k * (own_max + 1)` below stays
+        # uniform across key spaces
+        "p_partkey": part_stride - 1,
     }
     for t, cols in KEYED.items():
         src = tables[t]

@@ -102,35 +102,70 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20):
     to amortize it: the repartition's fixed ~0.3-0.5s (extra stage +
     shuffle files) regressed sub-second ANN queries past their bench
     pins on the 0.8 MB sf0.1 fixture while buying nothing. When the
-    frame's lineage reaches readable files, their summed size gates
-    the widen; frames with no file lineage (streaming micro-batches,
-    createDataFrame fixtures) widen on the partition test alone, as
-    before.
+    frame's lineage reaches readable local files, their summed size
+    gates the widen AND supplies the split estimate — no ``df.rdd``
+    probe, which would force a physical-plan build on the driver for
+    every call site (tens per bench session; a real driver-latency
+    tax with wide plans on a large cluster). Frames with no file
+    lineage (streaming micro-batches, createDataFrame fixtures) or
+    with non-local files fall back to the partition probe.
     """
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
-        return df
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if files:
-        import os
-        from urllib.parse import unquote, urlparse
-
-        total = 0
-        for f in files:
-            p = urlparse(f)
-            path = unquote(p.path) if p.scheme in ("file", "") else None
-            if path is None:
-                total = None  # remote FS: size unknown, widen on splits
-                break
-            try:
-                total += os.path.getsize(path)
-            except OSError:
-                total = None
-                break
-        if total is not None and total < min_input_bytes:
+    sizes = _local_file_sizes(files) if files else None
+    if sizes is not None:
+        total = sum(sizes)
+        if total < min_input_bytes:
             return df
+        # Scan-task estimate without touching df.rdd: each file yields
+        # ~ceil(size / maxPartitionBytes) splits (Spark may produce more
+        # when bytes-per-core shrinks maxSplitBytes below the conf value,
+        # i.e. only on inputs already near full width — a skipped widen
+        # there is harmless, and repartition(want) never narrows below
+        # cluster width anyway).
+        max_split = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        est_splits = sum(-(-s // max_split) for s in sizes)
+        if est_splits >= want:
+            return df
+        return df.repartition(want)
+    if df.rdd.getNumPartitions() >= want:
+        return df
     return df.repartition(want)
+
+
+def _local_file_sizes(files):
+    """Sizes of the scan's input files, or None if any is non-local or
+    unreadable (remote FS → caller falls back to the partition probe)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    sizes = []
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(unquote(p.path)))
+        except OSError:
+            return None
+    return sizes
+
+
+def _parse_bytes_conf(value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m:
+        return 128 << 20
+    n = int(m.group(1))
+    unit = m.group(2).lower()
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+            "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}.get(unit)
+    return n * mult if mult else 128 << 20

@@ -45,6 +45,7 @@ _ED_HI = 400
     WITH d AS (
       SELECT doc_id, text FROM documents
       WHERE n_chars BETWEEN {_ED_LO} AND {_ED_HI}
+        AND length(text) >= {_ED_LO}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
@@ -68,10 +69,16 @@ def c82_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars").between(_ED_LO, _ED_HI)
+        # min_len certification must rest on the column the operator
+        # MEASURES (length(text)), not on the n_chars == length(text)
+        # corpus invariant (ADVICE r9): a metadata drift would silently
+        # drop both-short pairs. The extra predicate is codegen'd on the
+        # same scan, costs nothing, and mirrors the oracle exactly.
+        & (F.length("text") >= _ED_LO)
     )
-    # min_len is CERTIFIED by the pushed-down n_chars >= 200 predicate
-    # (n_chars == length(text) in this corpus): the short-band subplan
-    # (strings <= q*k + q - 1 = 20 chars) is provably empty and elided
+    # min_len is now CERTIFIED against the measured column: the
+    # short-band subplan (strings <= q*k + q - 1 = 20 chars) is
+    # provably empty and elided
     return dedup.edit_distance_pairs(docs, k=_ED_K, q=_ED_Q, min_len=_ED_LO)
 
 

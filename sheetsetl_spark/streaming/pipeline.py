@@ -597,6 +597,28 @@ class EmbeddingDedupIngestForeachBatch:
         )
 
 
+def _live_bits(df: DataFrame, hash_col: str) -> int:
+    """Highest live bit position across ``df[hash_col]``, one agg scan.
+
+    Fingerprints are stored as signed BIGINT; a value with bit 63 set
+    is negative, so the width must be derived from BOTH extremes: any
+    negative observation means the sign bit is live and the honest
+    answer is the full 64 (bit_length() of a negative long measures
+    magnitude, not width — a -1 hash has bit_length 1 but occupies all
+    64 stored bits). Empty frame → 0 (caller floors at ``bands``).
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.max(hash_col).alias("mx"), F.min(hash_col).alias("mn")
+    ).collect()[0]
+    if row["mx"] is None:
+        return 0
+    if int(row["mn"]) < 0:
+        return 64
+    return int(row["mx"]).bit_length()
+
+
 class MediaDedupIngestForeachBatch:
     """Streaming media ingest with index-maintained FINGERPRINT
     dedup — the binary-payload member of the incremental-dedup family
@@ -674,11 +696,16 @@ class MediaDedupIngestForeachBatch:
             # once, not once per consumer). Recall is banding-invariant
             # (pigeonhole needs only bands > max_hamming); the width
             # only kills dead all-zero bands.
-            mx = hashes.agg(F.max(self.hash_col).alias("m")).collect()[0]["m"]
-            live = int(mx).bit_length() if mx else 0
+            # Both extremes, one agg each: fingerprint_fn is pluggable,
+            # and a custom fingerprint using bit 63 stores NEGATIVE
+            # longs — F.max alone ignores them (or returns a small-
+            # magnitude negative whose bit_length underestimates wildly)
+            # and the collapsed width funnels every band into low bits,
+            # reintroducing the quadratic candidate mass this derivation
+            # exists to kill (ADVICE r9). Any negative ⇒ full 64 bits.
+            live = _live_bits(hashes, self.hash_col)
             if index is not None:
-                imx = index.agg(F.max(self.hash_col).alias("m")).collect()[0]["m"]
-                live = max(live, int(imx).bit_length() if imx else 0)
+                live = max(live, _live_bits(index, self.hash_col))
             hash_bits = min(64, max(live, self.bands))
         # intra-batch: smaller id wins via the pairwise banded join
         intra = mm._banded_hamming_pairs(

@@ -1528,3 +1528,52 @@ def test_band_slices_cover_disjoint_nonempty_exhaustive():
                 assert seen & block == 0, (hash_bits, bands)  # disjoint
                 seen |= block
             assert seen == (1 << hash_bits) - 1, (hash_bits, bands)  # cover
+
+
+# --- round-10: widen_to_cores (verdict r9 №7 — no df.rdd on the file path) --
+
+
+def test_widen_to_cores_file_lineage_never_touches_rdd(spark, tmp_path):
+    """On a file-backed frame, widen_to_cores must decide from file
+    sizes alone — `.rdd` forces a physical-plan build on the driver,
+    a latency tax at ~12 call sites per bench session (r9 verdict №2/№7).
+    Prove it by making DataFrame.rdd explode for the duration."""
+    from pyspark.sql import DataFrame
+
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    path = str(tmp_path / "one.parquet")
+    spark.range(1000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    def _boom(self):
+        raise AssertionError("widen_to_cores touched df.rdd on the file path")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(DataFrame, "rdd", property(_boom))
+        widened = widen_to_cores(df, min_input_bytes=1)
+        passed = widen_to_cores(df)  # tiny input: size gate passes through
+    want = spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == want
+    assert passed is df
+
+
+def test_widen_to_cores_no_lineage_falls_back_to_partition_probe(spark):
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    narrow = spark.range(100).coalesce(1)
+    want = spark.sparkContext.defaultParallelism
+    assert widen_to_cores(narrow).rdd.getNumPartitions() == want
+    wide = spark.range(100).repartition(want)
+    assert widen_to_cores(wide) is wide
+
+
+def test_parse_bytes_conf_units():
+    from sheetsetl_spark.operators.skew import _parse_bytes_conf
+
+    assert _parse_bytes_conf("134217728b") == 128 << 20
+    assert _parse_bytes_conf("128m") == 128 << 20
+    assert _parse_bytes_conf("128MB") == 128 << 20
+    assert _parse_bytes_conf("1g") == 1 << 30
+    assert _parse_bytes_conf("4194304") == 4 << 20
+    assert _parse_bytes_conf("garbage") == 128 << 20  # safe default

@@ -1116,3 +1116,21 @@ def test_media_dedup_ingest_derives_audio_live_bits(spark, tmp_path):
     assert 0 < mx < (1 << 7)
     ingest(b1, 1)  # replay idempotence on the derived path
     assert {r["media_id"] for r in spark.read.parquet(hist).collect()} == {1, 9, 11}
+
+
+def test_live_bits_negative_hash_uses_full_width(spark):
+    """ADVICE r9: fingerprint_fn is pluggable — a custom fingerprint
+    using bit 63 stores NEGATIVE longs. F.max alone either ignores them
+    or returns a small-magnitude negative whose bit_length wildly
+    underestimates; either way the derived width collapses the bands
+    into low bits and the candidate mass goes quadratic. Any negative
+    observation must force the full 64-bit width."""
+    from sheetsetl_spark.streaming.pipeline import _live_bits
+
+    def frame(vals):
+        return spark.createDataFrame([(v,) for v in vals], "h long")
+
+    assert _live_bits(frame([3, 100, 7]), "h") == 7  # positive: bit_length(max)
+    assert _live_bits(frame([3, -1, 7]), "h") == 64  # sign bit live
+    assert _live_bits(frame([-(1 << 62)]), "h") == 64
+    assert _live_bits(frame([]), "h") == 0  # empty → caller floors at bands
