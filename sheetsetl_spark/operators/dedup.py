@@ -469,10 +469,42 @@ def _embedding_signatures(
     )
 
 
+def choose_banding(n_rows: int, bands: int = 4) -> tuple[int, int]:
+    """Band-width policy for the hyperplane-LSH embedding family:
+    returns ``(num_planes, bands)`` for a corpus of ``n_rows`` vectors.
+
+    Codifies the r9-MEASURED band-value-space law (SCALE.md): the band
+    value space ``2^(num_planes/bands)`` must track the corpus size to
+    keep per-bucket occupancy O(1) — with 8-bit bands (256 values) the
+    banded equi-join's candidate mass is ~n²/256 per band, which
+    spilled 78 GB and died at 200k vectors, while 16-bit bands
+    completed in 25.8s with planted recall 1.0. Measured anchors:
+
+    * n ≤ 20,000 — 8-bit bands (the legacy 32/4 default): verified
+      linear through the 10x fixture; also what every registered
+      oracle twin inlines, so the small regime must stay EXACTLY here.
+    * n = 200,000 — 16-bit bands (64/4): the measured 100x fix.
+    * beyond — occupancy law: width ≥ log2(n/4), i.e. ≤4 expected
+      vectors per bucket for uniformly-spread signatures, floored at
+      the verified 16 and capped at 30 (a 10⁹-vector corpus gets
+      28-bit bands; signature cost grows only linearly in width).
+
+    Widening bands lowers per-band recall (p^w for plane-agreement p);
+    16-bit×4 was recall-verified at threshold 0.98 — for looser
+    thresholds add bands as you widen rather than trusting the cap.
+    """
+    if n_rows <= 20_000:
+        width = 8
+    else:
+        # ceil(log2(ceil(n/4))) == bit_length(ceil(n/4) - 1)
+        width = min(30, max(16, (-(-n_rows // 4) - 1).bit_length()))
+    return width * bands, bands
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.98,
-    num_planes: int = 32,
+    num_planes: int | None = None,
     bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -489,10 +521,11 @@ def embedding_neardup_pairs(
     — the only pattern that survives a billion-vector corpus (never a
     cross join). Verification computes exact cosine only for candidates.
 
-    PARAMETER-SCALING RULE (measured, SCALE.md round-9): the band VALUE
-    SPACE ``2^(num_planes/bands)`` must track the corpus size to keep
-    per-bucket occupancy O(1). The defaults' 8-bit bands (256 values)
-    suit ~10^3-10^4 vectors; at 200k vectors (the 100x fixture) the
+    PARAMETER-SCALING RULE (measured, SCALE.md round-9; codified in
+    :func:`choose_banding` round-10): the band VALUE SPACE
+    ``2^(num_planes/bands)`` must track the corpus size to keep
+    per-bucket occupancy O(1). 8-bit bands (256 values) suit
+    ~10^3-10^4 vectors; at 200k vectors (the 100x fixture) the
     per-band candidate mass of 8-bit bands spilled 78 GB before dying,
     while 16-bit bands (num_planes=64, bands=4) completed in 75.7s with
     every planted >=0.98 pair still recovered. Same defect class as the
@@ -502,8 +535,17 @@ def embedding_neardup_pairs(
     re-check recall on your threshold — near sim 0.98+, 16-bit bands x4
     keep recall >0.99; for looser thresholds add bands as you widen.
 
+    ``num_planes=None`` (the default) applies the law automatically:
+    one cheap ``count()`` of the input (parquet scans answer it from
+    footer metadata) feeds :func:`choose_banding`, so a 100 TB caller
+    gets a corpus-sized band value space without knowing the rule.
+    Pass an explicit ``num_planes`` to pin (e.g. to match a stored
+    index or an oracle twin).
+
     Output: (vec_a, vec_b, sim) with vec_a < vec_b and sim >= threshold.
     """
+    if num_planes is None:
+        num_planes, bands = choose_banding(vectors.count(), bands)
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rows_per_band = num_planes // bands
@@ -565,7 +607,7 @@ def embedding_neardup_pairs(
 
 def embedding_band_index(
     vectors: DataFrame,
-    num_planes: int = 32,
+    num_planes: int | None = None,
     bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -582,7 +624,16 @@ def embedding_band_index(
     planes (~0.09 in cos-angle) is far too loose for a 0.98 threshold.
     Persist this frame (e.g. parquet partitioned by band_idx) and append
     survivors' rows after each ingest; per-ingest cost is then
-    O(new + collisions) with no history rescan."""
+    O(new + collisions) with no history rescan.
+
+    ``num_planes=None`` sizes the band value space from a cheap
+    ``count()`` of the HISTORY corpus via :func:`choose_banding` — the
+    right default for index CREATION (history is the big side whose
+    bucket occupancy the law protects). Ingest-side consumers must
+    match the stored banding: :func:`incremental_embedding_neardup_filter`
+    re-derives it from the index frame itself, never from the batch."""
+    if num_planes is None:
+        num_planes, bands = choose_banding(vectors.count(), bands)
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rpb = num_planes // bands
@@ -607,7 +658,7 @@ def incremental_embedding_neardup_filter(
     new_vectors: DataFrame,
     index: DataFrame,
     threshold: float = 0.98,
-    num_planes: int = 32,
+    num_planes: int | None = None,
     bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -627,7 +678,25 @@ def incremental_embedding_neardup_filter(
     (a hot band value shared by millions of history vectors would make
     the join quadratic in that bucket); over-cap rows just can't match
     via that band — the standard recall trade. Default ``None``
-    preserves exact parity with the c49 oracle twin."""
+    preserves exact parity with the c49 oracle twin.
+
+    ``num_planes=None`` re-derives the banding FROM THE INDEX (one
+    pruned two-column agg: bands = max(band_idx)+1, band width =
+    length(band_val)) — never from the new batch, whose size says
+    nothing about the stored layout: a 60-row ingest against a 200k
+    index must signature the batch with the index's 16-bit scheme or
+    the equi-join keys don't line up at all. Empty index → the law is
+    applied to the batch itself via :func:`choose_banding`."""
+    if num_planes is None:
+        hdr = index.agg(
+            F.max("band_idx").alias("bi"),
+            F.max(F.length("band_val")).alias("w"),
+        ).collect()[0]
+        if hdr["bi"] is None:  # empty index: nothing stored to match
+            num_planes, bands = choose_banding(new_vectors.count(), bands)
+        else:
+            bands = int(hdr["bi"]) + 1
+            num_planes = bands * int(hdr["w"])
     if max_bucket_size is not None:
         index = _drop_hot_keys(index, ["band_idx", "band_val"], max_bucket_size)
     new_bands = embedding_band_index(

@@ -357,9 +357,15 @@ def c49_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("embedding"),
     )
     newb = planted.unionAll(rolled)
-    index = dedup.embedding_band_index(base, num_planes=32, bands=4, dim=64)
+    # num_planes deliberately UNPINNED (r9 verdict №3): the index sizes
+    # its band value space from the history count via choose_banding —
+    # (32, 4) at every oracle SF (n ≤ 20k, matching the static 32-plane
+    # oracle twin) and 16-bit bands at the 200k 100x fixture without
+    # this call site knowing the rule; the ingest filter then re-derives
+    # the banding from the stored index itself.
+    index = dedup.embedding_band_index(base, dim=64)
     survivors = dedup.incremental_embedding_neardup_filter(
-        newb, index, threshold=0.98, num_planes=32, bands=4, dim=64
+        newb, index, threshold=0.98, dim=64
     )
     return survivors.select("vec_id")
 
@@ -379,6 +385,10 @@ def c2e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),
     )
     corpus = base.unionAll(planted)
+    # num_planes unpinned (r9 verdict №3): choose_banding sizes the band
+    # value space from a cheap corpus count — (32, 4) at every oracle SF
+    # (the static oracle twin inlines 32 planes), 16-bit bands at the
+    # 200k 100x fixture where 8-bit buckets spilled 78 GB.
     return dedup.embedding_neardup_pairs(corpus, threshold=0.98)
 
 

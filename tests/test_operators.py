@@ -1577,3 +1577,73 @@ def test_parse_bytes_conf_units():
     assert _parse_bytes_conf("1g") == 1 << 30
     assert _parse_bytes_conf("4194304") == 4 << 20
     assert _parse_bytes_conf("garbage") == 128 << 20  # safe default
+
+
+# --- round-10: choose_banding (verdict r9 №3 — codify the value-space law) --
+
+
+def test_choose_banding_reproduces_measured_law():
+    """The r9-measured band-value-space rule, now code instead of a
+    docstring: 8-bit bands through the verified-linear ≤20k regime
+    (every oracle SF and the 10x fixture — these MUST stay at the
+    legacy (32, 4) or the static 32-plane oracle twins break), the
+    measured 16-bit fix at the 200k 100x point, and the ≤4-per-bucket
+    occupancy law beyond, capped at 30 bits."""
+    from sheetsetl_spark.operators.dedup import choose_banding
+
+    # the verified-linear small regime: exactly the legacy default
+    for n in (1_000, 2_020, 5_000, 10_000, 20_000):
+        assert choose_banding(n) == (32, 4), n
+    # the measured 100x anchor: 16-bit bands
+    assert choose_banding(200_000) == (64, 4)
+    # occupancy law beyond: 2^width >= n/4 (and never below 16 bits)
+    prev = 0
+    for exp in range(3, 10):  # 1e3 .. 1e9
+        n = 10 ** exp
+        planes, bands = choose_banding(n)
+        width = planes // bands
+        assert planes % bands == 0 and bands == 4
+        assert width >= prev, "width must be monotonic in n"
+        prev = width
+        if n > 20_000:
+            assert width >= 16
+            assert (1 << width) * 4 >= n or width == 30, (n, width)
+    assert choose_banding(10 ** 9) == (28 * 4, 4)  # 1e9 vectors: 28-bit bands
+    assert choose_banding(10 ** 12)[0] // 4 == 30  # cap
+
+
+def test_incremental_filter_derives_banding_from_index(spark):
+    """The ingest filter must signature the new batch with the INDEX's
+    stored banding (bands = max(band_idx)+1, width = len(band_val)) —
+    a 60-row batch against a wide index would otherwise re-derive
+    8-bit bands from its own size and the equi-join keys would never
+    line up. Build the index WIDE explicitly, filter with num_planes
+    unset, and require a planted near-dup of history to drop."""
+    import math
+
+    from sheetsetl_spark.operators import dedup
+
+    dim = 8
+    base = [
+        (i, [math.sin(i * 7.3 + j * 1.7) + (1.1 if j == i % dim else 0.0)
+             for j in range(dim)])
+        for i in range(40)
+    ]
+    hist = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    index = dedup.embedding_band_index(hist, num_planes=48, bands=6, dim=dim)
+    # new batch: a near-copy of vec 3 (must DROP) + one fresh vector
+    nb = spark.createDataFrame(
+        [(1003, [v * 1.0001 for v in base[3][1]]),
+         (2000, [(-1.0) ** j * (j + 1.0) for j in range(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    out = dedup.incremental_embedding_neardup_filter(
+        nb, index, threshold=0.98, dim=dim
+    )
+    assert {r["vec_id"] for r in out.collect()} == {2000}
+    # empty index: falls back to the law on the batch, keeps everything
+    empty = index.filter("vec_id < 0")
+    out2 = dedup.incremental_embedding_neardup_filter(
+        nb, empty, threshold=0.98, dim=dim
+    )
+    assert {r["vec_id"] for r in out2.collect()} == {1003, 2000}
