@@ -893,3 +893,73 @@ def c97_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs, n=3, id_col="lang")
     return kmv_distinct(sh, group_col="lang", value_col="shingle", k=64)
+
+
+# The persisted-index search must return EXACTLY what the direct IVF
+# operator returns (tests/test_ivf_index.py proves equality), so its
+# oracle is the c3c IVF oracle verbatim: deterministic centroids
+# (vec_id < 16), queries vec_id < 8, nprobe 4, k 10.
+_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+    asg AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM e, cent) t
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, cent.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(v, cv)
+                   / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(cv, cv))) DESC,
+                 cent.cent_id) AS rn
+        FROM e, cent WHERE e.vec_id < 8) t
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(qv, a.v)
+               / (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(a.v, a.v))) AS sim
+      FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+      WHERE p.query_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS nn_rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, nn_rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE nn_rank <= 10
+"""
+
+
+@query("c91b_persisted_ivf_search", oracle=_IVF_ORACLE)
+def c91b_persisted_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-series (ANN tier): build-once / search-many over the PERSISTED
+    IVF index (r9 verdict №5) — write the inverted lists as parquet
+    partitioned by cent_id (operators/similarity.py::write_ivf_index),
+    REOPEN them from disk, and serve a query batch through
+    search_ivf_index, whose plan partition-prunes the index scan to the
+    nprobe probed lists (PartitionFilters carry the literal cent_id
+    probe set; plan-asserted in tests/test_ivf_index.py). This is the
+    repeated-query-batch story at 100 TB: the corpus-sized assignment
+    pass is paid once at build; every later batch reads nprobe/M of the
+    index directories and nothing else. Deterministic end-to-end
+    (centroids = vec_id < 16), so the whole persisted round-trip is
+    hash-checked against the direct-IVF DuckDB oracle."""
+    import tempfile
+
+    from sheetsetl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="sheetsetl_ivf_c91b_")
+    similarity.write_ivf_index(emb, idx, num_centroids=16)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.search_ivf_index(spark, idx, queries_df, k=10, nprobe=4)

@@ -83,3 +83,22 @@ def test_streaming_ingest_grows_index_idempotently(spark, tmp_path):
     got = search_ivf_index(spark, idx, queries, k=5, nprobe=4)
     want = cosine_topk_ivf(corpus, queries, k=5, nprobe=4, num_centroids=16)
     assert _rows(got) == _rows(want)
+
+
+def test_c91b_registered_query_plan_prunes(spark):
+    """The REGISTERED persisted-index query (r9 verdict №5) must carry
+    the partition pruning through the driver contract: its executed
+    plan's index scan keeps PartitionFilters on cent_id with at most
+    nprobe(4) x |queries|(8) literal ids — never a full-index read."""
+    import re
+
+    from sheetsetl_spark.queries import QUERIES
+
+    out = QUERIES["c91b_persisted_ivf_search"](spark, SF_SMALL)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("cent_id" in ln for ln in scan_lines), plan
+    # >10 literals makes Catalyst print INSET instead of IN
+    m = re.search(r"cent_id#\d+ (?:IN \(|INSET )([0-9, ]+)\)?", plan)
+    assert m and len(m.group(1).split(",")) <= 32, plan
+    assert out.count() > 0
