@@ -105,8 +105,16 @@ def main() -> None:
 
         work = tempfile.mkdtemp(prefix="ingest_scale_")
         hist, idx = os.path.join(work, "hist"), os.path.join(work, "idx")
+        # The default c5b pixel formula (id*7 + j) gives every image the
+        # SAME adjacent-pixel deltas, hence one shared dHash — the whole
+        # corpus would collapse to a single survivor and the state/band
+        # join would be measured on 1 row. Vary the gradient per id so
+        # fingerprints are distinct and the index grows corpus-linearly.
         media_batches = [
-            synthesize_ppm_media(b, id_col="vec_id", width=4, height=4)
+            synthesize_ppm_media(
+                b, id_col="vec_id", width=4, height=4,
+                pixel_fn=lambda i, j: i * (j + 3) + (i >> 5) * j * j,
+            )
             for b in batches
         ]
         _replay(

@@ -716,19 +716,29 @@ def incremental_hamming_neardup_filter(
             ).alias("band_idx", "band_val"),
         )
 
-    new = stack(new_hashes, "new_id", "hn")
-    old = stack(index_hashes, "old_id", "ho")
-    dups = (
+    # Collapse BOTH sides to DISTINCT hash values before banding: the
+    # drop decision depends only on the fingerprint, so rows sharing a
+    # hash share one verdict — and the banded join's candidate mass
+    # becomes quadratic in DISTINCT fingerprints, not rows. Found by the
+    # r10 100x ingest replay: a synthesized corpus whose 50k images all
+    # shared one dHash put the whole batch in one band bucket (~180s per
+    # micro-batch of pure duplicate-pair enumeration); after the
+    # collapse the same adversarial corpus is one banded row.
+    new_d = new_hashes.select(hash_col).distinct().withColumn(id_col, F.col(hash_col))
+    old_d = index_hashes.select(hash_col).distinct().withColumn(id_col, F.col(hash_col))
+    new = stack(new_d, "hn_key", "hn")
+    old = stack(old_d, "ho_key", "ho")
+    dup_hashes = (
         new.join(old, ["band_idx", "band_val"])
-        .select("new_id", "hn", "ho")
+        .select("hn", "ho")
         .distinct()
         .filter(
             F.bit_count(F.col("hn").bitwiseXOR(F.col("ho"))) <= max_hamming
         )
-        .select(F.col("new_id").alias(id_col))
+        .select(F.col("hn").alias(hash_col))
         .distinct()
     )
-    return new_hashes.join(dups, id_col, "left_anti")
+    return new_hashes.join(dup_hashes, hash_col, "left_anti")
 
 
 def synthesize_ppm_video(

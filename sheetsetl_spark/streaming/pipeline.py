@@ -502,7 +502,15 @@ class EmbeddingDedupIngestForeachBatch:
     contract matches the other ingests: history and index partitions are
     keyed by __batch_id, excluded from the filter on replay, and
     rewritten via dynamic partition overwrite — re-running a batch id
-    is idempotent."""
+    is idempotent.
+
+    Banding is PINNED at construction (default 32/4): the stored index
+    must be self-consistent across batches — per-batch auto-derivation
+    would mix band widths inside one index and break the equi-join.
+    Size it for the EXPECTED final corpus up front, e.g.
+    ``num_planes, bands = dedup.choose_banding(expected_corpus_rows)``
+    (the r9-measured value-space law: 8-bit bands die at ~200k
+    vectors); re-banding an existing index means rebuilding it."""
 
     def __init__(
         self,
@@ -707,14 +715,29 @@ class MediaDedupIngestForeachBatch:
             if index is not None:
                 live = max(live, _live_bits(index, self.hash_col))
             hash_bits = min(64, max(live, self.bands))
-        # intra-batch: smaller id wins via the pairwise banded join
+        # intra-batch: smaller id wins. Collapse identical fingerprints
+        # to their min-id representative FIRST — x is dominated iff some
+        # smaller id sits within max_hamming, and every member of a hash
+        # group g smaller than x exists iff min(g) < x, so running the
+        # pairwise banded join over group minima yields the identical
+        # survivor set while the candidate mass scales with DISTINCT
+        # fingerprints, not rows (r10 100x replay: a batch of 50k
+        # identical-dHash images was ~180s of duplicate-pair enumeration
+        # in one band bucket; collapsed, it is one row).
+        reps = hashes.groupBy(self.hash_col).agg(
+            F.min(self.id_col).alias(self.id_col)
+        )
         intra = mm._banded_hamming_pairs(
-            hashes, self.hash_col, self.id_col, self.max_hamming, self.bands,
+            reps, self.hash_col, self.id_col, self.max_hamming, self.bands,
             "m_a", "m_b", hash_bits=hash_bits,
         )
-        keep = hashes.join(
-            intra.select(F.col("m_b").alias(self.id_col)).distinct(),
-            self.id_col, "left_anti",
+        keep = (
+            hashes
+            .join(reps.select(self.id_col), self.id_col, "left_semi")
+            .join(
+                intra.select(F.col("m_b").alias(self.id_col)).distinct(),
+                self.id_col, "left_anti",
+            )
         )
         if index is not None:
             keep = mm.incremental_hamming_neardup_filter(

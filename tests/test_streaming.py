@@ -1134,3 +1134,38 @@ def test_live_bits_negative_hash_uses_full_width(spark):
     assert _live_bits(frame([3, -1, 7]), "h") == 64  # sign bit live
     assert _live_bits(frame([-(1 << 62)]), "h") == 64
     assert _live_bits(frame([]), "h") == 0  # empty → caller floors at bands
+
+
+def test_media_dedup_identical_fingerprints_collapse(spark, tmp_path):
+    """The identical-fingerprint floor (r10 100x replay): a batch whose
+    images all share one dHash must resolve to the single min-id
+    survivor via the distinct-hash collapse — the banded join runs over
+    group minima, never enumerating the O(n^2) duplicate pairs. The
+    survivor set must equal the old pairwise rule's exactly: min id per
+    hash group, minus group minima dominated by a smaller near-hash."""
+    from functools import partial
+
+    from sheetsetl_spark.operators import multimodal as mm
+    from sheetsetl_spark.streaming import MediaDedupIngestForeachBatch
+
+    hist, idx = str(tmp_path / "h"), str(tmp_path / "i")
+    ingest = MediaDedupIngestForeachBatch(hist, idx, max_hamming=2, bands=4)
+    # 50 identical images (ids 10..59) + 1 genuinely different (id 5):
+    # the default c5b pixel formula makes every image's adjacent-pixel
+    # deltas equal, hence one shared dHash
+    same = mm.synthesize_ppm_media(
+        spark.range(10, 60).withColumnRenamed("id", "doc_id")
+    )
+    diff = mm.synthesize_ppm_media(
+        spark.range(5, 6).withColumnRenamed("id", "doc_id"),
+        pixel_fn=lambda i, j: (j * j * 31 + (j % 7) * 101),
+    )
+    ingest(same.unionAll(diff), 0)
+    got = {r["media_id"] for r in spark.read.parquet(hist).collect()}
+    assert got == {5, 10}, got
+    # replay of a later all-duplicate batch drops everything via the
+    # hash-collapsed incremental filter
+    ingest(mm.synthesize_ppm_media(
+        spark.range(100, 140).withColumnRenamed("id", "doc_id")), 1)
+    got = {r["media_id"] for r in spark.read.parquet(hist).collect()}
+    assert got == {5, 10}, got
