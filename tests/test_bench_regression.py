@@ -123,3 +123,27 @@ def test_headline_queries_within_1p5x_of_r8_medians(current_bench):
     assert cur_tot <= 1.5 * base_tot, (
         f"comparable-query total {cur_tot:.1f}s vs r8 {base_tot:.1f}s"
     )
+
+
+def test_wait_for_idle_gate(monkeypatch):
+    """Fast, always-on: the r10 load gate must wait out a loaded machine
+    (BENCH_r09 recorded a phantom +14% from post-suite load decay),
+    release as soon as loadavg falls below the gate, and flag a
+    timed-out wait instead of silently recording suspect totals."""
+    import bench
+
+    loads = iter([8.0, 5.0, 1.2])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(loads), 0, 0))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "2.0")
+    load, flag = bench._wait_for_idle()
+    assert load == 1.2 and flag is False
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 0, 0))
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT_SEC", "30")
+    load, flag = bench._wait_for_idle()
+    assert load == 9.9 and flag is True  # timed out: totals suspect
+
+    monkeypatch.setenv("SPARK_GRAFT_LOAD_GATE", "0")  # explicit opt-out
+    load, flag = bench._wait_for_idle()
+    assert flag is False

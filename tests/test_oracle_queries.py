@@ -21,7 +21,7 @@ def test_oracle_match(spark, name):
 
 
 # Deliberately kept although it currently parametrizes over the EMPTY
-# set (288/288 registry queries carry DuckDB oracles): it is the guard
+# set (289/289 registry queries carry DuckDB oracles): it is the guard
 # that fires the moment someone registers a query WITHOUT an oracle, so
 # the weaker rows-only contract still gets a determinism check.
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
