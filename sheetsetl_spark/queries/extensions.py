@@ -357,15 +357,20 @@ def c49_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("embedding"),
     )
     newb = planted.unionAll(rolled)
-    # num_planes deliberately UNPINNED (r9 verdict №3): the index sizes
-    # its band value space from the history count via choose_banding —
-    # (32, 4) at every oracle SF (n ≤ 20k, matching the static 32-plane
-    # oracle twin) and 16-bit bands at the 200k 100x fixture without
-    # this call site knowing the rule; the ingest filter then re-derives
-    # the banding from the stored index itself.
-    index = dedup.embedding_band_index(base, dim=64)
+    # Banding by the r9 value-space LAW, not a pinned literal: one cheap
+    # metadata count feeds choose_banding — (32, 4) at every oracle SF
+    # (n ≤ 20k, matching the static 32-plane oracle twin) and 16-bit
+    # bands at the 200k 100x fixture without this call site knowing the
+    # rule. Derived ONCE here and passed to both the index build and the
+    # filter: the filter's derive-from-index path (num_planes=None) is
+    # for REOPENED materialized indexes, where its header agg is a cheap
+    # pruned scan — on this freshly-built in-process index it would
+    # force a full extra evaluation of the signature pipeline (measured
+    # +1.2s at sf0.1 bench when tried).
+    planes, bands = dedup.choose_banding(base.count())
+    index = dedup.embedding_band_index(base, num_planes=planes, bands=bands, dim=64)
     survivors = dedup.incremental_embedding_neardup_filter(
-        newb, index, threshold=0.98, dim=64
+        newb, index, threshold=0.98, num_planes=planes, bands=bands, dim=64
     )
     return survivors.select("vec_id")
 
