@@ -877,9 +877,10 @@ def bpe_train_apply(
     )
     # Hash-partition by doc id up front: the source may be one parquet
     # split (measured: the whole first pair-aggregation ran on a single
-    # core, 8.2s of the job), and every later window pass wants this
-    # exact partitioning anyway, so the one shuffle here is reused by
-    # all rounds.
+    # core, 8.2s of the job). Since r10 the merge application is a pure
+    # map (no per-round window), so this shuffle buys parallelism for
+    # the per-round pair aggregations and merge maps, not a reusable
+    # partitioning.
     cur = cur.repartition(F.col("id"))
     for _ in range(rounds):
         # Lazy localCheckpoint: the argmax action below materializes this
@@ -913,57 +914,28 @@ def _bpe_apply_merge(cur: DataFrame, x: str, y: str) -> DataFrame:
     """One greedy BPE merge (x, y) -> xy over (id, toks) token strings,
     exact left-to-right non-overlapping pairing (see bpe_train_apply).
 
-    site(i) marks positions where (t[i], t[i+1]) == (x, y); greedy keeps
-    a site iff its STREAK — the count of consecutive site positions
-    ending at it, computed as pos minus the last non-site position — is
-    odd (runs longer than one site only occur when x == y; within a run
-    greedy takes offsets 0, 2, 4... which is exactly odd streaks). The
-    streak needs only the one doc-keyed running window every other step
-    already uses — an islands formulation would add a second shuffle on
-    (id, island) per merge round. A kept site emits the merged token;
-    the position after a kept site is consumed.
+    ONE regexp_replace — a pure codegen'd map, no explode, no window,
+    no re-concat (r10; the prior implementation exploded to positions
+    and computed streak-parity selection with two doc-keyed windows +
+    a collect_list re-assembly per round, ~4 heavy operators x rounds).
+    Java's replaceAll IS greedy left-to-right non-overlapping matching:
+    after a match it resumes past the consumed text, which consumes the
+    pair's second token exactly like BPE's greedy scan, and within an
+    x == x run it takes offsets 0, 2, 4... — the same selection the
+    streak-parity windows computed (equivalence property-tested over
+    20k random token sequences, tests/test_text_bpe.py).
+
+    The pattern leans on two invariants of the toks format: every token
+    is PRECEDED by exactly one space (leading-space string), and tokens
+    are [a-z_]+ (no regex metacharacters, nothing to quote). Matching
+    " x y" with a (?=[ ]|$) LOOKAHEAD — instead of consuming a trailing
+    space, the mistake the docstring used to warn about — keeps the
+    next site's leading space available, so adjacent-site chains merge
+    correctly ('banana' (a,n) -> [b, an, an, a]); the lookahead also
+    anchors token END, so (a, n) never corrupts neighboring token 'na'.
     """
-    tok = cur.select(
-        "id", F.posexplode(F.split(F.trim("toks"), " ")).alias("pos", "t")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    tok = tok.withColumn(
-        "site",
-        ((F.col("t") == x) & (F.lead("t", 1).over(w) == y)).cast("int"),
-    )
-    tok = tok.withColumn(
-        "streak",
-        F.col("pos")
-        - F.coalesce(
-            F.max(F.when(F.col("site") == 0, F.col("pos"))).over(wrun),
-            F.lit(-1),
-        ),
-    ).withColumn(
-        "sel", (F.col("site") == 1) & (F.col("streak") % 2 == 1)
-    )
-    tok = tok.withColumn(
-        "out_t",
-        F.when(F.col("sel"), F.lit(x + y))
-        .when(F.coalesce(F.lag("sel", 1).over(w), F.lit(False)), F.lit(None))
-        .otherwise(F.col("t")),
-    )
-    return (
-        tok.filter(F.col("out_t").isNotNull())
-        .groupBy("id")
-        .agg(
-            F.concat(
-                F.lit(" "),
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "out_t"))),
-                        lambda s: s["out_t"],
-                    ),
-                ),
-                F.lit(" "),
-            ).alias("toks")
-        )
+    return cur.withColumn(
+        "toks", F.regexp_replace("toks", f" {x} {y}(?=[ ]|$)", f" {x}{y}")
     )
 
 

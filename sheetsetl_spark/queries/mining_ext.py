@@ -155,10 +155,12 @@ _BPE_MAX_CHARS = 120
 def _bpe_oracle(rounds: int, max_chars: int) -> str:
     """Unrolled per-round CTE chain: DuckDB re-learns each merge (argmax
     adjacent pair over the CURRENT tokenization, ties (count DESC, x, y))
-    and re-applies it with the SAME windowed greedy-pairing semantics as
-    the Spark operator (exact left-to-right non-overlapping token
-    merging — a plain string replace would skip every second site in an
-    adjacent-site chain; see operators/text.py::_bpe_apply_merge).
+    and re-applies it with the SAME greedy-pairing semantics as the
+    Spark operator (exact left-to-right non-overlapping token merging —
+    a trailing-space-consuming string replace would skip every second
+    site in an adjacent-site chain; the Spark side implements this as a
+    lookahead regexp_replace since r10, this oracle keeps the windowed
+    islands formulation; see operators/text.py::_bpe_apply_merge).
     Positions are 1-based here vs 0-based in Spark: islands shift by a
     constant and the (pos - run_start) parity is offset-invariant, so
     the selections coincide."""
