@@ -138,9 +138,13 @@ def x98_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sheetsetl_spark.operators.prefix import prefix_sum
 
     o = load_table(spark, sf_dir, "orders")
+    # Pinned: the per-customer aggregate feeds TWO consumers (the
+    # prefix-sum rank and the n_total count) — without the checkpoint
+    # the orders scan + hash agg runs twice (the c99/c103 multi-consumer
+    # lesson; derived frame, never a raw pruned scan).
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sp")
-    )
+    ).localCheckpoint(eager=False)
     ranked = prefix_sum(
         spend,
         [F.col("sp"), F.col("o_custkey")],
