@@ -572,7 +572,13 @@ def write_ivf_index(
     ``vec_id < num_centroids``), so a rebuild is byte-stable and
     :func:`search_ivf_index` over the index equals the direct operator
     exactly (tested)."""
-    e = embeddings.select(
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    # Same widen as the direct operator (r9 ladder fix, applied here
+    # r10): the assignment is |centroids| interpreted dots per row and
+    # a compact corpus parquet exposes 1-8 row-group splits — unwidened,
+    # the 100x build ran at 1/4 utilization (117.9s vs ~34s widened).
+    e = widen_to_cores(embeddings).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("vn", _checked_norm("v"))
     cent = e.filter(F.col("vec_id") < num_centroids).select(
@@ -591,6 +597,12 @@ def write_ivf_index(
         # (streaming/pipeline.py::IvfIndexIngestForeachBatch)
         .withColumn("__batch_id", F.lit(-1))
     )
+    # Cluster rows by centroid before the partitioned write: without
+    # this every shuffle partition holds rows of many centroids and the
+    # writer emits up to (shuffle partitions x |centroids|) small files
+    # — hash-clustered, each partition directory gets ~1 well-sized
+    # file, which is also what the pruned reopen scan wants to read.
+    assigned = assigned.repartition(F.col("cent_id"))
     assigned.write.mode("overwrite").partitionBy("cent_id", "__batch_id").parquet(path)
     # centroids persist as their own TINY table: search must never scan
     # the corpus partitions just to recover the probe geometry
