@@ -4,10 +4,13 @@ Two pins, one bench run:
 
 * BENCH_r01.json (21.181 s / 26 headline queries at sf0.1) is the
   original recorded baseline; >2x any recorded query fails.
-* BENCH_r08.json (50.952 s / 42 queries) is the freshest full driver
-  bench; >1.5x any of its medians fails. This tighter pin exists
-  because a correctness-motivated +16% drift (c82, round 8) sailed
-  under the 2x-of-r1 bar and was caught by the judge, not a test.
+* BENCH_r10_local.json (46.830 s / 42 queries, the r10 closing
+  idle-gated run — loadavg 0.08 at start, 0.919x of BENCH_r08 on the
+  comparable set after the BPE-regexp / x98-pin / banding wins) is the
+  best recorded full bench; >1.5x any of its medians fails. This
+  tighter pin exists because a correctness-motivated +16% drift (c82,
+  round 8) sailed under the 2x-of-r1 bar and was caught by the judge,
+  not a test. Re-point it whenever a faster full run lands.
 
 Slow (runs the full headline set at the bench SF) — skipped unless
 SHEETSETL_BENCH_GUARD=1; run explicitly before committing plan-shape
@@ -83,7 +86,7 @@ def _comparable_totals(baseline: dict, current: dict) -> tuple[float, float]:
 def test_regression_detector_catches_planted_drift():
     """Fast, always-on: the comparator itself must flag a planted 1.6x
     drift under the 1.5x pin (and ignore sub-floor noise)."""
-    base = _recorded("BENCH_r08.json")
+    base = _recorded("BENCH_r10_local.json")
     planted = dict(base["queries"])
     planted["c82_edit_distance_join"] = base["queries"]["c82_edit_distance_join"] * 1.6
     hits = _regressions(base, {"queries": planted}, 1.5)
@@ -109,19 +112,20 @@ def test_headline_queries_within_2x_of_recorded_baseline(current_bench):
 
 
 @guard
-def test_headline_queries_within_1p5x_of_r8_medians(current_bench):
-    """The drift pin: BENCH_r08 medians at 1.5x. Re-point this at the
-    newest full BENCH_r{N}.json whenever a round's bench lands faster —
-    the pin should always be the best recorded full run."""
-    baseline = _recorded("BENCH_r08.json")
+def test_headline_queries_within_1p5x_of_best_medians(current_bench):
+    """The drift pin: the best recorded full bench's medians at 1.5x.
+    Re-point whenever a round's bench lands faster — the pin should
+    always be the best recorded full run (currently the r10 closing
+    idle run)."""
+    baseline = _recorded("BENCH_r10_local.json")
     regressions = _regressions(baseline, current_bench, 1.5)
     assert not regressions, (
-        f"headline queries drifted beyond 1.5x of BENCH_r08 medians: "
+        f"headline queries drifted beyond 1.5x of the pinned best medians: "
         f"{regressions}"
     )
     base_tot, cur_tot = _comparable_totals(baseline, current_bench)
     assert cur_tot <= 1.5 * base_tot, (
-        f"comparable-query total {cur_tot:.1f}s vs r8 {base_tot:.1f}s"
+        f"comparable-query total {cur_tot:.1f}s vs pinned best {base_tot:.1f}s"
     )
 
 
