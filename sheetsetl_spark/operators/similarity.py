@@ -447,9 +447,16 @@ def kmeans_refine(
     plan is static (iters is small and fixed); for large iteration counts
     checkpoint between rounds like functions/iterative.py does.
     """
-    e = vectors.select(
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    # Widened (the r9/r10 ladder rule: the assignment is k interpreted
+    # dots per row, capped at a compact fixture's row-group count
+    # otherwise) and PINNED: every iteration's assign() re-reads e, so
+    # without the checkpoint each round re-derives the vv fold from the
+    # source scan (derived frame, never a raw pruned scan).
+    e = widen_to_cores(vectors).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("vv", _dot("v", "v"))
+    ).withColumn("vv", _dot("v", "v")).localCheckpoint(eager=False)
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
@@ -523,7 +530,11 @@ def hard_negatives(
         F.col(label_col).alias("__qlabel"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("qn", _checked_norm("qv"))
-    c = embeddings.select(
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    # Corpus side widened (r10, same ladder rule as cosine_topk): the
+    # scored projection is |q| interpreted dots per corpus row.
+    c = widen_to_cores(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("__clabel"),
         F.col(vec_col).cast("array<double>").alias("cv"),
