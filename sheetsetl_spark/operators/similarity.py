@@ -659,6 +659,11 @@ def search_ivf_index(
     # the probed directories (query batches are small by contract, so
     # this driver-side collect is bounded: |queries| x nprobe ids)
     probed_ids = sorted({r["cent_id"] for r in probes.select("cent_id").distinct().collect()})
+    # NOT widened (r10, measured): widen_to_cores reads inputFiles(),
+    # which is not partition-pruned, so its split estimate sees the
+    # whole index and no-ops; and the measured 100x search wall
+    # (1.6-3s per 8-query batch) is probe ranking + join, not the
+    # in-list scan — there is nothing for a widen to buy here.
     pruned = index.filter(F.col("cent_id").isin(probed_ids))
     sim = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
     scored = (
