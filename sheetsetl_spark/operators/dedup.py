@@ -509,6 +509,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """C2: embedding-cosine near-duplicate pairs via hyperplane-LSH
     blocking + exact cosine verification.
@@ -535,17 +536,24 @@ def embedding_neardup_pairs(
     re-check recall on your threshold — near sim 0.98+, 16-bit bands x4
     keep recall >0.99; for looser thresholds add bands as you widen.
 
-    ``num_planes=None`` (the default) applies the law automatically:
-    one cheap ``count()`` of the input (parquet scans answer it from
-    footer metadata) feeds :func:`choose_banding`, so a 100 TB caller
-    gets a corpus-sized band value space without knowing the rule.
-    Pass an explicit ``num_planes`` to pin (e.g. to match a stored
-    index or an oracle twin).
+    ``num_planes=None`` (the default) applies the law automatically by
+    feeding a ``count()`` of the input to :func:`choose_banding`. That
+    count is cheap only for (near-)raw scans — a DERIVED frame (unions,
+    zip_with/transform columns, expensive filters) pays a full extra
+    evaluation of its plan just to be counted. Callers that already
+    know the corpus size should pass ``n_rows`` (skips the count
+    entirely; c49's ingest derives it from the stored index the same
+    way) or pin ``num_planes`` outright. NOTE (r10 behavior change):
+    the pre-law default was a fixed 32/4 — >20k-row callers now get
+    wider bands and thus slightly lower per-band recall (measured
+    >0.99 at threshold 0.98; re-check if your threshold is looser).
 
     Output: (vec_a, vec_b, sim) with vec_a < vec_b and sim >= threshold.
     """
     if num_planes is None:
-        num_planes, bands = choose_banding(vectors.count(), bands)
+        num_planes, bands = choose_banding(
+            n_rows if n_rows is not None else vectors.count(), bands
+        )
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rows_per_band = num_planes // bands
@@ -612,6 +620,7 @@ def embedding_band_index(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The STORED index for incremental embedding near-dup: one row per
     (vector, band) — (vec_id, v, nrm, band_idx, band_val).
@@ -626,14 +635,20 @@ def embedding_band_index(
     survivors' rows after each ingest; per-ingest cost is then
     O(new + collisions) with no history rescan.
 
-    ``num_planes=None`` sizes the band value space from a cheap
-    ``count()`` of the HISTORY corpus via :func:`choose_banding` — the
-    right default for index CREATION (history is the big side whose
-    bucket occupancy the law protects). Ingest-side consumers must
-    match the stored banding: :func:`incremental_embedding_neardup_filter`
-    re-derives it from the index frame itself, never from the batch."""
+    ``num_planes=None`` sizes the band value space from a ``count()``
+    of the HISTORY corpus via :func:`choose_banding` — the right
+    default for index CREATION (history is the big side whose bucket
+    occupancy the law protects). The count is cheap only when the
+    history frame is a (near-)raw scan; a derived frame (planted
+    unions, transformed columns) pays a full extra evaluation — pass
+    ``n_rows`` when the size is already known. Ingest-side consumers
+    must match the stored banding:
+    :func:`incremental_embedding_neardup_filter` re-derives it from
+    the index frame itself, never from the batch."""
     if num_planes is None:
-        num_planes, bands = choose_banding(vectors.count(), bands)
+        num_planes, bands = choose_banding(
+            n_rows if n_rows is not None else vectors.count(), bands
+        )
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     rpb = num_planes // bands

@@ -109,6 +109,17 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20):
     tax with wide plans on a large cluster). Frames with no file
     lineage (streaming micro-batches, createDataFrame fixtures) or
     with non-local files fall back to the partition probe.
+
+    The file path assumes the frame is (close to) a RAW SCAN — its
+    estimate is blind to plan-level re-partitioning (ADVICE r10): a
+    frame explicitly narrowed downstream (``coalesce(1)`` before the
+    compute-dense op) would otherwise be returned unwidened whenever
+    the source files look wide enough, and a frame already shuffled
+    wide over small files would pay a redundant exchange. So when the
+    LOGICAL plan contains a Repartition/RebalancePartitions node (a
+    cheap string probe — no physical planning), the exact partition
+    probe decides instead; every repo call site is a raw scan, so the
+    fallback only fires for exotic callers.
     """
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
@@ -117,6 +128,8 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20):
     except Exception:
         files = []
     sizes = _local_file_sizes(files) if files else None
+    if sizes is not None and _has_explicit_repartition(df):
+        sizes = None
     if sizes is not None:
         total = sum(sizes)
         if total < min_input_bytes:
@@ -139,6 +152,21 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20):
     return df.repartition(want)
 
 
+def _has_explicit_repartition(df) -> bool:
+    """True when the frame's LOGICAL plan carries an explicit
+    repartition/coalesce/rebalance node, so the source-file split
+    estimate cannot speak for the frame's actual partitioning.
+    Inspects the parsed logical plan's string — analysis-free and
+    physical-plan-free, so it stays off the driver-latency path the
+    file estimate exists to protect. Unreadable plan → True (be
+    conservative: fall back to the exact probe)."""
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:
+        return True
+    return "Repartition" in plan or "RebalancePartitions" in plan
+
+
 def _local_file_sizes(files):
     """Sizes of the scan's input files, or None if any is non-local or
     unreadable (remote FS → caller falls back to the partition probe)."""
@@ -158,14 +186,29 @@ def _local_file_sizes(files):
 
 
 def _parse_bytes_conf(value: str) -> int:
-    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')
+    — the full Spark unit set through t/tb and p/pb (Spark's
+    JavaUtils.byteStringAsBytes accepts them, so a cluster may
+    legitimately set a terabyte maxPartitionBytes). An unparseable
+    value falls back to Spark's 128 MB default, and LOUDLY: a silent
+    fallback would overestimate splits and skip widens with no signal
+    (ADVICE r10)."""
     import re
 
     m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
-    if not m:
+    mult = None
+    if m:
+        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50,
+                "pb": 1 << 50}.get(m.group(2).lower())
+    if mult is None:
+        import warnings
+
+        warnings.warn(
+            f"widen_to_cores: unparseable spark.sql.files.maxPartitionBytes "
+            f"{value!r}; assuming the 128 MB default for the split estimate",
+            stacklevel=3,
+        )
         return 128 << 20
-    n = int(m.group(1))
-    unit = m.group(2).lower()
-    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
-            "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}.get(unit)
-    return n * mult if mult else 128 << 20
+    return int(m.group(1)) * mult

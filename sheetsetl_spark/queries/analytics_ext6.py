@@ -953,13 +953,28 @@ def c91b_persisted_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is paid once at build; every later batch reads nprobe/M of the
     index directories and nothing else. Deterministic end-to-end
     (centroids = vec_id < 16), so the whole persisted round-trip is
-    hash-checked against the direct-IVF DuckDB oracle."""
+    hash-checked against the direct-IVF DuckDB oracle.
+
+    The index lands at a FIXED per-(user, sf) path and is rewritten
+    with mode=overwrite — repeated invocations (3 bench passes, oracle
+    sweeps, pytest) reuse one directory instead of leaking an orphaned
+    mkdtemp copy per run (ADVICE r10). Timing note: this query's bench
+    wall is BUILD + WRITE + reopened SEARCH by design — it certifies
+    the whole persisted round-trip; search_ivf_index alone is the
+    1.9-3.5s/batch number in SCALE.md."""
+    import getpass
+    import hashlib
+    import os
     import tempfile
 
     from sheetsetl_spark.operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="sheetsetl_ivf_c91b_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"sheetsetl_ivf_c91b_{getpass.getuser()}_{tag}",
+    )
     similarity.write_ivf_index(emb, idx, num_centroids=16)
     queries_df = emb.filter(F.col("vec_id") < 8)
     return similarity.search_ivf_index(spark, idx, queries_df, k=10, nprobe=4)

@@ -391,10 +391,15 @@ def c2e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(planted)
     # num_planes unpinned (r9 verdict №3): choose_banding sizes the band
-    # value space from a cheap corpus count — (32, 4) at every oracle SF
+    # value space from the corpus size — (32, 4) at every oracle SF
     # (the static oracle twin inlines 32 planes), 16-bit bands at the
-    # 200k 100x fixture where 8-bit buckets spilled 78 GB.
-    return dedup.embedding_neardup_pairs(corpus, threshold=0.98)
+    # 200k 100x fixture where 8-bit buckets spilled 78 GB. The size is
+    # passed as n_rows computed from two RAW-scan counts (base + the
+    # pushdown-filtered plant source): counting the derived union
+    # itself would re-evaluate the zip_with plan just to size the
+    # banding (ADVICE r10).
+    n = base.count() + base.filter(F.col("vec_id") < 20).count()
+    return dedup.embedding_neardup_pairs(corpus, threshold=0.98, n_rows=n)
 
 
 @query(

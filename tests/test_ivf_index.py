@@ -102,3 +102,28 @@ def test_c91b_registered_query_plan_prunes(spark):
     m = re.search(r"cent_id#\d+ (?:IN \(|INSET )([0-9, ]+)\)?", plan)
     assert m and len(m.group(1).split(",")) <= 32, plan
     assert out.count() > 0
+
+
+def test_c91b_reuses_one_index_dir_across_invocations(spark):
+    """Repeated c91b runs (3 bench passes, oracle sweeps) must reuse
+    ONE fixed per-(user, sf) index directory via overwrite — the r10
+    mkdtemp-per-call version leaked an orphaned index copy into /tmp
+    on every invocation (ADVICE r10)."""
+    import glob
+    import os
+    import tempfile
+
+    from sheetsetl_spark.queries import QUERIES
+
+    pattern = os.path.join(tempfile.gettempdir(), "sheetsetl_ivf_c91b_*")
+
+    def dirs():
+        return {d for d in glob.glob(pattern) if "__centroids" not in d}
+
+    first = QUERIES["c91b_persisted_ivf_search"](spark, SF_SMALL)
+    n1 = first.count()
+    after_one = dirs()
+    second = QUERIES["c91b_persisted_ivf_search"](spark, SF_SMALL)
+    assert second.count() == n1 > 0
+    assert dirs() == after_one  # no new directory per invocation
+    assert len(after_one) >= 1  # the fixed path exists

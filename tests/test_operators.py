@@ -1576,7 +1576,34 @@ def test_parse_bytes_conf_units():
     assert _parse_bytes_conf("128MB") == 128 << 20
     assert _parse_bytes_conf("1g") == 1 << 30
     assert _parse_bytes_conf("4194304") == 4 << 20
-    assert _parse_bytes_conf("garbage") == 128 << 20  # safe default
+    # Spark's JavaUtils unit set runs through t/tb and p/pb — without
+    # them a terabyte conf silently fell back to 128 MB and the split
+    # estimate skipped every widen with no signal (ADVICE r10)
+    assert _parse_bytes_conf("1t") == 1 << 40
+    assert _parse_bytes_conf("2TB") == 2 << 40
+    assert _parse_bytes_conf("1p") == 1 << 50
+    with pytest.warns(UserWarning, match="maxPartitionBytes"):
+        assert _parse_bytes_conf("garbage") == 128 << 20  # loud default
+
+
+def test_widen_to_cores_sees_through_downstream_coalesce(spark, tmp_path):
+    """The file-split estimate speaks only for raw scans (ADVICE r10):
+    a frame explicitly narrowed downstream must NOT be left unwidened
+    just because its source files look wide enough, and a frame
+    already repartitioned wide over one small file must not pay a
+    second exchange."""
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    want = spark.sparkContext.defaultParallelism
+    wide_path = str(tmp_path / "wide.parquet")
+    spark.range(5000).repartition(want * 2).write.parquet(wide_path)
+    narrowed = spark.read.parquet(wide_path).coalesce(1)
+    assert widen_to_cores(narrowed, min_input_bytes=1).rdd.getNumPartitions() == want
+
+    one_path = str(tmp_path / "one.parquet")
+    spark.range(5000).coalesce(1).write.parquet(one_path)
+    prewidened = spark.read.parquet(one_path).repartition(want)
+    assert widen_to_cores(prewidened, min_input_bytes=1) is prewidened
 
 
 # --- round-10: choose_banding (verdict r9 №3 — codify the value-space law) --
@@ -1610,6 +1637,40 @@ def test_choose_banding_reproduces_measured_law():
             assert (1 << width) * 4 >= n or width == 30, (n, width)
     assert choose_banding(10 ** 9) == (28 * 4, 4)  # 1e9 vectors: 28-bit bands
     assert choose_banding(10 ** 12)[0] // 4 == 30  # cap
+
+
+def test_neardup_pairs_n_rows_skips_the_count(spark):
+    """A caller that already knows the corpus size passes n_rows and
+    the auto-banding path must NOT count() the frame — for derived
+    frames (c2e's union+zip_with corpus) that count is a full extra
+    plan evaluation (ADVICE r10). Proven by making count() explode."""
+    import math
+
+    from pyspark.sql import DataFrame
+
+    from sheetsetl_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i * 3.1 + j) for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def _boom(self):
+        raise AssertionError("n_rows given but the frame was counted")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(DataFrame, "count", _boom)
+        pairs = dedup.embedding_neardup_pairs(
+            emb, threshold=0.98, dim=8, n_rows=30
+        )
+        index = dedup.embedding_band_index(emb, dim=8, n_rows=30)
+    # same banding as an explicitly-pinned choose_banding(30) == (32, 4)
+    pinned = dedup.embedding_neardup_pairs(
+        emb, threshold=0.98, num_planes=32, bands=4, dim=8
+    )
+    assert sorted(pairs.collect()) == sorted(pinned.collect())
+    assert index.select(F.max("band_idx")).first()[0] == 3
+    assert len(index.select("band_val").first()[0]) == 8  # 8-bit bands
 
 
 def test_incremental_filter_derives_banding_from_index(spark):
