@@ -402,6 +402,116 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_estimate_audit(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Estimator-accuracy audit for the MinHash family: for every LSH
+    candidate pair whose EXACT Jaccard reaches ``threshold``, emit the
+    signature-agreement ESTIMATE next to the exact value —
+    (doc_a, doc_b, jaccard, est_jaccard, abs_err).
+
+    The production dedup path (minhash_lsh_pairs) verifies candidates
+    with exact Jaccard precisely because the k-component estimate has
+    sd sqrt(j(1-j)/k) (~0.12 at j=0.5, k=16) — far too loose to
+    threshold on. This operator is the measured-evidence row for that
+    design choice (the honest-estimator sibling of c35/c91's ANN
+    recall rows): at 100 TB you periodically audit the estimator
+    against exact Jaccard on the (candidate-proportional) verified
+    subset, never corpus-wide.
+
+    md5-portable family only (the audit path must be engine-portable so
+    a DuckDB twin rebuilds signatures bit-for-bit). One signature
+    aggregation feeds banding AND both agreement sides (persisted);
+    verification reuses the same capped shingle stream — the corpus is
+    scanned once for shingles, once for signatures."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    rpb = num_hashes // bands
+    raw = scoped_persist(shingles(docs, n=n, id_col=id_col, text_col=text_col))
+    sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
+    sig = scoped_persist(
+        minhash_signatures(
+            docs,
+            num_hashes=num_hashes,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            max_shingle_df=max_shingle_df,
+            hash_family="md5",
+            shingle_df=sh,
+            with_size_col=True,
+        )
+    )
+    band_cols = [
+        F.concat_ws(
+            ":", *[F.col(f"mh_{b * rpb + j}") for j in range(rpb)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    stacked = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[c for c in band_cols])).alias("band_idx", "band_hash"),
+    )
+    candidates = (
+        stacked.select(F.col(id_col).alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            stacked.select(F.col(id_col).alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    a_sig = sig.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+    )
+    b_sig = sig.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+    )
+    withest = (
+        candidates.join(a_sig, "doc_a")
+        .join(b_sig, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_a", "n_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("__est"),
+        )
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        withest.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b", "__est")
+        .agg(F.count("*").alias("inter"))
+    )
+    j_raw = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            round6_bin(j_raw).alias("jaccard"),
+            round6_bin(F.col("__est")).alias("est_jaccard"),
+            round6_bin(F.abs(F.col("__est") - j_raw)).alias("abs_err"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _embedding_signatures(
     vectors: DataFrame,
     num_planes: int,

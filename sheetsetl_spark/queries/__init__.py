@@ -94,5 +94,10 @@ from sheetsetl_spark.queries import analytics_ext6  # noqa: E402,F401
 from sheetsetl_spark.queries import analytics_ext7  # noqa: E402,F401
 # Round-8 batch 15: link prediction / Holt trend / t-closeness.
 from sheetsetl_spark.queries import analytics_ext8  # noqa: E402,F401
+# Round-11: estimator audits, uncertainty (Poisson bootstrap /
+# jackknife), pipeline hygiene — exactly 10 entries, sized so the
+# never-verified-first rotation still clears the 40 r5-era stamps in
+# the same 50-slot driver window.
+from sheetsetl_spark.queries import analytics_ext9  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query", "dsum", "davg"]
