@@ -121,9 +121,16 @@ HEADLINE = [
 
 def _wait_for_idle() -> tuple[float, bool]:
     """Block until the 1-min loadavg falls below the gate (or the wait
-    budget runs out). Returns (loadavg at release, timed-out flag)."""
-    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
-    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300"))
+    budget runs out). Returns (loadavg at release, timed-out flag).
+
+    Gate default tightened 2.0 -> 0.75 (r10 verdict №7): the r10 driver
+    run released at loadavg 1.72 — under the old gate — and still read
+    +17% vs the idle rerun, so "under 2" demonstrably is NOT inside the
+    ±6% idle band on this machine. 0.75 is ~2% of the 32 cores;
+    post-test-suite load decays there in ~1-3 min (1-min loadavg
+    e-folds per minute), well inside the doubled wait budget."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "0.75"))
+    budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
     load = os.getloadavg()[0]
     if gate <= 0:
         return load, False

@@ -105,15 +105,26 @@ def main() -> None:
 
         work = tempfile.mkdtemp(prefix="ingest_scale_")
         hist, idx = os.path.join(work, "hist"), os.path.join(work, "idx")
-        # The default c5b pixel formula (id*7 + j) gives every image the
-        # SAME adjacent-pixel deltas, hence one shared dHash — the whole
-        # corpus would collapse to a single survivor and the state/band
-        # join would be measured on 1 row. Vary the gradient per id so
-        # fingerprints are distinct and the index grows corpus-linearly.
+        # HIGH-ENTROPY corpus (r10 verdict №5): the earlier 4x4 gradient
+        # formula produced only ~62 distinct dHash classes at 200k ids,
+        # so the identical-fingerprint collapse shrank the whole state
+        # store to 0.1 MB and the banded index never grew — a vacuous
+        # state-scaling measurement. The c50 splitmix mixer at 8x8
+        # (56-bit dHash, measured zero natural collisions at 16k docs)
+        # makes fingerprints essentially unique per id, so the index
+        # grows ~linearly in survivors; a 2% planted same-pixel copy
+        # stream (ids +1e7) keeps the drop path exercised.
+        from sheetsetl_spark.queries.extensions import _mix
+
         media_batches = [
             synthesize_ppm_media(
-                b, id_col="vec_id", width=4, height=4,
-                pixel_fn=lambda i, j: i * (j + 3) + (i >> 5) * j * j,
+                b, id_col="vec_id", width=8, height=8, pixel_fn=_mix
+            ).unionAll(
+                synthesize_ppm_media(
+                    b.filter(F.col("vec_id") % 100 < 2),
+                    id_col="vec_id", width=8, height=8, pixel_fn=_mix,
+                    id_offset=10_000_000,
+                )
             )
             for b in batches
         ]

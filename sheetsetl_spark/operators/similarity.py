@@ -624,6 +624,31 @@ def _centroids_path(path: str) -> str:
     return path.rstrip("/") + "__centroids"
 
 
+def _pruned_index_files(path: str, probed_ids) -> list[str]:
+    """Parquet files under the probed ``cent_id=`` partition dirs of a
+    LOCAL index — the partition-pruned file list inputFiles() cannot
+    give (it enumerates the whole table). Empty list for non-local
+    paths (scheme-prefixed) or when nothing matches: the caller then
+    leaves the scan's own split behavior alone."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    p = urlparse(path)
+    if p.scheme not in ("", "file"):
+        return []
+    root = p.path or path
+    files: list[str] = []
+    for cid in probed_ids:
+        files.extend(
+            glob.glob(
+                os.path.join(root, f"cent_id={cid}", "**", "*.parquet"),
+                recursive=True,
+            )
+        )
+    return files
+
+
 def search_ivf_index(
     spark,
     path: str,
@@ -659,12 +684,24 @@ def search_ivf_index(
     # the probed directories (query batches are small by contract, so
     # this driver-side collect is bounded: |queries| x nprobe ids)
     probed_ids = sorted({r["cent_id"] for r in probes.select("cent_id").distinct().collect()})
-    # NOT widened (r10, measured): widen_to_cores reads inputFiles(),
-    # which is not partition-pruned, so its split estimate sees the
-    # whole index and no-ops; and the measured 100x search wall
-    # (1.6-3s per 8-query batch) is probe ranking + join, not the
-    # in-list scan — there is nothing for a widen to buy here.
     pruned = index.filter(F.col("cent_id").isin(probed_ids))
+    # Widened from the PRUNED listing (r10 recorded the first attempt
+    # as a no-op: inputFiles() enumerates the whole table, so the
+    # split estimate saw M/nprobe times too many files and bailed;
+    # the retry lists the probed cent_id= directories directly). The
+    # clustered write gives each probed list ONE file, so an nprobe-4
+    # search reads 4 splits on 32 cores. Measured at the 200k index
+    # (SCALE.md round-11): NEUTRAL — warm walls ~2.0-2.2s both ways,
+    # because the wall there is probe ranking + broadcast join, and
+    # 50k in-list rows fold in ~0.4s even on 4 splits. Kept anyway:
+    # the exchange is size-gated (2 MB) and the in-list cosine term
+    # grows linearly with list size while the probe term is constant,
+    # so fatter lists cross over to widen-wins.
+    pfiles = _pruned_index_files(path, probed_ids)
+    if pfiles:
+        from sheetsetl_spark.operators.skew import widen_to_cores
+
+        pruned = widen_to_cores(pruned, files=pfiles)
     sim = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
     scored = (
         pruned.join(F.broadcast(probes), "cent_id")

@@ -82,7 +82,7 @@ def skew_report(
     )
 
 
-def widen_to_cores(df, min_input_bytes: int = 2 << 20):
+def widen_to_cores(df, min_input_bytes: int = 2 << 20, files=None):
     """Widen-only repartition: spread ``df`` across defaultParallelism
     when its scan exposes fewer splits than the cluster has cores.
 
@@ -120,13 +120,21 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20):
     cheap string probe — no physical planning), the exact partition
     probe decides instead; every repo call site is a raw scan, so the
     fallback only fires for exotic callers.
+
+    ``files``: explicit file list overriding ``df.inputFiles()`` — for
+    callers whose scan is PARTITION-PRUNED by a literal filter
+    (search_ivf_index's probed ``cent_id=`` directories): inputFiles()
+    enumerates the WHOLE table, so the estimate would see nprobe/M
+    times too many splits and skip the widen (the r10 negative
+    result); the caller lists the pruned directories itself.
     """
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
+    if files is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
     sizes = _local_file_sizes(files) if files else None
     if sizes is not None and _has_explicit_repartition(df):
         sizes = None

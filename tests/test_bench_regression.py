@@ -143,6 +143,14 @@ def test_wait_for_idle_gate(monkeypatch):
     load, flag = bench._wait_for_idle()
     assert load == 1.2 and flag is False
 
+    # r11: default gate tightened to 0.75 (r10 released at 1.72 and
+    # still read +17% vs idle) — 1.2 must now WAIT, not release
+    monkeypatch.delenv("SPARK_GRAFT_LOAD_GATE")
+    loads = iter([1.2, 0.9, 0.5])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (next(loads), 0, 0))
+    load, flag = bench._wait_for_idle()
+    assert load == 0.5 and flag is False
+
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (9.9, 0, 0))
     monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT_SEC", "30")
     load, flag = bench._wait_for_idle()

@@ -1606,6 +1606,36 @@ def test_widen_to_cores_sees_through_downstream_coalesce(spark, tmp_path):
     assert widen_to_cores(prewidened, min_input_bytes=1) is prewidened
 
 
+def test_widen_to_cores_explicit_files_override(spark, tmp_path):
+    """A partition-pruned scan's inputFiles() enumerates the WHOLE
+    table (the r10 search_ivf_index negative result); the caller can
+    hand widen_to_cores the pruned listing instead and get the widen
+    the true split count calls for."""
+    import glob
+
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    want = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "parted.parquet")
+    (
+        spark.range(20000)
+        .withColumn("p", (F.col("id") % 64).cast("int"))
+        .repartition("p")
+        .write.partitionBy("p")
+        .parquet(path)
+    )
+    pruned = spark.read.parquet(path).filter(F.col("p").isin([0, 1]))
+    # whole-table listing: 64 files >= cores, the widen would no-op
+    assert len(pruned.inputFiles()) >= want
+    pfiles = [
+        f for q in (0, 1)
+        for f in glob.glob(f"{path}/p={q}/*.parquet")
+    ]
+    assert 0 < len(pfiles) < want
+    widened = widen_to_cores(pruned, min_input_bytes=1, files=pfiles)
+    assert widened.rdd.getNumPartitions() == want
+
+
 # --- round-10: choose_banding (verdict r9 №3 — codify the value-space law) --
 
 
