@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import load_table
 from sheetsetl_spark.operators.similarity import _dot
+from sheetsetl_spark.operators.skew import widen_to_cores
 from sheetsetl_spark.operators.text import round6_bin, round6_bin_sql
 from sheetsetl_spark.queries import query
 
@@ -94,11 +95,29 @@ def c106_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     +1e6, cos ~0.97) — exactly the paraphrased-benchmark shape n-gram
     decon misses and embedding decon exists to catch.
 
-    100 TB: one corpus scan x broadcast |eval| dots — no corpus
-    shuffle, no LSH needed (the small side is the eval set); compare
-    c2e where BOTH sides are corpus-sized and banding is mandatory.
-    Reference parity: reference has no decon at all (SELECT delegation,
-    src/loader.py:231); C-series mandate."""
+    100 TB: one corpus scan x broadcast |eval| dots, argmax by
+    MAP-SIDE-COMBINED ``max`` over (sim, -eval_id) structs — the
+    shuffle moves ONE 3-column row per train row, not the |eval| x N
+    crossJoin output, and there is no sort. Struct ordering is
+    lexicographic, so max(sim, -eval_id) == the oracle ROW_NUMBER's
+    (sim DESC, eval_id ASC) winner. The train scan is widened to cores
+    first (compactly-written 100x fixtures expose 16 splits on 32
+    cores; the work is compute-dense at |eval| x dim mults per row).
+
+    Measured r11 A/B at 100x (500k vectors, local[32]) — this form
+    won by 5x over the first cut and by 6-15x over two "zero-shuffle"
+    rewrites: window-over-crossJoin 13.4s (the 16N exchange + sort);
+    nested aggregate-fold over a literal eval array 40.0s (nested
+    higher-order lambdas interpret per element and the conditional
+    replace evaluates each dot twice); unrolled per-eval literal
+    zip_with folds 15.6s (literal-array rebuild per row per eval);
+    broadcast crossJoin + partial-agg max: **2.7s**. The lesson
+    recorded here: against interpreted higher-order projections, a
+    broadcast row blow-up that feeds a codegen'd partial aggregate is
+    the FASTER shape — the combiner collapses it before the wire.
+    Compare c2e where BOTH sides are corpus-sized and banding is
+    mandatory. Reference parity: reference has no decon at all (SELECT
+    delegation, src/loader.py:231); C-series mandate."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -110,21 +129,24 @@ def c106_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("eval_id") + 1000000).alias("vec_id"),
         F.transform("evv", lambda x: x + F.lit(0.03)).alias("v"),
     )
-    train = base.filter(F.col("vec_id") >= 16).unionAll(planted)
+    train = widen_to_cores(base.filter(F.col("vec_id") >= 16).unionAll(planted))
     t = train.withColumn("tn", F.sqrt(_dot("v", "v")))
     e = ev.withColumn("en", F.sqrt(_dot("evv", "evv")))
     sim = _dot("v", "evv") / (F.col("tn") * F.col("en"))
-    w = Window.partitionBy("train_id").orderBy(
-        F.col("__sim").desc(), F.col("eval_id")
+    pair = F.struct(
+        F.col("__sim").alias("sim"), (-F.col("eval_id")).alias("neg_eid")
     )
     return (
         t.crossJoin(F.broadcast(e))
+        .select(F.col("vec_id").alias("train_id"), "eval_id", sim.alias("__sim"))
+        .groupBy("train_id")
+        .agg(F.max(pair).alias("__b"))
+        .filter(F.col("__b.sim") >= _DECON_THRESHOLD)
         .select(
-            F.col("vec_id").alias("train_id"), "eval_id", sim.alias("__sim")
+            "train_id",
+            (-F.col("__b.neg_eid")).alias("eval_id"),
+            round6_bin(F.col("__b.sim")).alias("sim"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("__sim") >= _DECON_THRESHOLD))
-        .select("train_id", "eval_id", round6_bin(F.col("__sim")).alias("sim"))
     )
 
 
@@ -553,7 +575,14 @@ def x103_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform (seeded 'boot:rep:orderkey:linenumber'), so any engine,
     partitioning, or replay regenerates the identical resample —
     which is exactly what lets DuckDB hash-certify a *randomized*
-    algorithm end-to-end."""
+    algorithm end-to-end.
+
+    The scan is widened to cores BEFORE the 30x explode (shuffle N
+    rows, not 30N): the replicate expansion is 30 md5+conv evaluations
+    per source row, and the r11 measurement caught the compact sf0.1
+    lineitem file capping exactly that work at 2-split parallelism
+    (22.4s, flat to 10x — the same under-split scan tax as SCALE.md's
+    widen tier)."""
     li = load_table(spark, sf_dir, "lineitem")
     u = (
         F.conv(
@@ -572,7 +601,9 @@ def x103_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(4294967296.0)
     )
     return (
-        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        widen_to_cores(
+            li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        )
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_N_REPS - 1))))
         .withColumn("u", u)
         .withColumn("w", _pois_w_col(F.col("u")))
