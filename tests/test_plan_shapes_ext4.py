@@ -324,3 +324,39 @@ def test_multiprobe_lsh_equi_join_only(spark):
     assert "BroadcastHashJoin" in plan, plan
     for marker in _PY_NODES:
         assert marker not in plan, marker
+
+
+def test_c106_argmax_is_partial_agg_not_window(spark):
+    """c106's per-train argmax must stay the map-side-combined
+    max(struct(sim, -eval_id)) that won the r11 bake-off (2.9s at 100x
+    vs 13.4s window / 40.0s nested fold): a broadcast of the eval side,
+    partial+final HashAggregate pair, and NO window (the 16N exchange +
+    sort shape) anywhere in the plan."""
+    df = QUERIES["c106_semantic_decontamination"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_max" in plan.lower() or "partial" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
+
+
+def test_x103_widen_precedes_replicate_explode(spark):
+    """x103's widen (when it fires) must sit UPSTREAM of the 30x
+    replicate explode — the shuffle moves N source rows, never 30N
+    exploded ones — and the replicate means reach the final aggregate
+    through a partial (map-side) HashAggregate."""
+    df = QUERIES["x103_poisson_bootstrap"](spark, SF_SMALL)
+    plan = _executed_plan(df)
+    lines = plan.splitlines()
+    explode_idx = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert explode_idx, plan
+    # any round-robin widen exchange must appear BELOW (downstream in
+    # toString = above the explode line means executed after) — i.e.
+    # RoundRobinPartitioning may not consume the exploded stream
+    for i, ln in enumerate(lines):
+        if "RoundRobinPartitioning" in ln:
+            assert i > explode_idx[0], plan
+    assert "partial" in plan, plan
+    for marker in _PY_NODES:
+        assert marker not in plan, marker
