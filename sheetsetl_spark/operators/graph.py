@@ -15,7 +15,7 @@ functions/iterative.py does for the recursive fixpoint).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.operators.text import round6_bin
@@ -166,35 +166,52 @@ def cooccurrence_pairs(
     """Market-basket co-occurrence: the most frequent unordered item
     pairs sharing a group (order, session, document...).
 
-    Scale shape: the pair stream is a SELF-EQUI-JOIN on the group key —
-    fanout is bounded by group size, quadratic only within a group, so
-    the optional ``max_group_size`` cap (the max_bucket_size precedent
-    from MinHash-LSH) drops degenerate mega-groups before they square.
-    Items are deduped per group first (one map-side-combining distinct),
-    the a<b predicate halves the pair stream at the join, and top-N is
-    TakeOrderedAndProject.
+    Scale shape (r11): ONE shuffle of the raw membership stream into
+    per-group sorted distinct-item arrays (``collect_set`` dedups
+    map-side, so the old separate ``distinct`` exchange is gone), pairs
+    generated IN-ARRAY (``transform`` over index combinations — the
+    array is sorted, so ``arr[i] < arr[j]`` for ``i < j`` by
+    construction), then one pair aggregation. The r10 form self-joined
+    the stream on the group key, which cost two more exchanges of the
+    full stream (distinct + join build) for the same within-group
+    quadratic fanout. Per-group memory is O(group size) — strictly
+    dominated by the O(size²) pair stream both forms emit — and the
+    optional ``max_group_size`` cap (the max_bucket_size precedent from
+    MinHash-LSH) still drops degenerate mega-groups before they square.
+    Top-N is TakeOrderedAndProject.
 
     Output: (item_a, item_b, n_groups) for the ``top`` pairs, ties
     broken by (item_a, item_b).
     """
-    items = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
+    grouped = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("arr"))
+        .select("arr", F.size("arr").alias("__gs"))
+        .filter(F.col("__gs") >= 2)
+    )
     if max_group_size is not None:
-        sizes = items.groupBy("g").agg(F.count("*").alias("__gs"))
-        items = (
-            items.join(sizes, "g")
-            .filter(F.col("__gs") <= max_group_size)
-            .drop("__gs")
-        )
-    a = items.select("g", F.col("item").alias("item_a"))
-    b = items.select("g", F.col("item").alias("item_b"))
-    pairs = a.join(b, "g").filter(F.col("item_a") < F.col("item_b"))
+        grouped = grouped.filter(F.col("__gs") <= max_group_size)
+    pairs = grouped.select(
+        F.explode(_array_pairs()).alias("p")
+    ).select("p.item_a", "p.item_b")
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_groups"))
         .orderBy(F.col("n_groups").desc(), F.col("item_a"), F.col("item_b"))
         .limit(top)
+    )
+
+
+def _array_pairs() -> Column:
+    """All index pairs i < j of a sorted ``arr`` column (with ``__gs`` =
+    size(arr)) as structs (item_a, item_b); sortedness makes
+    item_a < item_b by construction."""
+    return F.flatten(
+        F.expr(
+            "transform(sequence(0, __gs - 2),"
+            " i -> transform(sequence(i + 1, __gs - 1),"
+            " j -> struct(arr[i] AS item_a, arr[j] AS item_b)))"
+        )
     )
 
 
@@ -409,40 +426,41 @@ def adamic_adar_bipartite(
     signal — a shared SMALL group is strong evidence, a shared huge
     group is weak, and ln damps accordingly (Adamic & Adar 2003).
 
-    Scale shape: identical to :func:`cooccurrence_pairs` — candidate
-    pairs come ONLY from a self-equi-join on the group key (wedges
-    through a common group), never an all-pairs product, so cost is
-    sum(|g|^2) with ``max_group_size`` available to drop degenerate
-    mega-groups before they square. The per-group weight 1/ln(|g|)
-    attaches to the group row BEFORE the pair join (one small extra
-    aggregate joined on the group key), and the final score is the
-    engine-portable decimal sum of 6dp-rounded terms, so any
-    partitioning yields the same bits. Top-N is a bounded sort.
+    Scale shape (r11): identical to :func:`cooccurrence_pairs` — ONE
+    shuffle of the membership stream into per-group sorted
+    distinct-item arrays (map-side ``collect_set``), the per-group
+    weight 1/ln(|g|) computed on the group row, pairs generated
+    IN-ARRAY, then one pair aggregation. The r10 form cost three more
+    exchanges of the full stream (distinct + size join + wedge
+    self-join) plus two localCheckpoint materializations that existed
+    only to stop Spark re-deriving the multiply-consumed stream — the
+    single-consumer array form needs neither. Within-group cost is
+    still sum(|g|²) pair rows (never an all-pairs product) with
+    ``max_group_size`` available to drop degenerate mega-groups before
+    they square; per-group array memory is O(|g|), strictly dominated
+    by the pair stream itself. The final score is the engine-portable
+    decimal sum of 6dp-rounded terms, so any partitioning yields the
+    same bits. Top-N is a bounded sort.
 
     Output: (item_a, item_b, n_common, aa_score) for the ``top``
     highest-scoring pairs, ties broken by (item_a, item_b).
     """
     from sheetsetl_spark.operators.text import round6_bin
 
-    items = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
-    # items feeds the size aggregate AND the weight join; weighted feeds
-    # BOTH sides of the pair self-join. Un-pinned, Spark re-derived the
-    # corpus scan+distinct up to 6x (ReusedExchange only caught 2) —
-    # the lazy checkpoints make it one scan + one distinct + one join.
-    items = items.localCheckpoint(eager=False)
-    sizes = items.groupBy("g").agg(F.count("*").alias("__gs"))
-    if max_group_size is not None:
-        sizes = sizes.filter(F.col("__gs") <= max_group_size)
-    weighted = (
-        items.join(sizes.filter(F.col("__gs") >= 2), "g")
-        .withColumn("term", round6_bin(F.lit(1.0) / F.log(F.col("__gs"))))
-        .localCheckpoint(eager=False)
+    grouped = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("arr"))
+        .select("arr", F.size("arr").alias("__gs"))
+        .filter(F.col("__gs") >= 2)
     )
-    a = weighted.select("g", F.col("item").alias("item_a"), "term")
-    b = weighted.select("g", F.col("item").alias("item_b"))
-    pairs = a.join(b, "g").filter(F.col("item_a") < F.col("item_b"))
+    if max_group_size is not None:
+        grouped = grouped.filter(F.col("__gs") <= max_group_size)
+    grouped = grouped.withColumn(
+        "term", round6_bin(F.lit(1.0) / F.log(F.col("__gs")))
+    )
+    pairs = grouped.select("term", F.explode(_array_pairs()).alias("p")).select(
+        "p.item_a", "p.item_b", "term"
+    )
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(
