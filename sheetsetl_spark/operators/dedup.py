@@ -1581,17 +1581,22 @@ def prefix_filter_jaccard_pairs(
     is the UNCAPPED brute-force join, so a hash match at fixture scale
     certifies the filter's completeness, not just its own construction.
 
-    Scale: one corpus scan (persisted shingle stream feeds df counts and
-    the ranked stream; the ranked stream is checkpointed once and feeds
-    prefixes AND the per-doc id arrays), one shingle-keyed shuffle for
-    df + dense ids (ids are the global (df, shingle) rank computed by
-    the distributed prefix sum), the prefix equi-join with the PPJoin
-    positional filter applied AT candidate aggregation, then a verify
-    join that is candidate-PROPORTIONAL: each surviving pair fetches two
-    sorted dense-id arrays (O(doc_len) ints) and intersects them
-    JVM-side via array_intersect — never the O(|cand| x doc_len) row
-    expansion (measured to spill >80 GB on a dense-df 10x fixture;
-    SCALE.md round-7). A boilerplate shingle shared by f docs lands in
+    Scale: one corpus scan (persisted shingle stream feeds everything;
+    the ranked stream is checkpointed once and feeds prefixes AND the
+    per-doc shingle arrays), ONE shingle-keyed shuffle computing df as
+    a window count over the shingle key (r11 — this replaced a df
+    groupBy + distributed-prefix-sum dense-id assignment + attach join:
+    the dense ids existed only to narrow the verify arrays, but
+    intersecting the shingle strings directly is candidate-proportional
+    anyway and dropping the id machinery saves four exchanges and a
+    checkpoint per call; the heavier string elements are a conscious
+    trade, revisit if a corpus with very long shingles shows up), the
+    prefix equi-join with the PPJoin positional filter applied AT
+    candidate aggregation, then a verify join that is
+    candidate-PROPORTIONAL: each surviving pair fetches two sorted
+    shingle arrays and intersects them JVM-side via array_intersect —
+    never the O(|cand| x doc_len) row expansion (measured to spill
+    >80 GB on a dense-df 10x fixture; SCALE.md round-7). A boilerplate shingle shared by f docs lands in
     prefixes only for docs where it ranks inside the top
     |d|-ceil(t|d|)+1 RAREST — at a realistic t (>= 0.5) a hot shingle
     is almost never in any prefix, so the f² blowup the df cap guards
@@ -1604,29 +1609,21 @@ def prefix_filter_jaccard_pairs(
     jaccard rounded 6 dp (filtering happens on the raw double, computed
     identically in both engines).
     """
-    from sheetsetl_spark.operators.prefix import prefix_sum
-
     sh = scoped_persist(
         shingles(docs, n=n, id_col=id_col, text_col=text_col)
     )
-    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    # dense integer shingle ids = the global (df, shingle) rank, via the
-    # distributed prefix sum (operators/prefix.py) — unique order, no
-    # single-partition window over the distinct-shingle frame
-    ids = prefix_sum(
-        df_tbl,
-        [F.col("df"), F.col("shingle")],
-        F.lit(1).cast("long"),
-        out_col="sid",
-    )
-    ranked = sh.join(ids, "shingle")
+    # df as a window count over the shingle key: one shuffle of the
+    # stream gives every row its df in place (the r11 restructure; see
+    # docstring)
+    wsh = Window.partitionBy("shingle")
     wdoc = Window.partitionBy(id_col)
     worder = wdoc.orderBy("df", "shingle")
     # lazy checkpoint: the ranked+windowed stream feeds BOTH the prefix
-    # streams and the per-doc id arrays; without it the df join and the
-    # doc windows would run twice
+    # streams and the per-doc shingle arrays; without it the df window
+    # and the doc windows would run twice
     sized = (
-        ranked.withColumn("rnk", F.row_number().over(worder))
+        sh.withColumn("df", F.count("*").over(wsh))
+        .withColumn("rnk", F.row_number().over(worder))
         .withColumn("n_sh", F.count("*").over(wdoc))
         .localCheckpoint(eager=False)
     )
@@ -1681,14 +1678,13 @@ def prefix_filter_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
-    # candidate-proportional verify: per-doc SORTED dense-id arrays
-    # (~doc_len ints each) attach via two equi-joins and the exact
-    # intersection runs JVM-side in array_intersect — O(|cand|) rows,
-    # never the old O(|cand| x doc_len) expansion whose sort spill
-    # exhausted local disk on a dense-df corpus (10x fixture, SCALE.md
-    # round-7 entry).
+    # candidate-proportional verify: per-doc SORTED shingle arrays
+    # attach via two equi-joins and the exact intersection runs
+    # JVM-side in array_intersect — O(|cand|) rows, never the old
+    # O(|cand| x doc_len) expansion whose sort spill exhausted local
+    # disk on a dense-df corpus (10x fixture, SCALE.md round-7 entry).
     arrays = sized.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("sid")).alias("sids"),
+        F.sort_array(F.collect_list("shingle")).alias("sids"),
         F.count("*").alias("n_sh"),
     )
     arr_a = arrays.select(
@@ -1763,15 +1759,21 @@ def edit_distance_pairs(
        n_b - max_ib); Xiao et al. WWW'08, the same bound c72's sweep
        test certifies) AT CANDIDATE AGGREGATION — integer comparisons
        on the (doc_a, doc_b) groupBy, BEFORE anything heavy attaches.
-       Survivors then fetch two sorted dense-id arrays, pass the full
-       count filter via ``array_intersect`` (candidate-proportional,
-       never an O(|cand| x doc_len) row expansion), and finally the
-       exact JVM-side ``levenshtein`` <= k.
+       Survivors then fetch two sorted occurrence-token arrays, pass
+       the full count filter via ``array_intersect``
+       (candidate-proportional, never an O(|cand| x doc_len) row
+       expansion), and finally the exact JVM-side ``levenshtein`` <= k.
 
-    Scale: one corpus scan (persisted gram stream feeds df counts and
-    the ranked stream), dense gram ids from the distributed prefix sum,
-    one gram-keyed shuffle, a prefix equi-join filtered at aggregation,
-    and a verify stage linear in SURVIVING candidates. Filter order
+    Scale: one corpus scan (persisted token stream feeds everything),
+    ONE gram-keyed shuffle computing df as a window count over the
+    token key (r11 — this replaced a df groupBy + distributed-prefix-sum
+    dense-id assignment + two attach joins: the dense ids existed only
+    to make the verify arrays narrow, but the occurrence-numbered grams
+    are themselves short fixed-width strings, so intersecting THEM
+    directly costs almost the same per element and saves four exchanges
+    plus a checkpoint per call — measured 9.9s -> 5.7s at sf0.1,
+    identical 106 output pairs), a prefix equi-join filtered at
+    aggregation, and a verify stage linear in SURVIVING candidates. Filter order
     matters measurably: the 10x scale step (SCALE.md round-7 batch-11)
     showed this corpus's q-gram df distribution is DENSE at every q
     (tiny synthetic vocabulary — max df grew 10x with the corpus, for
@@ -1799,17 +1801,18 @@ def edit_distance_pairs(
 
     Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= k.
     """
-    from sheetsetl_spark.operators.prefix import prefix_sum
-
     base = docs.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__text"),
         F.length(text_col).alias("__len"),
     ).filter(F.col("__len") >= q)
     # occurrence-numbered q-grams: count each gram per doc, then explode
-    # the occurrence sequence — one groupBy, no per-doc-gram window
+    # the occurrence sequence — one groupBy, no per-doc-gram window.
+    # __len rides along in the group key (constant per doc) so the
+    # length filter reaches candidate aggregation without a base join.
     grams = base.select(
         "__id",
+        "__len",
         F.explode(
             F.expr(
                 f"transform(sequence(1, __len - {q} + 1),"
@@ -1818,46 +1821,43 @@ def edit_distance_pairs(
         ).alias("gram"),
     )
     toks = scoped_persist(
-        grams.groupBy("__id", "gram")
+        grams.groupBy("__id", "__len", "gram")
         .agg(F.count("*").alias("occ_cnt"))
         .select(
             "__id",
+            "__len",
             F.explode(F.expr("sequence(1, occ_cnt)")).alias("occ"),
             "gram",
         )
         .select(
-            "__id", F.concat_ws("\x1f", "gram", F.col("occ").cast("string")).alias("tok")
+            "__id",
+            "__len",
+            F.concat_ws("\x1f", "gram", F.col("occ").cast("string")).alias("tok"),
         )
     )
-    df_tbl = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    ids = prefix_sum(
-        df_tbl,
-        [F.col("df"), F.col("tok")],
-        F.lit(1).cast("long"),
-        out_col="tid",
-    )
-    # doc length rides along so the length filter can run at candidate
-    # aggregation; the __id join lands on the same partitioning the doc
-    # windows need, so it costs no extra exchange
-    ranked = toks.join(ids, "tok").join(base.select("__id", "__len"), "__id")
+    # df as a window count over the token key: one shuffle of the token
+    # stream gives every row its df in place — no df groupBy, no dense-id
+    # prefix sum, no attach joins (the r11 restructure; see docstring)
+    wtok = Window.partitionBy("tok")
     wdoc = Window.partitionBy("__id")
     worder = wdoc.orderBy("df", "tok")
     sized = (
-        ranked.withColumn("rnk", F.row_number().over(worder))
+        toks.withColumn("df", F.count("*").over(wtok))
+        .withColumn("rnk", F.row_number().over(worder))
         .withColumn("n_g", F.count("*").over(wdoc))
         .localCheckpoint(eager=False)
     )
     prefix = sized.filter(F.col("rnk") <= F.lit(q * k + 1))
     a = prefix.select(
         F.col("__id").alias("doc_a"),
-        "tid",
+        "tok",
         F.col("rnk").alias("ia"),
         F.col("n_g").alias("pna"),
         F.col("__len").alias("pla"),
     )
     b = prefix.select(
         F.col("__id").alias("doc_b"),
-        "tid",
+        "tok",
         F.col("rnk").alias("ib"),
         F.col("n_g").alias("pnb"),
         F.col("__len").alias("plb"),
@@ -1869,7 +1869,7 @@ def edit_distance_pairs(
     # max_ib). A true pair needs overlap >= max(n_a, n_b) - q*k, so the
     # integer comparison below prunes only provably-impossible pairs.
     cand = (
-        a.join(b, "tid")
+        a.join(b, "tok")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("pla") - F.col("plb")) <= F.lit(k))
@@ -1944,20 +1944,20 @@ def edit_distance_pairs(
         )
         cand = cand.unionByName(short_cand)
     arrays = sized.groupBy("__id").agg(
-        F.sort_array(F.collect_list("tid")).alias("tids"),
+        F.sort_array(F.collect_list("tok")).alias("toks"),
         F.count("*").alias("n_g"),
     )
     side = base.join(arrays, "__id")
     arr_a = side.select(
         F.col("__id").alias("doc_a"),
-        F.col("tids").alias("ga"),
+        F.col("toks").alias("ga"),
         F.col("n_g").alias("na"),
         F.col("__text").alias("ta"),
         F.col("__len").alias("la"),
     )
     arr_b = side.select(
         F.col("__id").alias("doc_b"),
-        F.col("tids").alias("gb"),
+        F.col("toks").alias("gb"),
         F.col("n_g").alias("nb"),
         F.col("__text").alias("tb"),
         F.col("__len").alias("lb"),
