@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sheetsetl_spark.functions.lits import lit_double_array
+
 _MAX_DIM = 512  # driver materializes d*(d+1)/2 moment rows — keep it scalar-sized
 
 
@@ -151,7 +153,7 @@ def pca_project(
     mean, comps, var = fit_pca(vectors, k, dim, vec_col=vec_col)
     centered = F.zip_with(
         F.slice(F.col(vec_col).cast("array<double>"), 1, dim),
-        F.array(*[F.lit(m) for m in mean]),
+        lit_double_array(mean),
         lambda x, m: x - m,
     )
     # center ONCE into a named column: expressions captured inside lambdas
@@ -162,7 +164,7 @@ def pca_project(
     for c, ev in zip(comps, var):
         dot = F.aggregate(
             F.zip_with(
-                F.col("__centered"), F.array(*[F.lit(w) for w in c]), lambda x, w: x * w
+                F.col("__centered"), lit_double_array(c), lambda x, w: x * w
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

@@ -538,10 +538,13 @@ def _embedding_signatures(
     fail loudly instead (the similarity.py::_checked_norm hazard class);
     the guard lives in aggregate's FINISH lambda, so the dim-element
     fold runs once per row (the r6 duplicate-evaluation lesson)."""
+    from sheetsetl_spark.functions.lits import lit_double_matrix
     from sheetsetl_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(num_planes, dim)
-    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    # single-expr literal: the per-element F.lit form cost ~1.8s of py4j
+    # round-trips per DataFrame BUILD (functions/lits.py)
+    plane_lits = lit_double_matrix(planes)
     vec = F.col(vec_col).cast("array<double>")
     bits = F.concat_ws(
         "",

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sheetsetl_spark.functions.lits import lit_double_array, lit_double_matrix
+
 
 def _dot(a: str, b: str) -> Column:
     """Double-precision dot product via zip_with + left-fold aggregate.
@@ -226,7 +228,9 @@ def cosine_topk_lsh(
     if num_planes % bands:
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     planes = _hyperplanes(num_planes, dim)
-    plane_lits = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    # single-expr literal: the per-element F.lit form cost ~1.8s of py4j
+    # round-trips per DataFrame BUILD (functions/lits.py)
+    plane_lits = lit_double_matrix(planes)
     rpb = num_planes // bands
 
     def sig(df: DataFrame, out: str) -> DataFrame:
@@ -906,7 +910,7 @@ def _sqdist(vec_col: str, center: list[float]) -> Column:
     as the same defined left-fold both engines use for dot products —
     sequential order makes the double chain bit-identical to a DuckDB
     LIST_REDUCE twin over the identical literal."""
-    c = F.array(*[F.lit(float(x)) for x in center])
+    c = lit_double_array(center)
     return F.aggregate(
         F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.functions.lits import lit_double_array
 from sheetsetl_spark.operators.text import round6_bin, round6_bin_sql
 from sheetsetl_spark.queries import query
 
@@ -640,7 +641,7 @@ def c104_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 F.zip_with(
                     F.col("v"),
-                    F.array(*[F.lit(x) for x in row]),
+                    lit_double_array(row),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),

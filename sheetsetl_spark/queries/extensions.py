@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.catalog import load_table
+from sheetsetl_spark.functions.lits import lit_double_array
 from sheetsetl_spark.operators import dedup, similarity, text
 from sheetsetl_spark.queries import dsum, query
 
@@ -342,7 +343,7 @@ def c49_incremental_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataF
     base = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    pert_lit = F.array(*[F.lit(v) for v in _neardup_pert()])
+    pert_lit = lit_double_array(_neardup_pert())
     planted = base.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
         F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),
@@ -384,7 +385,7 @@ def c2e_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator must recover exactly those pairs via the band join."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    pert_lit = F.array(*[F.lit(v) for v in _neardup_pert()])
+    pert_lit = lit_double_array(_neardup_pert())
     planted = base.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
         F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),
@@ -1549,7 +1550,7 @@ def c2g_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py::semantic_dedup."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    pert_lit = F.array(*[F.lit(v) for v in _neardup_pert()])
+    pert_lit = lit_double_array(_neardup_pert())
     planted = base.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
         F.zip_with("embedding", pert_lit, lambda a, b: a + b).alias("embedding"),

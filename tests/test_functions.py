@@ -720,3 +720,54 @@ def test_yearweek_all_modes_property(spark):
         mysql_to_spark_sql("SELECT YEARWEEK(DATE '1987-01-01') AS a")
     ).collect()[0]
     assert row["a"] == 198652
+
+
+def test_lit_double_array_bit_exact_roundtrip(spark):
+    """functions/lits.py: the single-expr SQL literal must reproduce
+    every finite double bit-for-bit (repr is shortest-roundtrip and
+    Spark's D-suffix literal parses with correctly-rounded
+    Double.parseDouble), including signed zero and extreme magnitudes.
+    The helpers replace per-element F.lit matrices whose py4j round
+    trips cost ~1.8s per DataFrame build for a 32x64 plane matrix."""
+    import struct
+
+    from sheetsetl_spark.functions.lits import (
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    vals = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.0,
+        3.141592653589793,
+        2.2250738585072014e-308,  # smallest normal
+        5e-324,  # smallest subnormal
+        1.7976931348623157e308,  # largest finite
+        -1.2345678901234567e-101,
+        0.1,
+        1 / 3,
+    ]
+    got = spark.range(1).select(lit_double_array(vals).alias("x")).first()["x"]
+    assert [struct.pack("<d", v) for v in vals] == [
+        struct.pack("<d", g) for g in got
+    ]
+    rows = [vals[:4], vals[4:8]]
+    gotm = spark.range(1).select(lit_double_matrix(rows).alias("x")).first()["x"]
+    assert [
+        [struct.pack("<d", v) for v in row] for row in rows
+    ] == [[struct.pack("<d", g) for g in row] for row in gotm]
+
+
+def test_lit_double_array_nonfinite_fallback(spark):
+    """Non-finite values have no SQL literal form — the helper must fall
+    back to the per-element path and still produce them."""
+    import math
+
+    from sheetsetl_spark.functions.lits import lit_double_array
+
+    got = spark.range(1).select(
+        lit_double_array([1.0, float("inf"), float("nan")]).alias("x")
+    ).first()["x"]
+    assert got[0] == 1.0 and math.isinf(got[1]) and math.isnan(got[2])
