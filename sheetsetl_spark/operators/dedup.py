@@ -220,6 +220,7 @@ def minhash_signatures(
     hash_family: str = "xxhash64",
     shingle_df: DataFrame | None = None,
     with_size_col: bool = False,
+    with_arr_col: bool = False,
 ) -> DataFrame:
     """MinHash signature per document, min-aggregated over the shingle
     stream — one groupBy, map-side partial mins.
@@ -239,7 +240,13 @@ def minhash_signatures(
     ``with_size_col``: additionally emit ``n_sh`` (the per-document
     distinct-shingle count) from the SAME groupBy — the Jaccard
     denominator piggybacks on the signature aggregation instead of
-    costing its own shuffle over the stream."""
+    costing its own shuffle over the stream.
+
+    ``with_arr_col``: additionally emit ``sh_arr`` (the sorted
+    distinct-shingle array) from the same groupBy — lets a
+    candidate-verify stage intersect per-doc arrays (array_intersect on
+    |cand| rows) instead of re-aggregating the stream and running the
+    O(|cand| x doc_len) exploded join (r11; the c72/c82 verify shape)."""
     base = shingle_df
     if base is None:
         base = shingles(docs, n=n, id_col=id_col, text_col=text_col, max_df=max_shingle_df)
@@ -268,6 +275,8 @@ def minhash_signatures(
         raise ValueError(f"unknown hash_family: {hash_family}")
     if with_size_col:
         mins = [*mins, F.count("*").alias("n_sh")]
+    if with_arr_col:
+        mins = [*mins, F.sort_array(F.collect_list("shingle")).alias("sh_arr")]
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -302,30 +311,35 @@ def minhash_lsh_pairs(
     recall guard only: it binds on pathological buckets far above any
     honest near-dup cluster size.
 
-    The shingle stream feeds BOTH the signature aggregate and the
-    candidate verification, so the RAW stream is persisted (memory,
-    spill to disk) and the df-cap is an anti-join applied over cache
-    reads: one corpus scan fills the cache, the hot list itself comes
-    from the cache, and every consumer (signatures, the two verify
-    sides, the size aggregate) is a cache read + broadcast filter —
-    without this the lineage would rescan the corpus 4×. Spark's cache
+    The shingle stream feeds the hot-shingle aggregate and the signature
+    groupBy, so the RAW stream is persisted (memory, spill to disk) and
+    the df-cap is an anti-join applied over cache reads — without this
+    the lineage would re-shingle the corpus per consumer. Spark's cache
     manager keys on the canonicalized plan, so repeated calls over the
-    same input reuse one cache entry."""
+    same input reuse one cache entry. Verification (r11) intersects
+    per-doc sorted shingle ARRAYS collected in the SAME groupBy as the
+    signatures (``with_arr_col``), so the old second aggregation over
+    the stream and the O(|cand| x doc_len) exploded verify join are
+    gone — the signature frame (now the only multi-consumer) is
+    persisted instead and candidates fetch two arrays each."""
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows_per_band = num_hashes // bands
     raw = scoped_persist(shingles(docs, n=n, id_col=id_col, text_col=text_col))
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
-    sig = minhash_signatures(
-        docs,
-        num_hashes=num_hashes,
-        n=n,
-        id_col=id_col,
-        text_col=text_col,
-        max_shingle_df=max_shingle_df,
-        hash_family=hash_family,
-        shingle_df=sh,
-        with_size_col=True,
+    sig = scoped_persist(
+        minhash_signatures(
+            docs,
+            num_hashes=num_hashes,
+            n=n,
+            id_col=id_col,
+            text_col=text_col,
+            max_shingle_df=max_shingle_df,
+            hash_family=hash_family,
+            shingle_df=sh,
+            with_size_col=True,
+            with_arr_col=True,
+        )
     )
     if hash_family == "md5":
         # portable mode: the raw ':'-joined band value IS the bucket key
@@ -353,17 +367,16 @@ def minhash_lsh_pairs(
         ),
     )
     if max_bucket_size is not None:
-        # The bucket-cap's hot-list broadcast subquery would otherwise
-        # re-run the whole signature aggregation (the most expensive
-        # stage) a second time just to count bucket sizes. The band
-        # table is O(docs × bands) short rows — persisting IT (not the
-        # signatures) is cheap at any scale and makes the hot-list job
-        # a cache read. Lifecycle: the returned pair DF stays lazy, so
-        # this operator cannot unpersist safely itself — wrap call +
-        # consumption in ``sheetsetl_spark.cache.cache_scope()`` to bound
-        # the entries' lifetime (outside a scope they live until cleared,
-        # deduped by Spark's plan-keyed cache manager).
-        stacked = scoped_persist(stacked)
+        # The bucket-cap's hot-list subquery and both join sides read
+        # stacked = a posexplode over the PERSISTED signature frame
+        # (r11: sig, not the band table, is the multi-consumer persist —
+        # it also feeds the verify arrays), so counting bucket sizes is
+        # a cache read plus a trivial explode, never a re-aggregation.
+        # Lifecycle: the returned pair DF stays lazy, so this operator
+        # cannot unpersist safely itself — wrap call + consumption in
+        # ``sheetsetl_spark.cache.cache_scope()`` to bound the entries'
+        # lifetime (outside a scope they live until cleared, deduped by
+        # Spark's plan-keyed cache manager).
         stacked = _drop_hot_keys(stacked, ["band_idx", "band_hash"], max_bucket_size)
     left = stacked.select(
         F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"), "band_idx", "band_hash"
@@ -382,24 +395,28 @@ def minhash_lsh_pairs(
     )
     # Candidate-proportional verification: intersection sizes are computed
     # ONLY for LSH candidates (never all-pairs — that would undo the whole
-    # point of banding at scale). Same capped (and persisted) shingle
-    # stream as the signatures so the verified Jaccard matches the exact
-    # operator's and the corpus is not re-scanned.
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
+    # point of banding at scale). The per-doc sorted shingle arrays come
+    # from the SAME capped stream and the SAME groupBy as the signatures
+    # (with_arr_col), so the verified Jaccard matches the exact
+    # operator's, the corpus is not re-scanned, and each candidate pair
+    # fetches two arrays instead of exploding |cand| x doc_len rows
+    # through a pair-keyed shuffle (the c72/c82 verify shape; r11).
+    a = sig.select(F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("sa"))
+    b = sig.select(F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("sb"))
+    inter_col = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("long")
+    return (
         candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "n_a", "n_b", inter_col.alias("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return inter.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_estimate_audit(
@@ -538,45 +555,41 @@ def _embedding_signatures(
     fail loudly instead (the similarity.py::_checked_norm hazard class);
     the guard lives in aggregate's FINISH lambda, so the dim-element
     fold runs once per row (the r6 duplicate-evaluation lesson)."""
-    from sheetsetl_spark.functions.lits import lit_double_matrix
     from sheetsetl_spark.operators.similarity import hyperplanes
 
     planes = hyperplanes(num_planes, dim)
-    # single-expr literal: the per-element F.lit form cost ~1.8s of py4j
-    # round-trips per DataFrame BUILD (functions/lits.py)
-    plane_lits = lit_double_matrix(planes)
-    vec = F.col(vec_col).cast("array<double>")
-    bits = F.concat_ws(
-        "",
-        F.transform(
-            plane_lits,
-            lambda row: F.when(
-                F.aggregate(
-                    F.zip_with(row, vec, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ),
+    # The whole projection is built as TWO parsed SQL expressions (plane
+    # matrix inlined as a literal): the Python-lambda HOF + per-element
+    # F.lit form cost ~1.8s (literals) + ~0.9s (lambda construction) of
+    # py4j round-trips per DataFrame BUILD — pure driver tax paid on
+    # every invocation of every consumer (functions/lits.py rationale;
+    # r11). The parsed string yields the identical Catalyst tree, so
+    # signatures are bit-identical.
+    matrix_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in planes
+        )
+        + ")"
     )
-    norm = F.aggregate(
-        F.zip_with(vec, vec, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-        lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
-            F.raise_error(
-                F.lit(
-                    f"{err_label}: NULL or zero-norm vector has no "
-                    "direction; filter such rows out first"
-                )
-            )
-        ),
+    vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    bits = F.expr(
+        f"concat_ws('', transform({matrix_sql}, "
+        f"row -> CASE WHEN aggregate(zip_with(row, {vec_sql}, "
+        "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x) > 0 "
+        "THEN '1' ELSE '0' END))"
+    )
+    norm = F.expr(
+        f"aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x, "
+        f"s -> CASE WHEN s > 0 THEN sqrt(s) ELSE raise_error('{err_label}: "
+        "NULL or zero-norm vector has no direction; filter such rows out "
+        "first') END)"
     )
     return vectors.select(
         F.col(id_col).alias("vec_id"),
-        vec.alias("v"),
+        F.expr(vec_sql).alias("v"),
         norm.alias("nrm"),
         bits.alias("bits"),
     )
@@ -704,14 +717,9 @@ def embedding_neardup_pairs(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
 
-    def dot(a: str, b: str) -> Column:
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    from sheetsetl_spark.operators.similarity import _dot
 
-    sim = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    sim = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     # No broadcast hint on the vector sides: at fixture scale AQE
     # broadcasts them anyway, but at 10⁹ vectors the vector table is the
     # BIG side (candidates ≪ corpus) and the hint would force an
@@ -850,13 +858,12 @@ def incremental_embedding_neardup_filter(
         .select("new_id", "new_v", "new_n", "old_id", "old_v", "old_n")
         .distinct()
     )
-    dot = F.aggregate(
-        F.zip_with("new_v", "old_v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    from sheetsetl_spark.operators.similarity import _dot
+
     dups = (
-        candidates.withColumn("sim", dot / (F.col("new_n") * F.col("old_n")))
+        candidates.withColumn(
+            "sim", _dot("new_v", "old_v") / (F.col("new_n") * F.col("old_n"))
+        )
         .filter(F.col("sim") >= threshold)
         .select(F.col("new_id").alias(id_col))
         .distinct()

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from sheetsetl_spark.functions.lits import lit_double_array, lit_double_matrix
+from sheetsetl_spark.functions.lits import lit_double_array
 
 
 def _dot(a: str, b: str) -> Column:
@@ -21,11 +21,16 @@ def _dot(a: str, b: str) -> Column:
 
     The fold is sequential over the array, so the result is bit-exact and
     reproducible (matches DuckDB's list_dot_product on the same doubles).
+
+    Built as ONE parsed SQL expression: the Python-lambda HOF form costs
+    ~40 py4j round-trips per construction (~0.04s on this host's ~2.7ms
+    round-trip latency), paid at every DataFrame BUILD of every cosine
+    consumer; the parsed string yields the identical Catalyst tree
+    (bit-equality property-tested) for one round-trip. (r11)
     """
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return F.expr(
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
     )
 
 
@@ -45,19 +50,14 @@ def _checked_norm(vec: str) -> Column:
     condition and the branch — measured ~18% slower on the IVF search
     (r6 guard-cost A/B) when subexpression elimination didn't collapse
     the duplicate. NaN/NULL sums fail the ``s > 0`` test and raise, same
-    as before."""
-    return F.aggregate(
-        F.zip_with(F.col(vec), F.col(vec), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-        lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
-            F.raise_error(
-                F.lit(
-                    "cosine operators: NULL or zero-norm vector has no "
-                    "direction; filter such rows out first"
-                )
-            )
-        ),
+    as before. One parsed SQL expression for the same py4j-round-trip
+    reason as :func:`_dot` (r11)."""
+    return F.expr(
+        f"aggregate(zip_with(`{vec}`, `{vec}`, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x, "
+        "s -> CASE WHEN s > 0 THEN sqrt(s) ELSE raise_error("
+        "'cosine operators: NULL or zero-norm vector has no "
+        "direction; filter such rows out first') END)"
     )
 
 
@@ -229,43 +229,42 @@ def cosine_topk_lsh(
         raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     planes = _hyperplanes(num_planes, dim)
     # single-expr literal: the per-element F.lit form cost ~1.8s of py4j
-    # round-trips per DataFrame BUILD (functions/lits.py)
-    plane_lits = lit_double_matrix(planes)
+    # Whole projection as parsed SQL expressions (plane matrix inlined):
+    # per-element F.lit + Python-lambda HOFs cost seconds of py4j
+    # round-trips per DataFrame BUILD (functions/lits.py rationale; r11)
+    matrix_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in row) + ")"
+            for row in planes
+        )
+        + ")"
+    )
     rpb = num_planes // bands
 
     def sig(df: DataFrame, out: str) -> DataFrame:
-        vec = F.col(vec_col).cast("array<double>")
-        bits = F.transform(
-            plane_lits,
-            lambda row: (
-                F.aggregate(
-                    F.zip_with(row, vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-                )
-                > 0
-            ).cast("int"),
+        vec_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        bits = F.expr(
+            f"concat_ws('', transform({matrix_sql}, "
+            f"row -> CAST(aggregate(zip_with(row, {vec_sql}, "
+            "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x) > 0 AS INT)))"
         )
         # norm once per row here, not per candidate pair in the verify;
         # the guard lives in aggregate's FINISH lambda so the d-element
         # fold runs once (this site previously evaluated it twice inside
         # when/sqrt — the r6 _checked_norm duplicate-fold lesson).
-        norm = F.aggregate(
-            F.zip_with(vec, vec, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-            lambda s: F.when(s > 0, F.sqrt(s)).otherwise(
-                F.raise_error(
-                    F.lit(
-                        "cosine_topk_lsh: NULL or zero-norm vector has no "
-                        "direction; filter such rows out first"
-                    )
-                )
-            ),
+        norm = F.expr(
+            f"aggregate(zip_with({vec_sql}, {vec_sql}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x, "
+            "s -> CASE WHEN s > 0 THEN sqrt(s) ELSE raise_error("
+            "'cosine_topk_lsh: NULL or zero-norm vector has no "
+            "direction; filter such rows out first') END)"
         )
         return df.select(
             F.col(id_col).alias(out),
-            vec.alias(f"{out}_v"),
+            F.expr(vec_sql).alias(f"{out}_v"),
             norm.alias(f"{out}_n"),
-            F.concat_ws("", bits).alias(f"{out}_bits"),
+            bits.alias(f"{out}_bits"),
         )
 
     from sheetsetl_spark.operators.skew import widen_to_cores
