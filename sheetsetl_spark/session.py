@@ -15,12 +15,71 @@ assumes local mode except the default master.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def _default_driver_mem() -> str:
+    """Size the local-mode JVM heap from the machine, not a constant.
+
+    In local mode the driver JVM IS the executor: its heap backs every
+    task's shuffle/aggregate memory across all N threads, plus cached /
+    localCheckpoint blocks. The old fixed 12g default left a 42-query
+    bench session GC-bound on a 128 GiB machine — measured 73.8 s at
+    12g vs 56.7 s at 48g for the identical bench (r11), with the
+    per-pass spikes (x86 26 s, x98 13 s) that mark old-gen collections
+    (guide §7.3: "high GC time = memory pressure"). 3/8 of physical
+    RAM (floored at 12g, capped at 48g) keeps the same posture on
+    smaller sandboxes and leaves plenty for the OS page cache that
+    parquet re-reads rely on. Env-overridable; on a real cluster this
+    conf sizes only the driver and spark.executor.memory carries the
+    executors (guide §5.1)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        )
+    except (ValueError, OSError, AttributeError):
+        total_gb = 32.0
+    return f"{min(48, max(12, int(total_gb * 3 / 8)))}g"
+
+
+def _mem_to_mb(mem: str) -> int | None:
+    """'46g' / '12288m' / '1t' -> MiB, or None if unparseable."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", mem.lower())
+    if not m:
+        return None
+    mult = {"k": 1 / 1024, "": 1 / (1 << 20), "m": 1, "g": 1024, "t": 1 << 20}
+    return int(int(m.group(1)) * mult[m.group(2)])
+
+
+def _driver_java_opts(mem: str) -> str:
+    """Fixed, pre-touched initial heap (r11, guide §5/§7.3).
+
+    With the default on-demand heap, G1 commits regions as the working
+    set grows and UNCOMMITS them again after concurrent cycles; on this
+    VM class each commit/uncommit is an mmap/munmap whose TLB
+    shootdowns stall every executor thread. The kernel signature was
+    unmistakable — 80-89% system time, 32+ runnable threads, ~8k
+    interrupts/s while user CPU sat idle — and the cost was huge:
+    c82_edit_distance_join median 20.1 s (spikes to 57.6 s) on the
+    default heap vs 4.1 s (max 6.1) with a pre-touched 12g floor,
+    identical code. -Xms sets the floor G1 may never shrink below;
+    +AlwaysPreTouch commits and zeroes it ONCE at session start
+    (outside every timed region) instead of page-by-page inside query
+    execution. The floor is capped at min(12g, driver memory) so an
+    explicit small SPARK_GRAFT_DRIVER_MEM keeps Xms <= Xmx."""
+    mem_mb = _mem_to_mb(mem)
+    if mem_mb is None:
+        return "-XX:+AlwaysPreTouch"
+    return f"-Xms{min(12288, mem_mb)}m -XX:+AlwaysPreTouch"
 
 
 #: Production streaming posture. RocksDB replaces the default in-heap
@@ -72,20 +131,19 @@ def build_session(
       primary workload is Structured Streaming.
     """
     cpus = default_parallelism()
+    driver_mem = _default_driver_mem()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        # In local mode the driver JVM IS the executor: its heap backs
-        # every task's shuffle/aggregate memory across all N threads.
-        # Spark's 1g default starves 32 threads long before the machine
-        # does (measured: 10x-documents hash aggregate fails to grow its
-        # BytesToBytesMap at 1g while 120+ GiB sit idle). On a real
-        # cluster this conf sizes only the driver; executors carry their
-        # own spark.executor.memory.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
-        )
+        # Machine-derived heap: see _default_driver_mem. Spark's 1g
+        # default starves 32 threads long before the machine does
+        # (measured: 10x-documents hash aggregate fails to grow its
+        # BytesToBytesMap at 1g while 120+ GiB sit idle), and the r10
+        # fixed 12g left long sessions GC-bound.
+        .config("spark.driver.memory", driver_mem)
+        # Heap commit churn is a measured 5x wall-clock hazard here:
+        # see _driver_java_opts.
+        .config("spark.driver.extraJavaOptions", _driver_java_opts(driver_mem))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
