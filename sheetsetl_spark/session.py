@@ -61,7 +61,7 @@ def _mem_to_mb(mem: str) -> int | None:
 
 
 def _driver_java_opts(mem: str) -> str:
-    """Fixed, pre-touched initial heap (r11, guide §5/§7.3).
+    """Fixed, fully pre-touched heap (r11, guide §5/§7.3).
 
     With the default on-demand heap, G1 commits regions as the working
     set grows and UNCOMMITS them again after concurrent cycles; on this
@@ -74,12 +74,19 @@ def _driver_java_opts(mem: str) -> str:
     identical code. -Xms sets the floor G1 may never shrink below;
     +AlwaysPreTouch commits and zeroes it ONCE at session start
     (outside every timed region) instead of page-by-page inside query
-    execution. The floor is capped at min(12g, driver memory) so an
-    explicit small SPARK_GRAFT_DRIVER_MEM keeps Xms <= Xmx."""
+    execution.
+
+    Xms = Xmx, not a partial floor: with a 12g floor under a 47g max,
+    the first full-scale pass of every query still grew the heap above
+    the floor and paid the churn (measured: first-pass spikes c2b
+    17.6 s / c55 18.0 s / c52 15.6 s on the capped floor vs 3.6 / 2.5
+    / 1.8 with the full heap pre-touched; steady-state medians equal).
+    The one-time zeroing of the full heap happens at session start,
+    before any timed region."""
     mem_mb = _mem_to_mb(mem)
     if mem_mb is None:
         return "-XX:+AlwaysPreTouch"
-    return f"-Xms{min(12288, mem_mb)}m -XX:+AlwaysPreTouch"
+    return f"-Xms{mem_mb}m -XX:+AlwaysPreTouch"
 
 
 #: Production streaming posture. RocksDB replaces the default in-heap

@@ -1607,14 +1607,14 @@ def test_default_driver_mem_scales_with_machine(monkeypatch):
 
 
 def test_driver_java_opts_pretouch_floor():
-    """The JVM gets a fixed pre-touched initial heap (r11: G1 heap
-    commit/uncommit churn stalled executor threads in TLB-shootdown
-    storms — c82 median 20.1 s -> 4.1 s), with Xms capped at the
-    driver heap so a small explicit SPARK_GRAFT_DRIVER_MEM still
-    starts."""
+    """The JVM gets a fixed FULLY pre-touched heap, Xms = Xmx (r11: G1
+    heap commit/uncommit churn stalled executor threads in
+    TLB-shootdown storms — c82 median 20.1 s -> 4.1 s; a partial 12g
+    floor still let the first full-scale pass of every query spike
+    3-6x while the heap grew above it)."""
     from sheetsetl_spark.session import _driver_java_opts, _mem_to_mb
 
-    assert _driver_java_opts("46g") == "-Xms12288m -XX:+AlwaysPreTouch"
+    assert _driver_java_opts("46g") == "-Xms47104m -XX:+AlwaysPreTouch"
     assert _driver_java_opts("8g") == "-Xms8192m -XX:+AlwaysPreTouch"
     assert _driver_java_opts("512m") == "-Xms512m -XX:+AlwaysPreTouch"
     # unparseable memory: never emit an Xms that could exceed Xmx
