@@ -1774,16 +1774,24 @@ def edit_distance_pairs(
        (candidate-proportional, never an O(|cand| x doc_len) row
        expansion), and finally the exact JVM-side ``levenshtein`` <= k.
 
-    Scale: one corpus scan (persisted token stream feeds everything),
-    ONE gram-keyed shuffle computing df as a window count over the
-    token key (r11 — this replaced a df groupBy + distributed-prefix-sum
-    dense-id assignment + two attach joins: the dense ids existed only
-    to make the verify arrays narrow, but the occurrence-numbered grams
-    are themselves short fixed-width strings, so intersecting THEM
-    directly costs almost the same per element and saves four exchanges
-    plus a checkpoint per call — measured 9.9s -> 5.7s at sf0.1,
-    identical 106 output pairs), a prefix equi-join filtered at
-    aggregation, and a verify stage linear in SURVIVING candidates. Filter order
+    Scale: one corpus scan (widened before the gram explode — the
+    per-doc q-gram generation is the operator's densest per-row work
+    and a compact file otherwise runs it on 1-2 cores), ONE gram-keyed
+    shuffle computing df as a window count over the token key (r11 —
+    this replaced a df groupBy + distributed-prefix-sum dense-id
+    assignment + two attach joins: the dense ids existed only to make
+    the verify arrays narrow, but the occurrence-numbered grams are
+    themselves short fixed-width strings, so intersecting THEM directly
+    costs almost the same per element and saves four exchanges plus a
+    checkpoint per call — measured 9.9s -> 5.7s at sf0.1, identical 106
+    output pairs), then ONE per-doc groupBy collapsing each doc's
+    (df, tok) pairs into a sorted array whose POSITION is the
+    global-rarity rank (r11 again: the row_number window — a second
+    full-stream shuffle+sort — and the separate per-side verify-array
+    aggregations fold into this one aggregate; the persisted
+    multi-consumer is the per-DOC array frame, corpus-sized, not the
+    token stream), a prefix equi-join filtered at aggregation, and a
+    verify stage linear in SURVIVING candidates. Filter order
     matters measurably: the 10x scale step (SCALE.md round-7 batch-11)
     showed this corpus's q-gram df distribution is DENSE at every q
     (tiny synthetic vocabulary — max df grew 10x with the corpus, for
@@ -1811,6 +1819,8 @@ def edit_distance_pairs(
 
     Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= k.
     """
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
     base = docs.select(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__text"),
@@ -1820,7 +1830,13 @@ def edit_distance_pairs(
     # the occurrence sequence — one groupBy, no per-doc-gram window.
     # __len rides along in the group key (constant per doc) so the
     # length filter reaches candidate aggregation without a base join.
-    grams = base.select(
+    # The gram generation is the densest per-row work in the operator
+    # (~len q-gram substrings per doc), so the scan feeding the explode
+    # is widened (r11): a compact document file exposes 1-2 splits and
+    # ran the whole gram stream on as many cores. fanout = the explode
+    # multiplier (~__len rows per input row; 256 is the band's order of
+    # magnitude and only gates the widen, it sizes nothing).
+    grams = widen_to_cores(base, fanout=256).select(
         "__id",
         "__len",
         F.explode(
@@ -1830,7 +1846,7 @@ def edit_distance_pairs(
             )
         ).alias("gram"),
     )
-    toks = scoped_persist(
+    toks = (
         grams.groupBy("__id", "__len", "gram")
         .agg(F.count("*").alias("occ_cnt"))
         .select(
@@ -1847,17 +1863,38 @@ def edit_distance_pairs(
     )
     # df as a window count over the token key: one shuffle of the token
     # stream gives every row its df in place — no df groupBy, no dense-id
-    # prefix sum, no attach joins (the r11 restructure; see docstring)
+    # prefix sum, no attach joins (the r11 restructure; see docstring).
+    # The (df, tok) pairs then collapse into ONE sorted array per doc:
+    # the global-rarity rank is the array POSITION, so the old
+    # row_number window (a second full-stream shuffle + sort by doc)
+    # and the separate verify-array aggregation (which the lazy
+    # checkpoint's lost partitioning made a THIRD and FOURTH full-stream
+    # exchange, once per join side) all collapse into this single
+    # groupBy. The per-doc frame — corpus rows, not token rows — is the
+    # only multi-consumer and the only thing persisted.
     wtok = Window.partitionBy("tok")
-    wdoc = Window.partitionBy("__id")
-    worder = wdoc.orderBy("df", "tok")
-    sized = (
+    docarr = scoped_persist(
         toks.withColumn("df", F.count("*").over(wtok))
-        .withColumn("rnk", F.row_number().over(worder))
-        .withColumn("n_g", F.count("*").over(wdoc))
-        .localCheckpoint(eager=False)
+        .groupBy("__id", "__len")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("__arr")
+        )
+        .select("__id", "__len", "__arr", F.size("__arr").alias("n_g"))
     )
-    prefix = sized.filter(F.col("rnk") <= F.lit(q * k + 1))
+    prefix = docarr.select(
+        "__id",
+        "__len",
+        "n_g",
+        F.posexplode(F.expr(f"slice(__arr, 1, {q * k + 1})")).alias("pos", "__pt"),
+    ).select(
+        "__id",
+        "__len",
+        "n_g",
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("__pt.tok").alias("tok"),
+    )
     a = prefix.select(
         F.col("__id").alias("doc_a"),
         "tok",
@@ -1953,9 +1990,14 @@ def edit_distance_pairs(
             .distinct()
         )
         cand = cand.unionByName(short_cand)
-    arrays = sized.groupBy("__id").agg(
-        F.sort_array(F.collect_list("tok")).alias("toks"),
-        F.count("*").alias("n_g"),
+    # verify arrays come straight off the persisted per-doc frame — the
+    # struct array projects to its tok components in place (order is
+    # (df, tok) instead of lexicographic; array_intersect is
+    # order-independent, and toks are unique per doc)
+    arrays = docarr.select(
+        "__id",
+        F.expr("transform(__arr, x -> x.tok)").alias("toks"),
+        "n_g",
     )
     side = base.join(arrays, "__id")
     arr_a = side.select(

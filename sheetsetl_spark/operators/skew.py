@@ -82,7 +82,7 @@ def skew_report(
     )
 
 
-def widen_to_cores(df, min_input_bytes: int = 2 << 20, files=None):
+def widen_to_cores(df, min_input_bytes: int = 2 << 20, files=None, fanout: float = 1.0):
     """Widen-only repartition: spread ``df`` across defaultParallelism
     when its scan exposes fewer splits than the cluster has cores.
 
@@ -127,6 +127,18 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20, files=None):
     enumerates the WHOLE table, so the estimate would see nprobe/M
     times too many splits and skip the widen (the r10 negative
     result); the caller lists the pruned directories itself.
+
+    ``fanout``: the caller's estimate of how much a downstream explode
+    multiplies per-row work (r11). The ``min_input_bytes`` gate exists
+    to compare the exchange's fixed cost against the work it spreads,
+    but for a pre-explode scan the work is ``fanout`` times the input
+    bytes — a 0.6 MB document table exploding to ~300 q-grams per doc
+    does ~180 MB of downstream string work on the ONE split the scan
+    exposes (the x103/c82 shape: the whole gram/shingle generation ran
+    on a single core). The gate therefore tests ``bytes * fanout``;
+    the split ESTIMATE stays on raw bytes because splits, not work,
+    cap scan parallelism. Only the gate changes: a genuinely large
+    corpus still passes through unwidened once its scan is wide.
     """
     spark = df.sparkSession
     want = spark.sparkContext.defaultParallelism
@@ -140,7 +152,7 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20, files=None):
         sizes = None
     if sizes is not None:
         total = sum(sizes)
-        if total < min_input_bytes:
+        if total * fanout < min_input_bytes:
             return df
         # Scan-task estimate without touching df.rdd: each file yields
         # ~ceil(size / maxPartitionBytes) splits (Spark may produce more
