@@ -1591,16 +1591,19 @@ def prefix_filter_jaccard_pairs(
     is the UNCAPPED brute-force join, so a hash match at fixture scale
     certifies the filter's completeness, not just its own construction.
 
-    Scale: one corpus scan (persisted shingle stream feeds everything;
-    the ranked stream is checkpointed once and feeds prefixes AND the
-    per-doc shingle arrays), ONE shingle-keyed shuffle computing df as
+    Scale: one corpus scan, ONE shingle-keyed shuffle computing df as
     a window count over the shingle key (r11 — this replaced a df
     groupBy + distributed-prefix-sum dense-id assignment + attach join:
     the dense ids existed only to narrow the verify arrays, but
     intersecting the shingle strings directly is candidate-proportional
     anyway and dropping the id machinery saves four exchanges and a
     checkpoint per call; the heavier string elements are a conscious
-    trade, revisit if a corpus with very long shingles shows up), the
+    trade, revisit if a corpus with very long shingles shows up), then
+    ONE per-doc groupBy collapsing each doc's (df, shingle) pairs into
+    a sorted array whose POSITION is the global-rarity rank (r11, the
+    c82 shape — the row_number/doc-count windows and the separate
+    verify-array aggregation fold into this aggregate; the persisted
+    multi-consumer is the per-DOC array frame, corpus-sized), the
     prefix equi-join with the PPJoin positional filter applied AT
     candidate aggregation, then a verify join that is
     candidate-PROPORTIONAL: each surviving pair fetches two sorted
@@ -1619,28 +1622,42 @@ def prefix_filter_jaccard_pairs(
     jaccard rounded 6 dp (filtering happens on the raw double, computed
     identically in both engines).
     """
-    sh = scoped_persist(
-        shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    )
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     # df as a window count over the shingle key: one shuffle of the
     # stream gives every row its df in place (the r11 restructure; see
-    # docstring)
+    # docstring). The (df, shingle) pairs then collapse into ONE sorted
+    # struct array per doc (r11 again, the c82 shape): the global-rarity
+    # rank is the array POSITION, so the old row_number + per-doc-count
+    # windows (a second full-stream shuffle + sort) and the separate
+    # verify-array aggregation fold into this single groupBy. The
+    # persisted multi-consumer is the per-DOC array frame — corpus rows,
+    # not shingle-stream rows.
     wsh = Window.partitionBy("shingle")
-    wdoc = Window.partitionBy(id_col)
-    worder = wdoc.orderBy("df", "shingle")
-    # lazy checkpoint: the ranked+windowed stream feeds BOTH the prefix
-    # streams and the per-doc shingle arrays; without it the df window
-    # and the doc windows would run twice
-    sized = (
+    docarr = scoped_persist(
         sh.withColumn("df", F.count("*").over(wsh))
-        .withColumn("rnk", F.row_number().over(worder))
-        .withColumn("n_sh", F.count("*").over(wdoc))
-        .localCheckpoint(eager=False)
+        .groupBy(F.col(id_col).alias("__id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("__arr")
+        )
+        .select("__id", "__arr", F.size("__arr").alias("n_sh"))
     )
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + F.lit(1)
+    ).cast("int")
+    prefix = docarr.select(
+        "__id",
+        "n_sh",
+        F.posexplode(F.slice("__arr", F.lit(1), prefix_len)).alias(
+            "pos", "__pt"
+        ),
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_sh",
+        (F.col("pos") + 1).alias("rnk"),
+        F.col("__pt.shingle").alias("shingle"),
     )
-    prefix = sized.filter(F.col("rnk") <= prefix_len)
     a = prefix.select(
         F.col(id_col).alias("doc_a"),
         "shingle",
@@ -1693,9 +1710,14 @@ def prefix_filter_jaccard_pairs(
     # JVM-side in array_intersect — O(|cand|) rows, never the old
     # O(|cand| x doc_len) expansion whose sort spill exhausted local
     # disk on a dense-df corpus (10x fixture, SCALE.md round-7 entry).
-    arrays = sized.groupBy(id_col).agg(
-        F.sort_array(F.collect_list("shingle")).alias("sids"),
-        F.count("*").alias("n_sh"),
+    # The arrays come straight off the persisted per-doc frame — the
+    # struct array projects to its shingle components in place (order
+    # is (df, shingle) instead of lexicographic; array_intersect is
+    # order-independent, and shingles are unique per doc).
+    arrays = docarr.select(
+        F.col("__id").alias(id_col),
+        F.expr("transform(__arr, x -> x.shingle)").alias("sids"),
+        "n_sh",
     )
     arr_a = arrays.select(
         F.col(id_col).alias("doc_a"),
