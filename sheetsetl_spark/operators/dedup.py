@@ -53,7 +53,20 @@ def shingles(
     Tokenization happens ONCE into a projected array column before the
     transform — referencing ``split(text)`` inside the slice lambda makes
     codegen re-split the document per shingle position (O(tokens²) string
-    work per doc; measured 3.7× slower at sf0.1)."""
+    work per doc; measured 3.7× slower at sf0.1).
+
+    The scan feeding the explode is widened first (r11): shingling is
+    the densest per-row work in every consumer (split + ~tokens slices
+    + array_join per doc, then per-shingle hashing/aggregation
+    map-side), and a compactly-written document file exposes 1-2 splits
+    — measured at sf0.1, the WHOLE shingle+hash+partial-agg pipeline of
+    the MinHash signature build ran on one core. ``fanout=64``
+    approximates the explode's per-row work multiplier (it only gates
+    the widen, sizes nothing); a genuinely large corpus whose scan is
+    already wide passes through untouched."""
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    docs = widen_to_cores(docs, fanout=64)
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
     shingle_list = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
@@ -1505,7 +1518,11 @@ def duplicated_passages(
     """
     # tokenize ONCE into a projected column: referencing split(text)
     # inside the slice lambda re-splits the document per window position
-    # (the measured 3.7x shingles lesson above)
+    # (the measured 3.7x shingles lesson above). NOT widened (r11): the
+    # A/B at sf0.1 read widen +0.07 s — the gram explode here feeds the
+    # gram-key window shuffle immediately, so the serial span is short
+    # and the exchange never pays for itself (contrast shingles(), whose
+    # consumers hash/aggregate heavily before their first shuffle).
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
     w = F.col("__w")
     # sequence(a, b) counts DOWN when b < a — short docs get no windows
