@@ -50,6 +50,7 @@ def prefix_sum(
     value_col: Column,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = running sum of ``value_col`` over the global
     order ``order_by`` (inclusive of the current row).
@@ -59,9 +60,36 @@ def prefix_sum(
     within-partition/offset decomposition would disagree with the naive
     window. Pass an exact-DECIMAL ``value_col`` when the result feeds a
     cross-engine comparison.
+
+    ``bucket_expr`` (r11): a NUMERIC expression that is monotone
+    NON-DECREASING along the global order (for a single ascending
+    numeric order key, the key itself; for a descending key, its
+    negation). When provided, the range step uses DETERMINISTIC
+    uniform buckets between the expression's min and max instead of
+    ``repartitionByRange`` — which removes the three costs the sampled
+    path pays per call: the boundary-sampling job (an extra evaluation
+    of ``df``), the ``localCheckpoint`` that pins one sampled pid
+    assignment (~0.5-1 s of driver-side physical planning per call —
+    measured 1.06 s build / 0.52 s exec for x86 at sf0.1 — plus the
+    checkpoint write/read of the full stream), and the post-checkpoint
+    pid re-shuffle (the checkpointed RDD reports unknown partitioning,
+    so the window re-exchanges everything). Because every expression in
+    the bucket path is deterministic, the two plan branches (local cums
+    and bucket totals) can safely share one exchange (ReuseExchange)
+    with no pin. Ties never split buckets (equal key -> equal bucket),
+    so the decomposition stays exact. The trade: bucket balance now
+    follows the VALUE distribution, not sampled quantiles — a heavily
+    value-skewed key concentrates rows in few window partitions
+    (correct, spill-backed, but serial there). Callers choose: spread
+    numeric keys (prices, spend cents, revenues) take the bucket path;
+    unknown/hostile distributions keep the sampled default.
     """
     if not order_by:
         raise ValueError("prefix_sum: order_by must name at least one column")
+    if bucket_expr is not None:
+        return _prefix_sum_bucketed(
+            df, order_by, value_col, out_col, num_partitions, bucket_expr
+        )
     if num_partitions is None:
         ranged = df.repartitionByRange(*order_by)
     else:
@@ -98,4 +126,63 @@ def prefix_sum(
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out_col, F.col(_LOCAL) + F.col(_OFF))
         .drop(_PID, _LOCAL, _OFF)
+    )
+
+
+def _prefix_sum_bucketed(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: Column,
+    out_col: str,
+    num_partitions: int | None,
+    bucket_expr: Column,
+) -> DataFrame:
+    """Deterministic-bucket decomposition (see prefix_sum docstring).
+
+    The bucket id is a pure function of the row and a broadcast 1-row
+    min/max aggregate, so recomputation can never disagree with itself —
+    no checkpoint pin needed. One hash exchange on the bucket id feeds
+    a single Sort + Window computing BOTH the local running sum and the
+    bucket total; bucket totals collapse map-side (the total is
+    constant within a bucket, and the stream is already hash-partitioned
+    by bucket, so the groupBy adds no exchange), take their exclusive
+    prefix in a single-partition window over <= n_buckets rows, and
+    broadcast back. floor((x - lo) / w) is weakly monotone in x even
+    under double rounding, and equal keys share a bucket, so the
+    decomposition equals the global running sum exactly.
+    """
+    spark = df.sparkSession
+    buckets = (num_partitions or spark.sparkContext.defaultParallelism) * 32
+    mm = df.agg(
+        F.min(bucket_expr).cast("double").alias("__ps_lo"),
+        F.max(bucket_expr).cast("double").alias("__ps_hi"),
+    )
+    width = (F.col("__ps_hi") - F.col("__ps_lo")) / F.lit(float(buckets))
+    bk = F.when(
+        (F.col("__ps_hi") == F.col("__ps_lo")) | width.isNull(), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((bucket_expr.cast("double") - F.col("__ps_lo")) / width),
+        )
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn(_PID, bk)
+        .drop("__ps_lo", "__ps_hi")
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_by)
+    w_tot = Window.partitionBy(_PID)
+    with_cum = bucketed.withColumn(_LOCAL, F.sum(value_col).over(w_local)).withColumn(
+        _TOT, F.sum(value_col).over(w_tot)
+    )
+    totals = with_cum.groupBy(_PID).agg(F.max(_TOT).alias(_TOT))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum(_TOT).over(w_off), F.lit(0)).alias(_OFF)
+    )
+    return (
+        with_cum.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.col(_LOCAL) + F.col(_OFF))
+        .drop(_PID, _LOCAL, _OFF, _TOT)
     )

@@ -933,6 +933,9 @@ def x66_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.desc("rev"), F.asc("l_partkey")],
         value_col=F.col("rev"),
         out_col="cum",
+        # -rev is monotone along the desc(rev) order: deterministic
+        # buckets, no sampling job / checkpoint pin (prefix.py r11)
+        bucket_expr=-F.col("rev"),
     ).crossJoin(F.broadcast(total))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     classed = ranked.select(
@@ -982,6 +985,7 @@ def x67_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.desc("rev"), F.asc("l_partkey")],
         value_col=F.col("rev"),
         out_col="cum",
+        bucket_expr=-F.col("rev"),
     ).select(
         "l_partkey",
         F.col("rev").cast("double").alias("rev"),

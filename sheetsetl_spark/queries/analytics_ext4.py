@@ -105,7 +105,10 @@ def x85_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "no",
         (F.col("cf") * F.col("no") - F.col("co") * F.col("nf")).alias("step"),
     )
-    cum = prefix_sum(stepped, [F.col("x")], F.col("step"), out_col="cum")
+    cum = prefix_sum(
+        stepped, [F.col("x")], F.col("step"), out_col="cum",
+        bucket_expr=F.col("x"),
+    )
     return cum.agg(
         F.max("nf").cast("long").alias("n_f"),
         F.max("no").cast("long").alias("n_o"),
@@ -162,7 +165,10 @@ def x86_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # BIGINT throughout: 2U <= 2*n_pos*n_neg, exact in int64 to ~3e9
     # rows (past that: DECIMAL(38,0) accumulator, same plan).
-    cum = prefix_sum(pts, [F.col("x")], F.col("neg"), out_col="cumneg")
+    cum = prefix_sum(
+        pts, [F.col("x")], F.col("neg"), out_col="cumneg",
+        bucket_expr=F.col("x"),
+    )
     return cum.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
@@ -237,6 +243,7 @@ def x88_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cents"), F.col("o_custkey")],
         F.lit(1).cast("long"),
         out_col="rnk",
+        bucket_expr=F.col("cents"),
     )
     s = ranked.agg(
         F.count("*").cast("long").alias("n"),

@@ -497,7 +497,10 @@ def x94_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def doubled_ranks(col: str, out: str) -> DataFrame:
         d = pc.groupBy(col).agg(F.count("*").alias("cnt"))
-        c = prefix_sum(d, [F.col(col)], F.col("cnt"), out_col="cum")
+        c = prefix_sum(
+            d, [F.col(col)], F.col("cnt"), out_col="cum",
+            bucket_expr=F.col(col),
+        )
         return c.select(
             col,
             (F.lit(2) * F.col("cum") - F.col("cnt") + F.lit(1)).alias(out),

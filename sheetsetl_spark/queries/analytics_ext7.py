@@ -150,6 +150,7 @@ def x98_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("sp"), F.col("o_custkey")],
         F.lit(1).cast("long"),
         out_col="r",
+        bucket_expr=F.col("sp"),
     )
     n_total = spend.groupBy().agg(F.count("*").alias("n"))
     bydec = (

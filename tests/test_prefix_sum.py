@@ -84,19 +84,24 @@ def test_requires_order(spark):
 
 
 def test_x67_plan_no_single_partition_data_window(spark):
-    """The only single-partition window may run over the #partitions-row
-    offsets aggregate — the base per-part rows must flow through a range
-    exchange, never an Exchange SinglePartition ahead of a data window."""
+    """The only single-partition window may run over the bounded
+    bucket-totals aggregate — the base per-part rows must flow through
+    the deterministic-bucket hash exchange (r11 prefix.py bucket path:
+    no sampled range exchange, no localCheckpoint pin), never an
+    Exchange SinglePartition ahead of a data window."""
     df = QUERIES["x67_running_total"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the range exchange lives INSIDE the pinned localCheckpoint RDD
-    # (lineage truncated), so the visible plan scans the existing RDD
-    assert "ExistingRDD" in plan, plan
+    # bucket path: the data window clusters on the deterministic bucket
+    # id — visible as a hash exchange on the bucket column, with no
+    # checkpoint RDD scan and no sampled range exchange in the plan
+    assert "__ps_pid" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
             # upstream (printed below) must contain the totals
-            # HashAggregate — i.e. the single partition holds partition
+            # HashAggregate — i.e. the single partition holds bucket
             # totals, not data rows
             assert any("HashAggregate" in x for x in lines[i:]), plan
 
@@ -124,6 +129,45 @@ def test_property_matches_naive_on_random_inputs(spark):
         )
         order = [F.desc("v"), F.asc("k")]
         got = prefix_sum(df, order, F.col("v"), "cum", num_partitions=nparts)
+        want = _naive(df, order, F.col("v"), "cum")
+        assert _rows(got, ["k"]) == _rows(want, ["k"])
+
+    check()
+
+
+@pytest.mark.slow  # randomized/corpus sweep - full-suite re-verification
+def test_property_bucketed_matches_naive_on_random_inputs(spark):
+    """Hypothesis sweep for the r11 deterministic-bucket path: random
+    values (duplicates, negatives, all-equal draws that collapse the
+    min/max width to zero), desc order via a negated bucket_expr, and
+    random bucket scaling — must equal the naive window on every draw."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+        nparts=st.integers(1, 9),
+        desc=st.booleans(),
+    )
+    def check(vals, nparts, desc):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k int, v long"
+        )
+        if desc:
+            order = [F.desc("v"), F.asc("k")]
+            bexpr = -F.col("v")
+        else:
+            order = [F.asc("v"), F.asc("k")]
+            bexpr = F.col("v")
+        got = prefix_sum(
+            df, order, F.col("v"), "cum",
+            num_partitions=nparts, bucket_expr=bexpr,
+        )
         want = _naive(df, order, F.col("v"), "cum")
         assert _rows(got, ["k"]) == _rows(want, ["k"])
 
