@@ -48,7 +48,34 @@ def _default_driver_mem() -> str:
         )
     except (ValueError, OSError, AttributeError):
         total_gb = 32.0
-    return f"{min(48, max(12, int(total_gb * 3 / 8)))}g"
+    want = min(48, max(12, int(total_gb * 3 / 8)))
+    # Cap by what the machine can actually give RIGHT NOW: Xms = Xmx +
+    # AlwaysPreTouch commits the whole heap at startup, so a session
+    # opened next to already-running JVMs (concurrent test shards, a
+    # bench beside a pipeline) would die in the gateway handshake if it
+    # insisted on the idle-machine size (measured: the third 47g shard
+    # of the r11 fast gate, JAVA_GATEWAY_EXITED). 80% of MemAvailable
+    # leaves room for Python, off-heap and the page cache. On the idle
+    # machine the cap is far above `want`, so bench sizing stays
+    # deterministic; under contention the session degrades to a smaller
+    # heap instead of a dead JVM. The floor stays at 12g — below that a
+    # 32-thread local session thrashes anyway (r10 measurement).
+    avail_gb = _mem_available_gb()
+    if avail_gb is not None:
+        want = min(want, max(12, int(avail_gb * 0.8)))
+    return f"{want}g"
+
+
+def _mem_available_gb() -> float | None:
+    """Linux MemAvailable in GiB, or None when unreadable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1 << 20)
+    except (OSError, ValueError, IndexError):
+        return None
+    return None
 
 
 def _mem_to_mb(mem: str) -> int | None:

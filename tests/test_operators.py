@@ -1594,16 +1594,31 @@ def test_default_driver_mem_scales_with_machine(monkeypatch):
 
     from sheetsetl_spark.session import _default_driver_mem
 
+    import sheetsetl_spark.session as sess
+
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "7g")
     assert _default_driver_mem() == "7g"
     monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
     out = _default_driver_mem()
     assert out.endswith("g") and 12 <= int(out[:-1]) <= 48
     # on the 128 GiB bench sandbox the derived heap must leave the
-    # GC-bound regime measured at 12g
+    # GC-bound regime measured at 12g (pin MemAvailable high so the
+    # concurrency cap below cannot make this contention-dependent)
+    monkeypatch.setattr(sess, "_mem_available_gb", lambda: 120.0)
+    out = _default_driver_mem()
     page, pages = os.sysconf("SC_PAGE_SIZE"), os.sysconf("SC_PHYS_PAGES")
     if page * pages >= 100 << 30:
         assert int(out[:-1]) >= 36
+    # concurrency cap (r11): Xms=Xmx+AlwaysPreTouch commits the whole
+    # heap at startup, so when neighbors already hold most of RAM the
+    # session must shrink instead of dying in the gateway handshake
+    # (the fast gate's third 47g shard, JAVA_GATEWAY_EXITED)
+    monkeypatch.setattr(sess, "_mem_available_gb", lambda: 30.0)
+    assert _default_driver_mem() == "24g"
+    monkeypatch.setattr(sess, "_mem_available_gb", lambda: 4.0)
+    assert _default_driver_mem() == "12g"  # floor still wins
+    monkeypatch.setattr(sess, "_mem_available_gb", lambda: None)
+    assert _default_driver_mem() == out  # unreadable -> machine sizing
 
 
 def test_driver_java_opts_pretouch_floor():
