@@ -181,6 +181,27 @@ def main() -> None:
         except Exception:
             pass
 
+    # One UNTIMED full pass at the bench SF (r11). The sf0.001 warmup
+    # covers analysis/codegen but touches almost no heap; the FIRST
+    # full-scale pass of each query then pays the session's cold-memory
+    # costs — JIT at real batch sizes, shuffle-dir creation, and (on
+    # VM-class hosts where the hypervisor hands out pages lazily even
+    # under -XX:+AlwaysPreTouch) the first-fault storm of the working
+    # set. Measured on such a host: pass-1 spikes of 22-63s on 2-4s
+    # queries (c50 32.2s, c52 22.7s, c55 62.8s) with passes 2-4 steady —
+    # a machine artifact, not operator cost, that previously landed
+    # inside the timed medians. The timed region is unchanged (3 cold
+    # passes, cache cleared per pass, computed from parquet); only the
+    # session steady-state the guide's §1 methodology assumes is now
+    # actually established before timing starts.
+    spark.catalog.clearCache()
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+        gc.collect()
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(runs):
