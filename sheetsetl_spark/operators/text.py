@@ -875,13 +875,21 @@ def bpe_train_apply(
             F.lit(" "), F.regexp_replace(F.col("clean"), "(.)", "$1 ")
         ).alias("toks"),
     )
-    # Hash-partition by doc id up front: the source may be one parquet
+    # Spread the cleaned corpus up front: the source may be one parquet
     # split (measured: the whole first pair-aggregation ran on a single
     # core, 8.2s of the job). Since r10 the merge application is a pure
-    # map (no per-round window), so this shuffle buys parallelism for
-    # the per-round pair aggregations and merge maps, not a reusable
-    # partitioning.
-    cur = cur.repartition(F.col("id"))
+    # map (no per-round window), so the spread buys parallelism for the
+    # per-round pair aggregations and merge maps, not a reusable
+    # partitioning — which is exactly widen_to_cores' contract (r11):
+    # on the compact fixture it repartitions like the old
+    # repartition(id) did, but a production corpus whose scan is
+    # already wide passes through UNTOUCHED, saving one full corpus
+    # shuffle per invocation that the unconditional repartition paid
+    # for nothing. fanout ~ tokens/doc: the explode in the pair
+    # aggregation multiplies per-row work by the token count.
+    from sheetsetl_spark.operators.skew import widen_to_cores
+
+    cur = widen_to_cores(cur, fanout=128)
     for _ in range(rounds):
         # Lazy localCheckpoint: the argmax action below materializes this
         # round's tokenization ONCE and truncates lineage, so round r+1

@@ -386,9 +386,16 @@ def x93_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate in exact DECIMAL; sqrt/max/ratio are identical IEEE
     expressions both sides."""
     from sheetsetl_spark.operators import similarity
+    from sheetsetl_spark.operators.skew import widen_to_cores
 
     emb = load_table(spark, sf_dir, "embeddings")
-    flat = emb.select(
+    # The flattened stream drives the query's only heavy stage — a
+    # x|labels| broadcast-join fanout with a per-element 6dp decimal
+    # round — and the compact embeddings file exposes ONE split, so the
+    # whole d2 map side otherwise runs on one core (r11; the
+    # shingles()/c82 pre-explode widen rule; fanout = the 64-dim
+    # explode multiplier, it only gates the widen).
+    flat = widen_to_cores(emb, fanout=64).select(
         "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
