@@ -245,6 +245,7 @@ def main() -> None:
                     "samples": samples,
                     "runs": runs,
                     "sf": sf,
+                    "warm_pass": True,
                     "load": [round(load_before, 2), round(load_after, 2)],
                     "load_flag": load_flag,
                 },
@@ -260,6 +261,10 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf,
+        # methodology marker (ADVICE r11): one UNTIMED full-SF pass runs
+        # before the timed region since r11 — cross-round median deltas
+        # vs pre-r11 records must be adjudicated against this flag
+        "warm_pass": True,
         # external-load record (r9 verdict №2): `before` is sampled at
         # idle-gate release, `after` includes the bench's own footprint
         "load": [round(load_before, 2), round(load_after, 2)],

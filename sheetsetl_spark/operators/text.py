@@ -850,16 +850,15 @@ def bpe_train_apply(
     and small, so lineage stays bounded.
 
     Merge application is EXACT greedy left-to-right non-overlapping
-    token pairing, not a string replace: a plain replace of ' x y '
-    silently skips every second site in an adjacent-site chain because
-    consecutive matches share a boundary space ('banana' merging (a,n)
-    must yield [b, an, an, a], but replace stops at [b, an, a, n, a]).
-    Instead tokens are exploded with positions and greedy selection is
-    computed with windows: a position is merged iff it starts a pair
-    AND its offset within its maximal run of consecutive pair-sites is
-    even (runs longer than one site only occur when x == y; for x != y
-    the parity term is vacuously true). Windows partition by document —
-    bounded groups, corpus-parallel.
+    token pairing implemented as ONE ``regexp_replace`` pure map per
+    round (r10; see :func:`_bpe_apply_merge`): Java's ``replaceAll`` IS
+    greedy left-to-right non-overlapping matching, and a lookahead
+    keeps the next site's leading space available so adjacent-site
+    chains merge correctly ('banana' merging (a,n) yields
+    [b, an, an, a], never [b, an, a, n, a]). No explode, no window,
+    no re-concat — the selection it computes is property-tested
+    equivalent to the streak-parity definition of greedy BPE
+    (tests/test_text_bpe.py).
 
     Returns (id, toks, n_tokens) — the tokenized doc after ``rounds``
     merges. DuckDB twin: an unrolled per-round CTE chain (the c56

@@ -25,41 +25,41 @@ def default_parallelism() -> int:
 
 
 def _default_driver_mem() -> str:
-    """Size the local-mode JVM heap from the machine, not a constant.
+    """Size the local-mode JVM heap from the ACTIVE PARALLELISM, small.
 
     In local mode the driver JVM IS the executor: its heap backs every
     task's shuffle/aggregate memory across all N threads, plus cached /
-    localCheckpoint blocks. The old fixed 12g default left a 42-query
-    bench session GC-bound on a 128 GiB machine — measured 73.8 s at
-    12g vs 56.7 s at 48g for the identical bench (r11), with the
-    per-pass spikes (x86 26 s, x98 13 s) that mark old-gen collections
-    (guide §7.3: "high GC time = memory pressure"). 3/8 of physical
-    RAM (floored at 12g, capped at 48g) keeps the same posture on
-    smaller sandboxes and leaves plenty for the OS page cache that
-    parquet re-reads rely on. Env-overridable; on a real cluster this
-    conf sizes only the driver and spark.executor.memory carries the
-    executors (guide §5.1)."""
+    localCheckpoint blocks, so the heap should track the thread count —
+    12g at <=24 threads, 16g at 32 (~0.5 GB/thread), never the machine.
+
+    r12 revert of the r11 machine-derived sizing (3/8 of RAM -> 47g on
+    the 128 GiB sandbox): the driver's ground truth condemned it — the
+    42-query bench read 148.6 s at local[32]/47g vs 55.4 s for the SAME
+    code at 8 cores (BENCH_r11 vs BENCH_r11_c8), with the worst-hit
+    queries UNTOUCHED that round and 8-core/32-core scaling ratios of
+    0.04-0.5 exactly on the memory-heavy set. A fully committed 47 GB
+    heap plus 32 task threads plus 32 Arrow/Python workers invites
+    host-side reclaim storms on virtualized hosts that deliver pages
+    lazily, and medians (the scoring statistic) favored 16g even in the
+    r11 same-host A/B (c2b median 5.53 s @16g vs 14.95 s @47g). A small
+    heap also leaves most of RAM to the OS page cache that parquet
+    re-reads rely on. Env-overridable; on a real cluster this conf
+    sizes only the driver and spark.executor.memory carries the
+    executors (guide §5)."""
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
         return env
-    try:
-        total_gb = (
-            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
-        )
-    except (ValueError, OSError, AttributeError):
-        total_gb = 32.0
-    want = min(48, max(12, int(total_gb * 3 / 8)))
-    # Cap by what the machine can actually give RIGHT NOW: Xms = Xmx +
-    # AlwaysPreTouch commits the whole heap at startup, so a session
-    # opened next to already-running JVMs (concurrent test shards, a
-    # bench beside a pipeline) would die in the gateway handshake if it
-    # insisted on the idle-machine size (measured: the third 47g shard
-    # of the r11 fast gate, JAVA_GATEWAY_EXITED). 80% of MemAvailable
-    # leaves room for Python, off-heap and the page cache. On the idle
-    # machine the cap is far above `want`, so bench sizing stays
-    # deterministic; under contention the session degrades to a smaller
-    # heap instead of a dead JVM. The floor stays at 12g — below that a
-    # 32-thread local session thrashes anyway (r10 measurement).
+    want = min(16, max(12, default_parallelism() // 2))
+    # Cap by what the machine can give RIGHT NOW (best-effort: the read
+    # is point-in-time, so concurrent session starts can still jointly
+    # overcommit, and the 12g floor can exceed a nearly-full machine —
+    # the conftest 8g pin is the real fix for test shards). 80% of
+    # MemAvailable leaves room for Python, off-heap and the page cache;
+    # under contention the session degrades to a smaller heap instead
+    # of dying in the gateway handshake (measured: the third 47g shard
+    # of the r11 fast gate, JAVA_GATEWAY_EXITED). The floor stays at
+    # 12g — below that a 32-thread local session thrashes anyway (r10
+    # measurement).
     avail_gb = _mem_available_gb()
     if avail_gb is not None:
         want = min(want, max(12, int(avail_gb * 0.8)))
@@ -88,28 +88,29 @@ def _mem_to_mb(mem: str) -> int | None:
 
 
 def _driver_java_opts(mem: str) -> str:
-    """Fixed, fully pre-touched heap (r11, guide §5/§7.3).
+    """Opt-in fixed, fully pre-touched heap (``SPARK_GRAFT_HEAP_PIN=1``).
 
-    With the default on-demand heap, G1 commits regions as the working
-    set grows and UNCOMMITS them again after concurrent cycles; on this
-    VM class each commit/uncommit is an mmap/munmap whose TLB
-    shootdowns stall every executor thread. The kernel signature was
-    unmistakable — 80-89% system time, 32+ runnable threads, ~8k
-    interrupts/s while user CPU sat idle — and the cost was huge:
-    c82_edit_distance_join median 20.1 s (spikes to 57.6 s) on the
-    default heap vs 4.1 s (max 6.1) with a pre-touched 12g floor,
-    identical code. -Xms sets the floor G1 may never shrink below;
-    +AlwaysPreTouch commits and zeroes it ONCE at session start
-    (outside every timed region) instead of page-by-page inside query
-    execution.
+    DEFAULT IS OFF (r12): on virtualized hosts that deliver pages
+    lazily, ``Xms = Xmx + AlwaysPreTouch`` does not actually pin
+    physical pages — it only raises the standing commitment, and the
+    driver's r11 ground truth charged it (together with the 47g heap it
+    pre-touched) with a 2.7x whole-bench regression at local[32]
+    (148.6 s vs 55.4 s at 8 cores, same code). The r10/driver-proven
+    default is the stock on-demand heap.
 
-    Xms = Xmx, not a partial floor: with a 12g floor under a 47g max,
-    the first full-scale pass of every query still grew the heap above
-    the floor and paid the churn (measured: first-pass spikes c2b
-    17.6 s / c55 18.0 s / c52 15.6 s on the capped floor vs 3.6 / 2.5
-    / 1.8 with the full heap pre-touched; steady-state medians equal).
-    The one-time zeroing of the full heap happens at session start,
-    before any timed region."""
+    The pin remains available because the churn it fixes was real on a
+    bare-metal-like host class (r11): G1 commits regions as the working
+    set grows and UNCOMMITS them after concurrent cycles; each
+    commit/uncommit is an mmap/munmap whose TLB shootdowns stall every
+    executor thread (kernel signature: 80-89% system time, 32+ runnable
+    threads, ~8k interrupts/s with user CPU idle; c82 median 20.1 s on
+    the default heap vs 4.1 s pre-touched, identical code). On such a
+    host export ``SPARK_GRAFT_HEAP_PIN=1`` (and size
+    ``SPARK_GRAFT_DRIVER_MEM`` deliberately): -Xms sets the floor G1
+    may never shrink below; +AlwaysPreTouch commits and zeroes it ONCE
+    at session start, outside every timed region."""
+    if os.environ.get("SPARK_GRAFT_HEAP_PIN", "") not in ("1", "true", "yes"):
+        return ""
     mem_mb = _mem_to_mb(mem)
     if mem_mb is None:
         return "-XX:+AlwaysPreTouch"
@@ -169,15 +170,12 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
-        # Machine-derived heap: see _default_driver_mem. Spark's 1g
+        # Cores-scaled heap: see _default_driver_mem. Spark's 1g
         # default starves 32 threads long before the machine does
         # (measured: 10x-documents hash aggregate fails to grow its
-        # BytesToBytesMap at 1g while 120+ GiB sit idle), and the r10
-        # fixed 12g left long sessions GC-bound.
+        # BytesToBytesMap at 1g while 120+ GiB sit idle); the r11
+        # machine-derived 47g was a measured 2.7x bench regression.
         .config("spark.driver.memory", driver_mem)
-        # Heap commit churn is a measured 5x wall-clock hazard here:
-        # see _driver_java_opts.
-        .config("spark.driver.extraJavaOptions", _driver_java_opts(driver_mem))
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -200,6 +198,10 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
     )
+    # Opt-in heap pin for bare-metal-class hosts: see _driver_java_opts.
+    java_opts = _driver_java_opts(driver_mem)
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if streaming:
         for k, v in STREAMING_CONF.items():
             builder = builder.config(k, v)

@@ -10,13 +10,14 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
 
 # Test sessions work at sf0.001/sf0.01 and never need the bench session's
-# machine-derived heap (3/8 of RAM, fully pre-touched — session.py). With
-# Xms = Xmx + AlwaysPreTouch, every concurrent test JVM COMMITS its whole
-# heap at startup, so three fast-gate shards at the 47g machine default
-# exceeded physical RAM and the third JVM died before opening its gateway
-# (JAVA_GATEWAY_EXITED, 337 setup errors — r11). A small fixed heap keeps
-# shards cheap, deterministic, and start-up fast; the env override still
-# wins for anyone who needs more.
+# cores-scaled heap (12-16g — session.py). Historical motivation (r11):
+# with the then-default Xms = Xmx + AlwaysPreTouch, every concurrent test
+# JVM committed its whole heap at startup, so three fast-gate shards at
+# the then-47g machine default exceeded physical RAM and the third JVM
+# died before opening its gateway (JAVA_GATEWAY_EXITED, 337 setup
+# errors). The pin is opt-in now, but a small fixed heap still keeps
+# shards cheap, deterministic, and start-up fast; the env override wins
+# for anyone who needs more.
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 

@@ -1586,12 +1586,12 @@ def test_parse_bytes_conf_units():
         assert _parse_bytes_conf("garbage") == 128 << 20  # loud default
 
 
-def test_default_driver_mem_scales_with_machine(monkeypatch):
-    """Local-mode heap derives from physical RAM (r11: the fixed 12g
-    default left the 42-query bench GC-bound — 73.8 s vs 56.7 s at 48g
-    on the 128 GiB sandbox), env wins, and the floor/cap hold."""
-    import os
-
+def test_default_driver_mem_scales_with_cores(monkeypatch):
+    """Local-mode heap derives from ACTIVE PARALLELISM, small (r12
+    revert of the r11 machine-derived 47g — the driver measured it as
+    a 2.7x whole-bench regression at local[32]); env wins, and the
+    floor/cap hold. Host-independent by construction: sizing reads
+    $SPARK_GRAFT_CPUS, not physical RAM."""
     from sheetsetl_spark.session import _default_driver_mem
 
     import sheetsetl_spark.session as sess
@@ -1599,41 +1599,45 @@ def test_default_driver_mem_scales_with_machine(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "7g")
     assert _default_driver_mem() == "7g"
     monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM", raising=False)
-    out = _default_driver_mem()
-    assert out.endswith("g") and 12 <= int(out[:-1]) <= 48
-    # on the 128 GiB bench sandbox the derived heap must leave the
-    # GC-bound regime measured at 12g (pin MemAvailable high so the
-    # concurrency cap below cannot make this contention-dependent)
     monkeypatch.setattr(sess, "_mem_available_gb", lambda: 120.0)
-    out = _default_driver_mem()
-    page, pages = os.sysconf("SC_PAGE_SIZE"), os.sysconf("SC_PHYS_PAGES")
-    if page * pages >= 100 << 30:
-        assert int(out[:-1]) >= 36
-    # concurrency cap (r11): Xms=Xmx+AlwaysPreTouch commits the whole
-    # heap at startup, so when neighbors already hold most of RAM the
-    # session must shrink instead of dying in the gateway handshake
-    # (the fast gate's third 47g shard, JAVA_GATEWAY_EXITED)
-    monkeypatch.setattr(sess, "_mem_available_gb", lambda: 30.0)
-    assert _default_driver_mem() == "24g"
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert _default_driver_mem() == "16g"  # 0.5 GB/thread, capped at 16
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert _default_driver_mem() == "12g"  # floor
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "128")
+    assert _default_driver_mem() == "16g"  # cap holds at any core count
+    # concurrency cap (r11, kept): when neighbors already hold most of
+    # RAM the session must shrink instead of dying in the gateway
+    # handshake (the fast gate's third 47g shard, JAVA_GATEWAY_EXITED)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    monkeypatch.setattr(sess, "_mem_available_gb", lambda: 17.0)
+    assert _default_driver_mem() == "13g"
     monkeypatch.setattr(sess, "_mem_available_gb", lambda: 4.0)
     assert _default_driver_mem() == "12g"  # floor still wins
     monkeypatch.setattr(sess, "_mem_available_gb", lambda: None)
-    assert _default_driver_mem() == out  # unreadable -> machine sizing
+    assert _default_driver_mem() == "16g"  # unreadable -> cores sizing
 
 
-def test_driver_java_opts_pretouch_floor():
-    """The JVM gets a fixed FULLY pre-touched heap, Xms = Xmx (r11: G1
-    heap commit/uncommit churn stalled executor threads in
-    TLB-shootdown storms — c82 median 20.1 s -> 4.1 s; a partial 12g
-    floor still let the first full-scale pass of every query spike
-    3-6x while the heap grew above it)."""
+def test_driver_java_opts_pretouch_is_opt_in(monkeypatch):
+    """The Xms=Xmx+AlwaysPreTouch heap pin is OFF by default (r12: the
+    driver's ground truth charged the pre-touched 47g heap with a 2.7x
+    bench regression on lazily-paged virtualized hosts — BENCH_r11
+    148.6 s at 32 cores vs BENCH_r11_c8 55.4 s, same code) and opt-in
+    via SPARK_GRAFT_HEAP_PIN=1 for the bare-metal host class where the
+    G1 commit-churn it fixes was measured (r11: c82 20.1 s -> 4.1 s)."""
     from sheetsetl_spark.session import _driver_java_opts, _mem_to_mb
 
+    monkeypatch.delenv("SPARK_GRAFT_HEAP_PIN", raising=False)
+    assert _driver_java_opts("46g") == ""
+    assert _driver_java_opts("8g") == ""
+    monkeypatch.setenv("SPARK_GRAFT_HEAP_PIN", "1")
     assert _driver_java_opts("46g") == "-Xms47104m -XX:+AlwaysPreTouch"
     assert _driver_java_opts("8g") == "-Xms8192m -XX:+AlwaysPreTouch"
     assert _driver_java_opts("512m") == "-Xms512m -XX:+AlwaysPreTouch"
     # unparseable memory: never emit an Xms that could exceed Xmx
     assert "-Xms" not in _driver_java_opts("weird")
+    monkeypatch.setenv("SPARK_GRAFT_HEAP_PIN", "0")
+    assert _driver_java_opts("46g") == ""
     assert _mem_to_mb("1t") == 1 << 20 and _mem_to_mb("4194304k") == 4096
 
 
