@@ -15,7 +15,7 @@ functions/iterative.py does for the recursive fixpoint).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sheetsetl_spark.operators.text import round6_bin
@@ -166,18 +166,18 @@ def cooccurrence_pairs(
     """Market-basket co-occurrence: the most frequent unordered item
     pairs sharing a group (order, session, document...).
 
-    Scale shape (r11): ONE shuffle of the raw membership stream into
-    per-group sorted distinct-item arrays (``collect_set`` dedups
-    map-side, so the old separate ``distinct`` exchange is gone), pairs
-    generated IN-ARRAY (``transform`` over index combinations — the
-    array is sorted, so ``arr[i] < arr[j]`` for ``i < j`` by
-    construction), then one pair aggregation. The r10 form self-joined
-    the stream on the group key, which cost two more exchanges of the
-    full stream (distinct + join build) for the same within-group
-    quadratic fanout. Per-group memory is O(group size) — strictly
-    dominated by the O(size²) pair stream both forms emit — and the
-    optional ``max_group_size`` cap (the max_bucket_size precedent from
-    MinHash-LSH) still drops degenerate mega-groups before they square.
+    Scale shape (r11, hot-group-guarded r12): ONE shuffle of the raw
+    membership stream into per-group sorted distinct-item arrays
+    (``collect_set`` dedups map-side, so the old separate ``distinct``
+    exchange is gone), pairs generated IN-ARRAY via the two-level
+    explode of :func:`_pair_stream` (per-row memory bounded at
+    O(group size) even for a viral mega-group — the array is sorted, so
+    item_a < item_b by construction), then one pair aggregation. The
+    r10 form self-joined the stream on the group key, which cost two
+    more exchanges of the full stream (distinct + join build) for the
+    same within-group quadratic fanout. The optional ``max_group_size``
+    cap (the max_bucket_size precedent from MinHash-LSH) still drops
+    degenerate mega-groups before they square.
     Top-N is TakeOrderedAndProject.
 
     Output: (item_a, item_b, n_groups) for the ``top`` pairs, ties
@@ -191,9 +191,7 @@ def cooccurrence_pairs(
     )
     if max_group_size is not None:
         grouped = grouped.filter(F.col("__gs") <= max_group_size)
-    pairs = grouped.select(
-        F.explode(_array_pairs()).alias("p")
-    ).select("p.item_a", "p.item_b")
+    pairs = _pair_stream(grouped)
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_groups"))
@@ -202,16 +200,34 @@ def cooccurrence_pairs(
     )
 
 
-def _array_pairs() -> Column:
-    """All index pairs i < j of a sorted ``arr`` column (with ``__gs`` =
-    size(arr)) as structs (item_a, item_b); sortedness makes
-    item_a < item_b by construction."""
-    return F.flatten(
-        F.expr(
-            "transform(sequence(0, __gs - 2),"
-            " i -> transform(sequence(i + 1, __gs - 1),"
-            " j -> struct(arr[i] AS item_a, arr[j] AS item_b)))"
-        )
+def _pair_stream(grouped: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """All item pairs i < j of each row's sorted distinct ``arr`` column
+    (with ``__gs`` = size(arr)) as rows (item_a, item_b) plus the
+    ``carry`` columns; sortedness makes item_a < item_b by construction.
+
+    TWO-LEVEL explode (r12 hot-group guard, guide §2.5): the r11 form
+    materialized the whole |g|·(|g|-1)/2 pair array on a SINGLE row
+    before exploding it — one viral mega-group (a catch-all order, a
+    boilerplate document) would build a billions-element array inside
+    one task and OOM it. Exploding the head index first and the
+    tail slice second emits the identical pair multiset while bounding
+    every intermediate row at O(|g|) elements; the quadratic pair
+    STREAM is unavoidable (it is the operator's output), but it now
+    flows through the pipelined Generate->Generate->partial-aggregate
+    span row by row instead of sitting in one allocation. Normal-sized
+    groups keep the same one-shuffle plan shape (two Generates replace
+    one; no new exchange). ``max_group_size`` remains the explicit
+    drop-the-degenerates cap upstream."""
+    heads = grouped.select(
+        *carry,
+        "arr",
+        "__gs",
+        F.explode(F.expr("sequence(0, __gs - 2)")).alias("__i"),
+    )
+    return heads.select(
+        *carry,
+        F.expr("arr[__i]").alias("item_a"),
+        F.explode(F.expr("slice(arr, __i + 2, __gs - __i - 1)")).alias("item_b"),
     )
 
 
@@ -426,19 +442,20 @@ def adamic_adar_bipartite(
     signal — a shared SMALL group is strong evidence, a shared huge
     group is weak, and ln damps accordingly (Adamic & Adar 2003).
 
-    Scale shape (r11): identical to :func:`cooccurrence_pairs` — ONE
-    shuffle of the membership stream into per-group sorted
-    distinct-item arrays (map-side ``collect_set``), the per-group
-    weight 1/ln(|g|) computed on the group row, pairs generated
-    IN-ARRAY, then one pair aggregation. The r10 form cost three more
+    Scale shape (r11, hot-group-guarded r12): identical to
+    :func:`cooccurrence_pairs` — ONE shuffle of the membership stream
+    into per-group sorted distinct-item arrays (map-side
+    ``collect_set``), the per-group weight 1/ln(|g|) computed on the
+    group row, pairs generated IN-ARRAY via the two-level explode of
+    :func:`_pair_stream` (per-row memory bounded at O(|g|)), then one
+    pair aggregation. The r10 form cost three more
     exchanges of the full stream (distinct + size join + wedge
     self-join) plus two localCheckpoint materializations that existed
     only to stop Spark re-deriving the multiply-consumed stream — the
     single-consumer array form needs neither. Within-group cost is
     still sum(|g|²) pair rows (never an all-pairs product) with
     ``max_group_size`` available to drop degenerate mega-groups before
-    they square; per-group array memory is O(|g|), strictly dominated
-    by the pair stream itself. The final score is the engine-portable
+    they square. The final score is the engine-portable
     decimal sum of 6dp-rounded terms, so any partitioning yields the
     same bits. Top-N is a bounded sort.
 
@@ -458,9 +475,7 @@ def adamic_adar_bipartite(
     grouped = grouped.withColumn(
         "term", round6_bin(F.lit(1.0) / F.log(F.col("__gs")))
     )
-    pairs = grouped.select("term", F.explode(_array_pairs()).alias("p")).select(
-        "p.item_a", "p.item_b", "term"
-    )
+    pairs = _pair_stream(grouped, carry=("term",))
     return (
         pairs.groupBy("item_a", "item_b")
         .agg(
