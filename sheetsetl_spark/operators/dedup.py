@@ -1608,14 +1608,17 @@ def prefix_filter_jaccard_pairs(
     is the UNCAPPED brute-force join, so a hash match at fixture scale
     certifies the filter's completeness, not just its own construction.
 
-    Scale: one corpus scan, ONE shingle-keyed shuffle computing df as
-    a window count over the shingle key (r11 — this replaced a df
-    groupBy + distributed-prefix-sum dense-id assignment + attach join:
-    the dense ids existed only to narrow the verify arrays, but
-    intersecting the shingle strings directly is candidate-proportional
-    anyway and dropping the id machinery saves four exchanges and a
-    checkpoint per call; the heavier string elements are a conscious
-    trade, revisit if a corpus with very long shingles shows up), then
+    Scale: one corpus scan per branch (the df aggregate re-derives the
+    map-only shingle stream), a map-side-collapsing df groupBy
+    broadcast-joined onto the stream (r12 — this replaced the r11 df
+    COUNT WINDOW, a full shingle-stream exchange + sort; r11 itself had
+    replaced a df groupBy + distributed-prefix-sum dense-id assignment
+    + attach join: the dense ids existed only to narrow the verify
+    arrays, but intersecting the shingle strings directly is
+    candidate-proportional anyway and dropping the id machinery saved
+    four exchanges and a checkpoint per call; the heavier string
+    elements are a conscious trade, revisit if a corpus with very long
+    shingles shows up), then
     ONE per-doc groupBy collapsing each doc's (df, shingle) pairs into
     a sorted array whose POSITION is the global-rarity rank (r11, the
     c82 shape — the row_number/doc-count windows and the separate
@@ -1640,18 +1643,25 @@ def prefix_filter_jaccard_pairs(
     identically in both engines).
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    # df as a window count over the shingle key: one shuffle of the
-    # stream gives every row its df in place (the r11 restructure; see
-    # docstring). The (df, shingle) pairs then collapse into ONE sorted
-    # struct array per doc (r11 again, the c82 shape): the global-rarity
-    # rank is the array POSITION, so the old row_number + per-doc-count
-    # windows (a second full-stream shuffle + sort) and the separate
-    # verify-array aggregation fold into this single groupBy. The
-    # persisted multi-consumer is the per-DOC array frame — corpus rows,
-    # not shingle-stream rows.
-    wsh = Window.partitionBy("shingle")
+    # df via a map-side-collapsing groupBy + broadcast join (r12; guide
+    # §2.3, §3.1 — the c82 shape): the r11 form stamped df with a COUNT
+    # WINDOW over the shingle key, pushing the whole (doc, shingle)
+    # stream through an exchange + sort. Each (doc, shingle) row is
+    # unique (shingles() dedups per doc), so df = count per shingle — a
+    # groupBy whose partial aggregation collapses to per-partition
+    # distinct shingles before its (tiny) exchange, broadcast-joined
+    # back onto the stream. The df branch re-derives the map-only
+    # shingle stream (scan + split + slices — no exchange in its
+    # lineage, so nothing to reuse); A/B'd against the window form at
+    # sf0.1: the second shingle pass costs less than the full-stream
+    # exchange + sort it replaces. The (df, shingle) pairs then
+    # collapse into ONE sorted struct array per doc (r11, the c82
+    # shape): the global-rarity rank is the array POSITION, and the
+    # persisted multi-consumer is the per-DOC array frame — corpus
+    # rows, not shingle-stream rows.
+    sh_df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     docarr = scoped_persist(
-        sh.withColumn("df", F.count("*").over(wsh))
+        sh.join(F.broadcast(sh_df), "shingle")
         .groupBy(F.col(id_col).alias("__id"))
         .agg(
             F.sort_array(
@@ -1816,17 +1826,19 @@ def edit_distance_pairs(
     Scale: one corpus scan (widened before the gram explode — the
     per-doc q-gram generation is the operator's densest per-row work
     and a compact file otherwise runs it on 1-2 cores), ONE gram-keyed
-    shuffle computing df as a window count over the token key (r11 —
-    this replaced a df groupBy + distributed-prefix-sum dense-id
-    assignment + two attach joins: the dense ids existed only to make
-    the verify arrays narrow, but the occurrence-numbered grams are
-    themselves short fixed-width strings, so intersecting THEM directly
-    costs almost the same per element and saves four exchanges plus a
-    checkpoint per call — measured 9.9s -> 5.7s at sf0.1, identical 106
-    output pairs), then ONE per-doc groupBy collapsing each doc's
-    (df, tok) pairs into a sorted array whose POSITION is the
-    global-rarity rank (r11 again: the row_number window — a second
-    full-stream shuffle+sort — and the separate per-side verify-array
+    occurrence-count shuffle shared by both consumers (r11 removed a df
+    groupBy + distributed-prefix-sum dense-id assignment + two attach
+    joins — the dense ids existed only to make the verify arrays
+    narrow, but the occurrence-numbered grams are themselves short
+    fixed-width strings, so intersecting THEM directly costs almost the
+    same per element and saves four exchanges plus a checkpoint per
+    call, measured 9.9s -> 5.7s at sf0.1, identical 106 output pairs;
+    r12 then replaced the r11 df COUNT WINDOW — a second full
+    token-stream exchange + sort — with a map-side-collapsing df
+    groupBy broadcast-joined back, see the inline comment), then ONE
+    per-doc groupBy collapsing each doc's (df, tok) pairs into a sorted
+    array whose POSITION is the global-rarity rank (r11 again: the
+    row_number window and the separate per-side verify-array
     aggregations fold into this one aggregate; the persisted
     multi-consumer is the per-DOC array frame, corpus-sized, not the
     token stream), a prefix equi-join filtered at aggregation, and a
@@ -1900,20 +1912,28 @@ def edit_distance_pairs(
             F.concat_ws("\x1f", "gram", F.col("occ").cast("string")).alias("tok"),
         )
     )
-    # df as a window count over the token key: one shuffle of the token
-    # stream gives every row its df in place — no df groupBy, no dense-id
-    # prefix sum, no attach joins (the r11 restructure; see docstring).
-    # The (df, tok) pairs then collapse into ONE sorted array per doc:
-    # the global-rarity rank is the array POSITION, so the old
-    # row_number window (a second full-stream shuffle + sort by doc)
-    # and the separate verify-array aggregation (which the lazy
-    # checkpoint's lost partitioning made a THIRD and FOURTH full-stream
-    # exchange, once per join side) all collapse into this single
-    # groupBy. The per-doc frame — corpus rows, not token rows — is the
-    # only multi-consumer and the only thing persisted.
-    wtok = Window.partitionBy("tok")
+    # df via a map-side-combining groupBy + broadcast join (r12; guide
+    # §2.3 "aggregate before you shuffle", §3.1): the r11 form computed
+    # df as a COUNT WINDOW over the token key, which pushed the ENTIRE
+    # occurrence-numbered token stream through an exchange + sort just
+    # to stamp one integer on each row. Each (doc, tok) row is unique,
+    # so df = count per tok — a groupBy whose partial aggregation
+    # collapses the stream to per-partition distinct toks before the
+    # exchange (shuffle bytes ~ |distinct grams x occ|, not |token
+    # stream|), joined back as a broadcast build (char q-gram vocab is
+    # |alphabet|^q-bounded times the occurrence tail — KBs at fixture
+    # scale, broadcastable at corpus scale; if a corpus ever blows that
+    # bound, the window form is the fallback). Both the df aggregate
+    # and the token stream hang off the SAME occurrence-count exchange
+    # (identical canonicalized subtree -> ReuseExchange), so the gram
+    # generation and its shuffle run once. The (df, tok) pairs then
+    # collapse into ONE sorted array per doc: the global-rarity rank is
+    # the array POSITION (r11), and the per-doc frame — corpus rows,
+    # not token rows — is the only multi-consumer and the only thing
+    # persisted.
+    tok_df = toks.groupBy("tok").agg(F.count("*").alias("df"))
     docarr = scoped_persist(
-        toks.withColumn("df", F.count("*").over(wtok))
+        toks.join(F.broadcast(tok_df), "tok")
         .groupBy("__id", "__len")
         .agg(
             F.sort_array(
