@@ -752,11 +752,14 @@ def cosine_topk_pq(
     digits — MIN of the packed key is an argmin with a deterministic
     lowest-index tiebreak (same family as text.winnow_selected's key).
 
-    Scale shape: codebook and ADC table are m*|codebook| broadcast rows;
-    encoding is one corpus scan joined against the broadcast codebook
-    with a map-side-combining (id, s) argmin aggregate (m small rows per
-    vector in the shuffle); scoring is a broadcast join + per-id decimal
-    sum. No all-pairs stage, no unbounded driver state.
+    Scale shape (r12): codebook and ADC table are m*|codebook| rows
+    collected once per invocation from a PUSHED-DOWN seed scan (never
+    the corpus); encode + ADC scoring is ONE corpus scan through a
+    vectorized mapInArrow pass (numpy matrices in the closure, KBs),
+    then TakeOrdered(shortlist). No explode, no join, no exchange in
+    the compressed domain — the r11 form shuffled |corpus|*m argmin
+    rows and re-exchanged for the score sum. No all-pairs stage, no
+    unbounded driver state.
 
     The production two-stage shape: the compressed-domain ADC scan
     prunes the corpus to a ``shortlist``, then ONLY those rows' raw
@@ -771,126 +774,215 @@ def cosine_topk_pq(
     cosine among the ADC shortlist, the query's own row excluded;
     pq_score is the ADC value that admitted the row.
     """
-    n_seeds = len(seed_ids)
-    unit = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    # The interpreted-HOF normalize is the expensive pass here (~300us/
-    # row), and a compact parquet fixture can expose far fewer splits
-    # than cores (the 100x file: 8 row groups on 32 cores) — spread the
-    # narrow (vid, v) frame BEFORE the heavy math (widen-only; see
-    # skew.widen_to_cores).
+    # A compact parquet fixture can expose far fewer splits than cores
+    # (the 100x file: 8 row groups on 32 cores) — spread the narrow
+    # (vid, v) frame so the Arrow scorer pass below runs on every core
+    # (widen-only; see skew.widen_to_cores).
     from sheetsetl_spark.operators.skew import widen_to_cores
 
-    spark = embeddings.sparkSession
-    unit = widen_to_cores(unit)
-    # Norm once per row (not inside the transform lambda — there it
-    # would re-run the d-element fold per element; the r6 guard-cost
-    # lesson, similarity._checked_norm docstring).
-    unit = (
-        unit.withColumn("n", _checked_norm("v"))
-        .withColumn("u", F.transform(F.col("v"), lambda x: x / F.col("n")))
+    base = widen_to_cores(base)
+
+    def _normalize(df: DataFrame) -> DataFrame:
+        # Norm once per row (not inside the transform lambda — there it
+        # would re-run the d-element fold per element; the r6 guard-cost
+        # lesson, similarity._checked_norm docstring).
+        return df.withColumn("n", _checked_norm("v")).withColumn(
+            "u", F.transform(F.col("v"), lambda x: x / F.col("n"))
+        )
+
+    # --- r12: collected-codebook encode (guide §3.5 exploding joins,
+    # §2.4 remove the shuffle outright, §4.2 vectorized native code).
+    # The r11 encode exploded every corpus vector into m subvector rows
+    # and broadcast-joined them against the 512-row codebook —
+    # |corpus| * m * |codebook| join rows through a groupBy(vid, s)
+    # argmin EXCHANGE, plus an ADC broadcast join and a groupBy(vid)
+    # score exchange. But the codebook and ADC tables are TINY
+    # (m * |codebook| rows) and fully data-derived, so this collects
+    # them once per invocation from a PUSHED-DOWN seed scan
+    # (vec_id IN (seeds, query) — <= 65 rows read, never the pinned
+    # corpus frame) and scores every corpus row in ONE mapInArrow pass
+    # whose numpy matrices ship via the function closure. The whole
+    # compressed-domain phase is now scan -> ArrowEvalPython ->
+    # TakeOrdered(shortlist): no explode, no join, no exchange — and
+    # the plan stays a handful of nodes (two expression forms were
+    # measured and rejected first: the fully unrolled per-centroid
+    # chain, ~22k plan nodes, OOM'd Janino codegen under the 1 GB
+    # default driver heap of the correctness harness; the literal-
+    # matrix HOF fold, ~6k nodes, evaluated interpreted at ~1.45 ms/row
+    # and read 4.7 s vs 2.65 s for the r11 join form at sf0.1).
+    #
+    # Bit-compat with the r11 form (and the DuckDB twin) is by
+    # construction: the collected u vectors come from the SAME Spark
+    # normalize expressions on the same rows; the driver-side bb/dot
+    # folds replay the identical left-assoc IEEE-754 chain in Python
+    # floats (CPython floats ARE IEEE doubles, `acc = acc + a*b` is the
+    # zip_with-then-fold order); Decimal(dot).quantize(1e-6, HALF_UP)
+    # equals the r11 round(dot, 6)-then-cast-decimal(18,6) pair (the
+    # nearest-double roundtrip recovers the 6-dp decimal — the nearest
+    # boundary is 5e-7 away, ~1e9 ulps); the numpy scorer replays the
+    # identical double ops in the identical order — elementwise
+    # ab = x0*c0 + x1*c1 + ... (each numpy broadcast op is one IEEE op
+    # per element), bb - 2*ab, floor(v*1e6 + 0.5), the +1e7*100+j
+    # packed-key min with its lowest-j tiebreak, and the decimal(18,6)
+    # contrib sum carried in exact int64 micro-units; the final
+    # micros/1e6 double division is correctly rounded in both engines
+    # (Java BigDecimal.doubleValue takes the same intCompact/10^scale
+    # path), so every pq_score bit matches the r11 decimal-sum cast.
+    import numpy as np
+
+    seeds = [int(s) for s in seed_ids]
+    small_rows = (
+        _normalize(
+            embeddings.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ).filter(F.col("vid").isin(seeds + [int(query_vec_id)]))
+        )
         .select("vid", "u")
-        # 5 consumers (codebook build, corpus subvectors, query
-        # subvectors, query unit row, re-rank join): un-pinned, each
-        # re-ran the normalize — the r8 multi-consumer rule. One
-        # materialization replaces five; 100x measured 233.5s -> ~25s.
-        .localCheckpoint(eager=False)
+        .collect()
     )
+    u_by_id = {r["vid"]: r["u"] for r in small_rows}
+    qu_vec = u_by_id[int(query_vec_id)]
 
-    def subspaces(col: str) -> Column:
-        # literal m-way split of the fixture's 64-dim vectors
-        sub = 64 // m
-        return F.array(
-            *[F.slice(F.col(col), s * sub + 1, sub) for s in range(m)]
-        )
-
-    seed_df = spark.createDataFrame(
-        [(int(sid), j) for j, sid in enumerate(seed_ids)],
-        "seed_id long, j int",
-    )
-    codebook = (
-        unit.join(F.broadcast(seed_df), unit.vid == F.col("seed_id"))
-        .select("j", F.posexplode(subspaces("u")).alias("s", "cv"))
-        .withColumn(
-            "bb",
-            F.aggregate(
-                F.zip_with("cv", "cv", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-    )
-    sub = unit.select("vid", F.posexplode(subspaces("u")).alias("s", "sv"))
-    # The encode dot runs once per (corpus subvector x centroid) — the
-    # hot path (|corpus| * m * |codebook| rows). A flat left-assoc
-    # element_at chain stays in whole-stage codegen where the
-    # interpreted HOF fold does not, and is bit-identical to the fold
-    # (0.0 + x1 == x1, then the same add order): measured 2.3s -> 1.9s
-    # warm at sf0.1 with 0 differing packed keys over 1.02M rows. Safe
-    # here where the 32x64 hyperplane unroll was not (SCALE.md r7):
-    # this is ONE ~23-node expression, not 6k literal nodes.
     sub_dim = 64 // m
-    ab = None
-    for d in range(sub_dim):
-        term = F.element_at("sv", d + 1) * F.element_at("cv", d + 1)
-        ab = term if ab is None else ab + term
-    # +1e7 offset keeps the packed key positive (bb - 2ab can be
-    # negative): DuckDB's % keeps the dividend's sign, so the code
-    # extraction below is only engine-portable on non-negative keys.
-    key = (
-        (
-            F.floor((F.col("bb") - 2 * ab) * 1000000.0 + 0.5).cast("bigint")
-            + F.lit(10_000_000)
-        )
-        * 100
-        + F.col("j")
-    )
-    enc = (
-        sub.join(F.broadcast(codebook), "s")
-        .select("vid", "s", key.alias("key"))
-        .groupBy("vid", "s")
-        .agg(F.min("key").alias("key"))
-        .select("vid", "s", F.pmod(F.col("key"), F.lit(100)).cast("int").alias("code"))
-    )
-    qsub = (
-        unit.filter(F.col("vid") == query_vec_id)
-        .select(F.posexplode(subspaces("u")).alias("s", "qv"))
-    )
-    contrib = F.round(
-        F.aggregate(
-            F.zip_with("qv", "cv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    adc = qsub.join(codebook, "s").select("s", "j", contrib.alias("contrib"))
-    enc_q = enc.filter(F.col("vid") != query_vec_id)
+    n_codes = len(seeds)
+    # Per-subspace scoring matrices, shipped to the workers via the
+    # mapInArrow closure (KBs — never in the plan). CBT[s][d][j] is
+    # centroid j's d-th component so the dot accumulates over d with
+    # one vectorized op per term; contribs are pre-converted to exact
+    # int64 micro-units with the same double->decimal(18,6) HALF_UP
+    # rounding the r11 cast performed (Decimal(d) is the exact binary
+    # value, as Java's new BigDecimal(double) is).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _micro = Decimal("0.000001")
+    cbt = np.empty((m, sub_dim, n_codes), dtype=np.float64)
+    bbm = np.empty((m, n_codes), dtype=np.float64)
+    contrib_micro = np.empty((m, n_codes), dtype=np.int64)
+    for s in range(m):
+        qv = qu_vec[s * sub_dim : (s + 1) * sub_dim]
+        for j, sid in enumerate(seeds):
+            cv = u_by_id[sid][s * sub_dim : (s + 1) * sub_dim]
+            bb = 0.0
+            for c in cv:
+                bb = bb + c * c
+            dot = 0.0
+            for a, b in zip(qv, cv):
+                dot = dot + a * b
+            cbt[s, :, j] = cv
+            bbm[s, j] = bb
+            contrib_micro[s, j] = int(
+                Decimal(dot).quantize(_micro, ROUND_HALF_UP).scaleb(6)
+            )
+    j_arr = np.arange(n_codes, dtype=np.int64)
+
+    def _adc_score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            vid = batch.column("vid")
+            vcol = batch.column("v")
+            if vcol.null_count:
+                raise ValueError(
+                    "cosine operators: NULL or zero-norm vector has no "
+                    "direction; filter such rows out first"
+                )
+            # flatten() (not .values) so a sliced batch's list offsets
+            # are honored; reshape raises on ragged lengths
+            flat = np.asarray(vcol.flatten())
+            v = flat.reshape(len(vcol), m * sub_dim)
+            # normalize HERE, not in a JVM interpreted-HOF pass
+            # (~300us/row there, vectorized here): the same fold order
+            # as _checked_norm — squares accumulated left-assoc, the
+            # s > 0 loud guard, one correctly-rounded sqrt (IEEE, both
+            # engines), one elementwise division per component.
+            sq = v[:, 0] * v[:, 0]
+            for d in range(1, m * sub_dim):
+                sq = sq + v[:, d] * v[:, d]
+            if not (sq > 0).all():
+                raise ValueError(
+                    "cosine operators: NULL or zero-norm vector has no "
+                    "direction; filter such rows out first"
+                )
+            u = v / np.sqrt(sq)[:, None]
+            micros = np.zeros(len(vcol), dtype=np.int64)
+            for s in range(m):
+                x = u[:, s * sub_dim : (s + 1) * sub_dim]
+                # left-assoc chain x0*c0 + x1*c1 + ... — each broadcast
+                # op is one IEEE double op per element, the same bits
+                # as the Spark/DuckDB fold (0.0 + t == t for any t that
+                # survives the later floor).
+                ab = x[:, 0:1] * cbt[s, 0:1, :]
+                for d in range(1, sub_dim):
+                    ab = ab + x[:, d : d + 1] * cbt[s, d : d + 1, :]
+                # +1e7 offset keeps the packed key positive (bb - 2ab
+                # can be negative): DuckDB's % keeps the dividend's
+                # sign, so the code extraction is only engine-portable
+                # on non-negative keys; min of key + low-digits j is
+                # the argmin with the deterministic lowest-j tiebreak.
+                key = (
+                    np.floor((bbm[s] - 2.0 * ab) * 1000000.0 + 0.5).astype(np.int64)
+                    + 10_000_000
+                ) * 100 + j_arr
+                codes = key.min(axis=1) % 100
+                micros = micros + contrib_micro[s][codes]
+            # exact int64 micro-units -> double, correctly rounded:
+            # identical to the r11 sum(decimal(18,6)).cast(double).
+            score = micros / 1000000.0
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(score, type=pa.float64())], ["vid", "pq_score"]
+            )
+
     scored = (
-        enc_q.join(
-            F.broadcast(adc),
-            (enc_q["s"] == adc["s"]) & (enc_q["code"] == adc["j"]),
-        )
-        .groupBy("vid")
-        .agg(
-            F.sum(F.col("contrib").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("pq_score")
-        )
+        base.filter(F.col("vid") != query_vec_id)
+        .select("vid", "v")
+        .mapInArrow(_adc_score, "vid long, pq_score double")
     )
-    short = scored.orderBy(F.col("pq_score").desc(), F.col("vid")).limit(shortlist)
-    qu = unit.filter(F.col("vid") == query_vec_id).select(F.col("u").alias("qu"))
+    # The shortlist is one TakeOrdered job over the scored stream —
+    # collect it (<= ``shortlist`` (vid, pq_score) rows, bounded driver
+    # state) so the exact re-rank becomes a PUSHED-DOWN <= shortlist-row
+    # scan (PushedFilters: vid IN (...)) instead of a second full corpus
+    # pass probing a broadcast: r11 pinned the whole normalized corpus
+    # with a localCheckpoint and ran two more broadcast-subquery jobs
+    # (query row, shortlist) against the pin; with the scorer the only
+    # full-corpus consumer, the pin and both jobs were pure overhead.
+    short_rows = (
+        scored.orderBy(F.col("pq_score").desc(), F.col("vid"))
+        .limit(shortlist)
+        .collect()
+    )
+    score_map = F.create_map(
+        *[
+            lit
+            for r in short_rows
+            for lit in (F.lit(int(r["vid"])), F.lit(float(r["pq_score"])))
+        ]
+    )
+    # Exact re-rank: normalize ONLY the surviving rows, against the
+    # query unit vector as a literal. Same u expressions on the same
+    # rows, the collected pq_score doubles round-trip exactly through
+    # literals (as does lit_double_array's shortest-repr rendering of
+    # qu_vec), so sim and pq_score are bit-identical to the r11 form.
     sim = F.aggregate(
-        F.zip_with("u", "qu", lambda x, y: x * y),
+        F.zip_with("u", lit_double_array(qu_vec), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    survivors = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).filter(F.col("vid").isin([int(r["vid"]) for r in short_rows]))
     reranked = (
-        unit.join(F.broadcast(short), "vid")
-        .crossJoin(F.broadcast(qu))
-        .select("vid", "pq_score", sim.alias("sim"))
+        _normalize(survivors)
+        .select(
+            "vid",
+            F.element_at(score_map, F.col("vid")).alias("pq_score"),
+            sim.alias("sim"),
+        )
         .orderBy(F.col("sim").desc(), F.col("vid"))
         .limit(k)
     )

@@ -1058,6 +1058,20 @@ def test_cosine_operators_reject_zero_norm_vectors(spark):
     with pytest.raises(Exception, match="zero-norm"):
         hard_negatives(emb, emb.filter("vec_id = 0"), k=2).collect()
 
+    # c55's r12 numpy scorer carries the same loud guard (a zero-norm
+    # CORPUS row reaches the mapInArrow pass, not the JVM normalize)
+    from sheetsetl_spark.operators.similarity import cosine_topk_pq
+
+    emb64 = spark.createDataFrame(
+        [
+            (i, [float(i + 1)] * 64 if i != 3 else [0.0] * 64)
+            for i in range(5)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        cosine_topk_pq(emb64, 0, [1, 2], k=2)
+
 
 def test_quality_checks_detect_violations(spark):
     from sheetsetl_spark.operators import quality_checks as qc

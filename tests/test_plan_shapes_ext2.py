@@ -174,15 +174,19 @@ def test_winnowing_single_doc_shuffle(spark):
             assert "doc_id" in ln, ln
 
 
-def test_pq_codebook_and_adc_broadcast(spark):
-    """c55's codebook/ADC-table joins and the shortlist re-rank must all
-    broadcast the bounded side — a SortMergeJoin anywhere means the
-    corpus got shuffled against a 512-row table."""
+def test_pq_rerank_pushdown_no_join(spark):
+    """c55's compressed-domain phase (encode + ADC + shortlist) runs as
+    a collected TakeOrdered side job over one mapInArrow corpus pass
+    (r12); the returned re-rank plan must therefore read ONLY the
+    shortlist rows — a pushed vec_id IN filter on the scan — with no
+    join and no shuffle anywhere. A Join or Exchange here means the
+    corpus got rescanned or reshuffled for the bounded re-rank."""
     df = QUERIES["c55_topk_cosine_pq"](spark, SF_SMALL)
     df.collect()
     plan = _executed_plan(df).split("== Initial Plan ==")[0]
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "INSET" in plan or "In(vec_id" in plan, plan
 
 
 def test_bloom_probe_never_shuffles(spark):
