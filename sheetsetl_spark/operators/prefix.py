@@ -78,11 +78,12 @@ def prefix_sum(
     and bucket totals) can safely share one exchange (ReuseExchange)
     with no pin. Ties never split buckets (equal key -> equal bucket),
     so the decomposition stays exact. The trade: bucket balance now
-    follows the VALUE distribution, not sampled quantiles — a heavily
-    value-skewed key concentrates rows in few window partitions
-    (correct, spill-backed, but serial there). Callers choose: spread
-    numeric keys (prices, spend cents, revenues) take the bucket path;
-    unknown/hostile distributions keep the sampled default.
+    follows the VALUE distribution, not sampled quantiles. Since r12
+    the buckets are uniform in LOG space (see _prefix_sum_bucketed),
+    which clamps the heavy-tailed skew the current callers'
+    revenue/price keys carry; only a key whose mass sits on few exact
+    VALUES (unsplittable ties) stays serial — such keys should keep
+    the sampled default path.
     """
     if not order_by:
         raise ValueError("prefix_sum: order_by must name at least one column")
@@ -147,9 +148,26 @@ def _prefix_sum_bucketed(
     constant within a bucket, and the stream is already hash-partitioned
     by bucket, so the groupBy adds no exchange), take their exclusive
     prefix in a single-partition window over <= n_buckets rows, and
-    broadcast back. floor((x - lo) / w) is weakly monotone in x even
-    under double rounding, and equal keys share a bucket, so the
-    decomposition equals the global running sum exactly.
+    broadcast back.
+
+    Buckets are uniform in LOG space (r12, guide §2.5 skew):
+    ``floor(log1p(x - lo) / (log1p(hi - lo) / B))``. Uniform buckets on
+    the raw value concentrate a heavy-tailed key — the revenue/price
+    columns every caller passes — into the low buckets (a lognormal-ish
+    spend column put >90% of rows in ONE window partition in the
+    hostile-skew test: correct, spill-backed, but serial exactly where
+    the data is big). log1p damps the tail so multiplicatively spread
+    values land near-uniformly, while a uniform key costs at most a
+    constant-factor imbalance (the widest log bucket of B covers a
+    ~ln(range)/B fraction of the range, and hashing B = 32x parallelism
+    buckets onto tasks mixes wide and narrow buckets). Exactness is
+    untouched: log1p (semi-monotonic per the JDK spec), the positive-
+    width division and floor are all weakly monotone in x, and equal
+    keys still share a bucket, so the decomposition equals the global
+    running sum exactly — only WHERE the boundaries fall moves. Rows
+    tied on ``bucket_expr`` itself are unsplittable by any value
+    bucketing (they carry no order information below the tiebreak
+    columns); a tie-dominated key should keep the sampled default path.
     """
     spark = df.sparkSession
     buckets = (num_partitions or spark.sparkContext.defaultParallelism) * 32
@@ -157,13 +175,18 @@ def _prefix_sum_bucketed(
         F.min(bucket_expr).cast("double").alias("__ps_lo"),
         F.max(bucket_expr).cast("double").alias("__ps_hi"),
     )
-    width = (F.col("__ps_hi") - F.col("__ps_lo")) / F.lit(float(buckets))
+    width = F.log1p(F.col("__ps_hi") - F.col("__ps_lo")) / F.lit(float(buckets))
     bk = F.when(
-        (F.col("__ps_hi") == F.col("__ps_lo")) | width.isNull(), F.lit(0)
+        (F.col("__ps_hi") == F.col("__ps_lo"))
+        | width.isNull()
+        | (width == 0.0),  # subnormal-range underflow: one bucket, still exact
+        F.lit(0),
     ).otherwise(
         F.least(
             F.lit(buckets - 1),
-            F.floor((bucket_expr.cast("double") - F.col("__ps_lo")) / width),
+            F.floor(
+                F.log1p(bucket_expr.cast("double") - F.col("__ps_lo")) / width
+            ),
         )
     )
     bucketed = (

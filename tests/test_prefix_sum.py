@@ -174,6 +174,41 @@ def test_property_bucketed_matches_naive_on_random_inputs(spark):
     check()
 
 
+def test_bucketed_hostile_skew_is_clamped(spark):
+    """Hostile value skew (r12, guide §2.5): a multiplicatively spread
+    key — the revenue/price shape every bucket_expr caller passes —
+    must NOT concentrate the stream into one window partition. Uniform
+    buckets on the raw value put >90% of these rows in bucket 0 (the
+    whole tail shares the low value range); the log-space buckets
+    spread them near-uniformly. Asserts BOTH the equality property
+    (the decomposition is exact regardless of where boundaries fall)
+    and a bounded max share of the window-side partitioning, measured
+    on the operator's actual output partitions."""
+    import math
+
+    n = 360
+    rows = [(i, float(math.exp(i / 12.0))) for i in range(n)]  # 1 .. ~1e13
+    df = spark.createDataFrame(rows, "k int, v double")
+    order = [F.asc("v"), F.asc("k")]
+    got = prefix_sum(
+        df,
+        order,
+        F.col("k").cast("long"),  # exact integer sums: equality is bitwise
+        "cum",
+        num_partitions=8,
+        bucket_expr=F.col("v"),
+    )
+    want = _naive(df, order, F.col("k").cast("long"), "cum")
+    assert _rows(got, ["k"]) == _rows(want, ["k"])
+    # the join output keeps the window's hash(bucket) partitioning:
+    # count rows per physical partition of the returned frame
+    shares = (
+        got.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    mx = max(r["count"] for r in shares)
+    assert mx <= n * 0.15, f"max partition share {mx}/{n}"
+
+
 def test_pid_assignment_is_pinned_by_checkpoint(spark):
     """The local-sums and offsets branches must read ONE materialized
     pid assignment (prefix.py INVARIANT comment): repartitionByRange
