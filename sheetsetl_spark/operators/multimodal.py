@@ -46,6 +46,12 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# Per-batch Arrow byte budget for every payload-bearing media operator:
+# 32 MiB (half the Spark 4 default) keeps 32 concurrent Python workers'
+# resident batches ~1 GB total even when a single payload row is MBs
+# (see _cap_arrow_batch; the row cap alone scales with payload width).
+_MEDIA_BATCH_BYTES = 32 << 20
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -56,18 +62,30 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _cap_arrow_batch(spark, target_rows_per_batch: int) -> None:
-    """Lower (never raise) the session-wide Arrow record-batch cap.
+def _cap_arrow_batch(
+    spark, target_rows_per_batch: int, target_bytes_per_batch: int | None = None
+) -> None:
+    """Lower (never raise) the session-wide Arrow record-batch caps.
 
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` is read at EXECUTION
     time, not at DataFrame construction, so a set-then-restore wrapper
     around a lazy mapInPandas would silently undo itself before the job
     ever runs. The contract is therefore monotone: media operators only
-    ever LOWER the session cap (bounding executor memory for wide binary
+    ever LOWER the session caps (bounding executor memory for wide binary
     rows — the unsafe direction is batches too large, never too small); a
     later narrow-row operator at worst runs with smaller batches.
     ``build_session`` pins the engine baseline explicitly so the starting
-    point is known."""
+    point is known.
+
+    ``target_bytes_per_batch`` (r12, guide §4.2/§5): a row cap alone
+    does not bound memory when each row carries a media payload —
+    1024 rows of 1 MB images is a 1 GB Arrow batch resident in EVERY
+    concurrent Python worker (32 at local[32]; the r11 verdict flagged
+    the media decode as the first thing to die under host memory
+    pressure). Spark 4's ``...arrow.maxBytesPerBatch`` (default 64 MiB)
+    is the direct knob: the media operators lower it so per-worker
+    resident batch bytes stay bounded no matter the payload width. Same
+    monotone contract; silently skipped on engines without the conf."""
     try:
         cur = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
     except Exception:
@@ -76,6 +94,16 @@ def _cap_arrow_batch(spark, target_rows_per_batch: int) -> None:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch)
         )
+    if target_bytes_per_batch is not None:
+        key = "spark.sql.execution.arrow.maxBytesPerBatch"
+        try:
+            raw = spark.conf.get(key).strip().lower()
+            mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1], 1)
+            cur_bytes = int(raw.rstrip("bkmg") or 0) * mult
+        except Exception:
+            return  # engine without the byte cap: rows cap still applies
+        if 0 < target_bytes_per_batch < cur_bytes:
+            spark.conf.set(key, f"{target_bytes_per_batch}b")
 
 
 def _fan_out_ids(df: DataFrame, id_col: str) -> DataFrame:
@@ -271,7 +299,7 @@ def extract_features(
             )
 
     spark = media.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
@@ -334,7 +362,7 @@ def resize_images(
             yield out
 
     spark = media.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
@@ -386,7 +414,7 @@ def sample_frames(
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     spark = media.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
@@ -447,7 +475,7 @@ def synthesize_ppm_media(
             )
 
     spark = df.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return _fan_out_ids(df, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
@@ -497,7 +525,7 @@ def image_dhash(
             )
 
     spark = media.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
 
 
@@ -588,7 +616,7 @@ def synthesize_wav_audio(
             )
 
     spark = df.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return _fan_out_ids(df, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
@@ -638,7 +666,7 @@ def audio_energy_hash(
             )
 
     spark = media.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
 
 
@@ -788,7 +816,7 @@ def synthesize_ppm_video(
             )
 
     spark = df.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return _fan_out_ids(df, id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
@@ -842,7 +870,7 @@ def video_frame_dhashes(
             )
 
     spark = media.sparkSession
-    _cap_arrow_batch(spark, target_rows_per_batch)
+    _cap_arrow_batch(spark, target_rows_per_batch, _MEDIA_BATCH_BYTES)
     return media.select(id_col, payload_col).mapInPandas(gen, schema=out_schema)
 
 

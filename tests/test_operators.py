@@ -931,6 +931,22 @@ def test_cap_arrow_batch_monotone(spark):
     finally:
         spark.conf.set(key, prior)
 
+    # r12: the byte cap (Spark 4 maxBytesPerBatch) follows the same
+    # monotone contract — payload width, not row count, is what blows
+    # worker memory on media batches
+    bkey = "spark.sql.execution.arrow.maxBytesPerBatch"
+    bprior = spark.conf.get(bkey)
+    try:
+        spark.conf.set(bkey, str(64 << 20) + "b")
+        multimodal._cap_arrow_batch(spark, 64, 32 << 20)
+        assert spark.conf.get(bkey) == str(32 << 20) + "b"
+        multimodal._cap_arrow_batch(spark, 64, 48 << 20)  # raise: no-op
+        assert spark.conf.get(bkey) == str(32 << 20) + "b"
+        multimodal._cap_arrow_batch(spark, 64, 16 << 20)  # lower: applies
+        assert spark.conf.get(bkey) == str(16 << 20) + "b"
+    finally:
+        spark.conf.set(bkey, bprior)
+
 
 def test_grouped_map_zscore_degenerate_groups(spark, tmp_path):
     """ADVICE r3: singleton and zero-variance groups must yield NULL
