@@ -32,6 +32,7 @@ def shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    spread_key: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document.
 
@@ -63,10 +64,25 @@ def shingles(
     the MinHash signature build ran on one core. ``fanout=64``
     approximates the explode's per-row work multiplier (it only gates
     the widen, sizes nothing); a genuinely large corpus whose scan is
-    already wide passes through untouched."""
-    from sheetsetl_spark.operators.skew import widen_to_cores
+    already wide passes through untouched.
 
-    docs = widen_to_cores(docs, fanout=64)
+    ``spread_key=True`` (r12, guide §2.4 share one exchange / §2.3
+    shuffle fewer bytes): hash-repartition the DOCUMENT rows by
+    ``id_col`` instead of the round-robin widen. For consumers that
+    re-group the shingle stream per document (the MinHash signature
+    groupBy, the PPJoin per-doc array fold), hash(id) established
+    before the explode satisfies every downstream groupBy keyed by the
+    doc id, so the post-explode shingle stream (~n× the text bytes)
+    never crosses an exchange at all — the compact document rows cross
+    once instead. Callers whose consumers join/aggregate by SHINGLE
+    (decontamination, per-language profiles) gain nothing from doc-id
+    partitioning and keep the widen default."""
+    from sheetsetl_spark.operators.skew import spread_by_key, widen_to_cores
+
+    docs = (
+        spread_by_key(docs, [id_col]) if spread_key
+        else widen_to_cores(docs, fanout=64)
+    )
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
     shingle_list = F.expr(
         f"CASE WHEN size(__w) >= {n} THEN "
@@ -338,6 +354,14 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rows_per_band = num_hashes // bands
+    # spread_key examined and NOT used here (r12): the signature
+    # groupBy consumes the stream through the persist below, and a
+    # lazily-persisted plan is an unfinalized AdaptiveSparkPlan whose
+    # output partitioning reads as Unknown at consumer-planning time —
+    # the groupBy re-shuffles regardless, so a keyed spread would only
+    # ADD a document exchange (measured neutral-to-noise at sf0.1; the
+    # direct-lineage callers edit_distance_pairs /
+    # prefix_filter_jaccard_pairs DO elide and use it).
     raw = scoped_persist(shingles(docs, n=n, id_col=id_col, text_col=text_col))
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sig = scoped_persist(
@@ -464,6 +488,8 @@ def minhash_estimate_audit(
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     rpb = num_hashes // bands
+    # spread_key not used: persisted-stream consumer, see
+    # minhash_lsh_pairs.
     raw = scoped_persist(shingles(docs, n=n, id_col=id_col, text_col=text_col))
     sh = _drop_hot_keys(raw, ["shingle"], max_shingle_df) if max_shingle_df else raw
     sig = scoped_persist(
@@ -1287,6 +1313,9 @@ def incremental_neardup_filter(
     # verification read the cache; the df-cap is a broadcast anti-join
     # over cache reads (single scan of each side, same policy as
     # minhash_lsh_pairs).
+    # spread_key not used: both sides persist below, see
+    # minhash_lsh_pairs (an unfinalized cached plan's partitioning
+    # reads as Unknown, so the signature groupBys re-shuffle anyway).
     raw_new = shingles(new_docs, n=n, id_col=id_col, text_col=text_col)
     raw_old = shingles(corpus, n=n, id_col=id_col, text_col=text_col)
     if persist:  # see ngram_jaccard_pairs: streaming callers pass False
@@ -1642,7 +1671,10 @@ def prefix_filter_jaccard_pairs(
     jaccard rounded 6 dp (filtering happens on the raw double, computed
     identically in both engines).
     """
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    # spread_key (r12): the per-doc array fold below is the stream's
+    # full-width consumer — hash(id) on the document rows replaces the
+    # shingle-stream exchange its groupBy would otherwise insert.
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col, spread_key=True)
     # df via a map-side-collapsing groupBy + broadcast join (r12; guide
     # §2.3, §3.1 — the c82 shape): the r11 form stamped df with a COUNT
     # WINDOW over the shingle key, pushing the whole (doc, shingle)
@@ -1870,7 +1902,7 @@ def edit_distance_pairs(
 
     Output: (doc_a, doc_b, dist) with doc_a < doc_b, dist <= k.
     """
-    from sheetsetl_spark.operators.skew import widen_to_cores
+    from sheetsetl_spark.operators.skew import spread_by_key
 
     base = docs.select(
         F.col(id_col).alias("__id"),
@@ -1881,13 +1913,18 @@ def edit_distance_pairs(
     # the occurrence sequence — one groupBy, no per-doc-gram window.
     # __len rides along in the group key (constant per doc) so the
     # length filter reaches candidate aggregation without a base join.
-    # The gram generation is the densest per-row work in the operator
-    # (~len q-gram substrings per doc), so the scan feeding the explode
-    # is widened (r11): a compact document file exposes 1-2 splits and
-    # ran the whole gram stream on as many cores. fanout = the explode
-    # multiplier (~__len rows per input row; 256 is the band's order of
-    # magnitude and only gates the widen, it sizes nothing).
-    grams = widen_to_cores(base, fanout=256).select(
+    # The document rows are hash-spread by __id BEFORE the explode
+    # (r12, guide §2.4/§2.3): hash(__id) satisfies the clustered
+    # distribution of BOTH downstream groupBys — the occurrence count
+    # keyed (__id, __len, gram) and the per-doc array fold keyed
+    # (__id, __len) — so the q-gram/token stream (~q× the text bytes)
+    # crosses NO exchange at all; the compact document rows cross once.
+    # This replaces the r11 round-robin widen (which only spread a
+    # narrow scan and left both token-stream exchanges in place) and
+    # subsumes its job: spread_by_key always repartitions to
+    # max(cores, scan splits), so the gram generation still runs at
+    # full width on a compactly-written file.
+    grams = spread_by_key(base, ["__id"]).select(
         "__id",
         "__len",
         F.explode(

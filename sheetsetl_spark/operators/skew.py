@@ -172,6 +172,50 @@ def widen_to_cores(df, min_input_bytes: int = 2 << 20, files=None, fanout: float
     return df.repartition(want)
 
 
+def spread_by_key(df, cols: list[str]):
+    """Deterministic hash-repartition by ``cols``, sized like
+    :func:`widen_to_cores` — for pipelines whose downstream groupBys are
+    all keyed by ``cols`` (or a superset).
+
+    ``HashPartitioning(cols)`` satisfies the clustered distribution of
+    ANY aggregation whose grouping keys contain ``cols`` (guide §2.4:
+    operations keyed the same way share one exchange), so spreading the
+    compact input row ONCE lets every downstream per-key groupBy skip
+    its own exchange. For the shingle/q-gram pipelines this replaces one
+    or two full token/shingle-stream exchanges (post-explode, ~n× the
+    text bytes) with a single document-stream exchange (pre-explode,
+    the text bytes themselves) — fewer bytes shuffled at every scale,
+    not a local-mode tune. Unlike widen_to_cores this always
+    repartitions (the exchange SUBSTITUTES for a mandatory downstream
+    one rather than adding a new one), and it uses an explicit partition
+    count so AQE cannot coalesce a tiny pre-explode input back below
+    cluster width before the explode multiplies its work. The count is
+    max(defaultParallelism, estimated scan splits): never narrower than
+    the cluster, never narrower than a genuinely wide scan. Keys must
+    be high-cardinality (one doc id per row); a low-cardinality key
+    would funnel the data into |distinct| effective groups.
+    """
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    sizes = _local_file_sizes(files) if files else None
+    if sizes is not None and _has_explicit_repartition(df):
+        sizes = None
+    if sizes is not None:
+        max_split = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        n = max(want, sum(-(-s // max_split) for s in sizes))
+    else:
+        n = max(want, df.rdd.getNumPartitions())
+    from pyspark.sql import functions as F
+
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def _has_explicit_repartition(df) -> bool:
     """True when the frame's LOGICAL plan carries an explicit
     repartition/coalesce/rebalance node, so the source-file split
